@@ -1,0 +1,121 @@
+"""Bilinear resampling core shared by the geometric augmentations.
+
+The reference gets these from Kornia's grid_sample-based ops
+(augment_data.py:60-85: RandomRotation / RandomPerspective /
+RandomElasticTransform).  Here one gather-based bilinear sampler backs
+rotation, perspective and elastic warps; everything is static-shape and
+differentiable, vmappable over the batch dimension.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def bilinear_sample(img, ys, xs, fill: float = 0.0):
+    """Sample HWC `img` at float coords (ys, xs), bilinear, zero-fill
+    outside (grid_sample(padding_mode='zeros') semantics, Kornia default).
+
+    ys/xs: float arrays of any (matching) shape, in pixel coordinates.
+    Returns array of shape ys.shape + (C,).
+    """
+    h, w = img.shape[0], img.shape[1]
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    wy = (ys - y0)[..., None]
+    wx = (xs - x0)[..., None]
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    def tap(yi, xi):
+        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        yc = jnp.clip(yi, 0, h - 1)
+        xc = jnp.clip(xi, 0, w - 1)
+        vals = img[yc, xc]                       # gather -> [..., C]
+        return jnp.where(valid[..., None], vals, fill)
+
+    v00 = tap(y0i, x0i)
+    v01 = tap(y0i, x0i + 1)
+    v10 = tap(y0i + 1, x0i)
+    v11 = tap(y0i + 1, x0i + 1)
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def _dest_grid(h, w, dtype=jnp.float32):
+    ys = jax.lax.broadcasted_iota(dtype, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(dtype, (h, w), 1)
+    return ys, xs
+
+
+def affine_warp(img, matrix, fill: float = 0.0):
+    """Warp HWC `img` by the inverse affine `matrix` (2x3, maps DEST pixel
+    coords -> SRC pixel coords).  Rotation-about-center etc. are expressed
+    by the caller via the matrix."""
+    h, w = img.shape[0], img.shape[1]
+    ys, xs = _dest_grid(h, w)
+    sx = matrix[0, 0] * xs + matrix[0, 1] * ys + matrix[0, 2]
+    sy = matrix[1, 0] * xs + matrix[1, 1] * ys + matrix[1, 2]
+    return bilinear_sample(img, sy, sx, fill)
+
+
+def rotation_matrix(angle_rad, center_y, center_x):
+    """Inverse-mapping matrix for rotation by `angle_rad` about center.
+
+    Matches torchvision/Kornia rotate: positive angle = counter-clockwise
+    rotation of the image content; the inverse map rotates dest coords by
+    +angle to find src coords.
+    """
+    c = jnp.cos(angle_rad)
+    s = jnp.sin(angle_rad)
+    # dest->src: translate to center, rotate by +angle, translate back
+    m00, m01 = c, -s
+    m10, m11 = s, c
+    tx = center_x - m00 * center_x - m01 * center_y
+    ty = center_y - m10 * center_x - m11 * center_y
+    return jnp.array([[m00, m01, tx], [m10, m11, ty]])
+
+
+def perspective_warp(img, homography, fill: float = 0.0):
+    """Warp HWC `img` by inverse 3x3 homography (dest -> src)."""
+    h, w = img.shape[0], img.shape[1]
+    ys, xs = _dest_grid(h, w)
+    d = homography[2, 0] * xs + homography[2, 1] * ys + homography[2, 2]
+    d = jnp.where(jnp.abs(d) < 1e-8, 1e-8, d)
+    sx = (homography[0, 0] * xs + homography[0, 1] * ys + homography[0, 2]) / d
+    sy = (homography[1, 0] * xs + homography[1, 1] * ys + homography[1, 2]) / d
+    return bilinear_sample(img, sy, sx, fill)
+
+
+def displacement_warp(img, dy, dx, fill: float = 0.0):
+    """Warp by per-pixel displacement fields (elastic transform core):
+    src = dest + (dy, dx)."""
+    h, w = img.shape[0], img.shape[1]
+    ys, xs = _dest_grid(h, w)
+    return bilinear_sample(img, ys + dy, xs + dx, fill)
+
+
+def homography_from_points(src_pts, dst_pts):
+    """Solve the 3x3 homography mapping 4 `dst_pts` -> 4 `src_pts`
+    (each [4,2] as (x, y)).  Used by random perspective: sample displaced
+    corners, then build the dest->src map.  Solved as the standard 8x8
+    DLT linear system."""
+    rows = []
+    rhs = []
+    for i in range(4):
+        xd, yd = dst_pts[i, 0], dst_pts[i, 1]
+        xs_, ys_ = src_pts[i, 0], src_pts[i, 1]
+        rows.append(jnp.stack([xd, yd, jnp.ones_like(xd), jnp.zeros_like(xd),
+                               jnp.zeros_like(xd), jnp.zeros_like(xd),
+                               -xd * xs_, -yd * xs_]))
+        rhs.append(xs_)
+        rows.append(jnp.stack([jnp.zeros_like(xd), jnp.zeros_like(xd),
+                               jnp.zeros_like(xd), xd, yd, jnp.ones_like(xd),
+                               -xd * ys_, -yd * ys_]))
+        rhs.append(ys_)
+    a = jnp.stack(rows)
+    b = jnp.stack(rhs)
+    sol = jnp.linalg.solve(a, b)
+    return jnp.concatenate([sol, jnp.ones((1,), sol.dtype)]).reshape(3, 3)
