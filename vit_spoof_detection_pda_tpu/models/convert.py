@@ -1,0 +1,212 @@
+"""Torch state-dict -> Flax parameter converters.
+
+Covers every pretrained-weight path the reference uses (SURVEY.md §7
+"hard parts" #1):
+
+- timm ``vit_base_patch16_224`` encoders — the backbone inside the
+  reference's ``ViTFaceAntiSpoofing`` (train_advanced.py:190: timm
+  create_model, fused qkv layout),
+- the published fine-tune checkpoint ``best_model_run_*.pth`` whose state
+  dict is ``vit.*`` + ``classifier.{0,2,5}.*`` (nn.Sequential indices;
+  reference train_advanced.py:193-200, loaded at test.py:167-188 /
+  evaluate_all_models.py:282-304),
+- HF ``ViTModel``/``ViTForImageClassification`` (separate q/k/v — the
+  frozen "Base ViT" ablation, evaluate_all_models.py:307-318),
+- torchvision ``resnet50`` (evaluate_all_models.py:71-78).
+
+Pure numpy: accepts either torch tensors or numpy arrays, so the
+converters work without torch at runtime (torch is only needed to
+``load_torch_checkpoint`` a pickled ``.pth``).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import numpy as np
+
+
+def _np(x) -> np.ndarray:
+    """torch tensor | np array -> float32 numpy (detached, contiguous)."""
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.ascontiguousarray(np.asarray(x), dtype=np.float32)
+
+
+def _linear(sd, name):
+    """torch Linear -> flax Dense: kernel is transposed weight."""
+    return {"kernel": _np(sd[f"{name}.weight"]).T,
+            "bias": _np(sd[f"{name}.bias"])}
+
+
+def _layernorm(sd, name):
+    return {"scale": _np(sd[f"{name}.weight"]),
+            "bias": _np(sd[f"{name}.bias"])}
+
+
+def _conv(sd, name):
+    """torch Conv2d [O,I,kh,kw] -> flax Conv [kh,kw,I,O]."""
+    return {"kernel": _np(sd[f"{name}.weight"]).transpose(2, 3, 1, 0)}
+
+
+def _bn(sd, name):
+    return (
+        {"scale": _np(sd[f"{name}.weight"]), "bias": _np(sd[f"{name}.bias"])},
+        {"mean": _np(sd[f"{name}.running_mean"]),
+         "var": _np(sd[f"{name}.running_var"])},
+    )
+
+
+# --------------------------------------------------------------------------
+# ViT backbones
+# --------------------------------------------------------------------------
+
+
+def vit_backbone_from_timm(sd: Mapping, prefix: str = "", depth: int = 12):
+    """timm ViT-B/16 state dict -> params for :class:`..models.vit.ViT`.
+
+    timm layout: fused ``blocks.i.attn.qkv`` [3D, D]; patch_embed is a
+    16x16/stride-16 conv whose kernel flattens to our patch-GEMM kernel in
+    (ph, pw, c) order — exactly the order `ViT.__call__` flattens patches.
+    """
+    p = prefix
+    conv_w = _np(sd[f"{p}patch_embed.proj.weight"])      # [D, C, ph, pw]
+    d = conv_w.shape[0]
+    patch_kernel = conv_w.transpose(2, 3, 1, 0).reshape(-1, d)
+
+    params = {
+        "patch_embed": {"kernel": patch_kernel,
+                        "bias": _np(sd[f"{p}patch_embed.proj.bias"])},
+        "cls_token": _np(sd[f"{p}cls_token"]),
+        "pos_embed": _np(sd[f"{p}pos_embed"]),
+        "norm": _layernorm(sd, f"{p}norm"),
+    }
+    for i in range(depth):
+        b = f"{p}blocks.{i}"
+        params[f"block{i}"] = {
+            "norm1": _layernorm(sd, f"{b}.norm1"),
+            "attn": {"qkv": _linear(sd, f"{b}.attn.qkv"),
+                     "proj": _linear(sd, f"{b}.attn.proj")},
+            "norm2": _layernorm(sd, f"{b}.norm2"),
+            "mlp": {"fc1": _linear(sd, f"{b}.mlp.fc1"),
+                    "fc2": _linear(sd, f"{b}.mlp.fc2")},
+        }
+    return params
+
+
+def vit_backbone_from_hf(sd: Mapping, prefix: str = "", depth: int = 12):
+    """HF ViTModel state dict -> params for :class:`..models.vit.ViT`.
+
+    HF stores separate query/key/value Linears; they fuse into our single
+    qkv kernel by concatenation along the output dim (both sides reshape
+    heads as (H, Dh) in the same order).
+    """
+    p = prefix
+    conv_w = _np(sd[f"{p}embeddings.patch_embeddings.projection.weight"])
+    d = conv_w.shape[0]
+    params = {
+        "patch_embed": {
+            "kernel": conv_w.transpose(2, 3, 1, 0).reshape(-1, d),
+            "bias": _np(sd[f"{p}embeddings.patch_embeddings.projection.bias"]),
+        },
+        "cls_token": _np(sd[f"{p}embeddings.cls_token"]),
+        "pos_embed": _np(sd[f"{p}embeddings.position_embeddings"]),
+        "norm": _layernorm(sd, f"{p}layernorm"),
+    }
+    for i in range(depth):
+        b = f"{p}encoder.layer.{i}"
+        qw = _np(sd[f"{b}.attention.attention.query.weight"])
+        kw = _np(sd[f"{b}.attention.attention.key.weight"])
+        vw = _np(sd[f"{b}.attention.attention.value.weight"])
+        qb = _np(sd[f"{b}.attention.attention.query.bias"])
+        kb = _np(sd[f"{b}.attention.attention.key.bias"])
+        vb = _np(sd[f"{b}.attention.attention.value.bias"])
+        params[f"block{i}"] = {
+            "norm1": _layernorm(sd, f"{b}.layernorm_before"),
+            "attn": {
+                "qkv": {"kernel": np.concatenate([qw, kw, vw], axis=0).T,
+                        "bias": np.concatenate([qb, kb, vb], axis=0)},
+                "proj": _linear(sd, f"{b}.attention.output.dense"),
+            },
+            "norm2": _layernorm(sd, f"{b}.layernorm_after"),
+            "mlp": {"fc1": _linear(sd, f"{b}.intermediate.dense"),
+                    "fc2": _linear(sd, f"{b}.output.dense")},
+        }
+    return params
+
+
+# --------------------------------------------------------------------------
+# Full models
+# --------------------------------------------------------------------------
+
+
+def antispoof_from_torch(sd: Mapping, depth: int = 12):
+    """Published fine-tune checkpoint -> ViTAntiSpoof variables.
+
+    The reference state dict is ``vit.<timm names>`` plus the head as
+    nn.Sequential indices: ``classifier.0`` LayerNorm, ``classifier.2``
+    Linear(768,512), ``classifier.5`` Linear(512,2)
+    (reference train_advanced.py:193-200).
+    """
+    params = {
+        "vit": vit_backbone_from_timm(sd, prefix="vit.", depth=depth),
+        "head": {
+            "norm": _layernorm(sd, "classifier.0"),
+            "fc1": _linear(sd, "classifier.2"),
+            "fc2": _linear(sd, "classifier.5"),
+        },
+    }
+    return {"params": params}
+
+
+def vit_linear_from_hf(sd: Mapping, depth: int = 12):
+    """HF ViTForImageClassification -> ViTLinearHead variables
+    (``vit.*`` backbone + ``classifier`` Linear)."""
+    params = {
+        "vit": vit_backbone_from_hf(sd, prefix="vit.", depth=depth),
+        "classifier": _linear(sd, "classifier"),
+    }
+    return {"params": params}
+
+
+def resnet50_from_torchvision(sd: Mapping, stage_sizes=(3, 4, 6, 3)):
+    """torchvision resnet50 state dict -> ResNet50 variables
+    (params + batch_stats)."""
+    params = {"conv1": _conv(sd, "conv1"), "fc": _linear(sd, "fc")}
+    stats = {}
+    params["bn1"], stats["bn1"] = _bn(sd, "bn1")
+    for stage, n_blocks in enumerate(stage_sizes):
+        for block in range(n_blocks):
+            t = f"layer{stage + 1}.{block}"
+            name = f"layer{stage + 1}_{block}"
+            bp, bs = {}, {}
+            for j in (1, 2, 3):
+                bp[f"conv{j}"] = _conv(sd, f"{t}.conv{j}")
+                bp[f"bn{j}"], bs[f"bn{j}"] = _bn(sd, f"{t}.bn{j}")
+            if f"{t}.downsample.0.weight" in sd:
+                bp["downsample_conv"] = _conv(sd, f"{t}.downsample.0")
+                bp["downsample_bn"], bs["downsample_bn"] = _bn(
+                    sd, f"{t}.downsample.1")
+            params[name] = bp
+            stats[name] = bs
+    return {"params": params, "batch_stats": stats}
+
+
+# --------------------------------------------------------------------------
+# Checkpoint IO
+# --------------------------------------------------------------------------
+
+
+def load_torch_checkpoint(path: str) -> dict:
+    """Load a torch ``.pth`` and return its flat state dict.
+
+    Handles the reference's checkpoint dict format (epoch + state dicts +
+    metrics + config, train_advanced.py:475-489) as well as bare state
+    dicts; mirrors the ``weights_only=False`` load at test.py:174.
+    """
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "model_state_dict" in obj:
+        return obj["model_state_dict"]
+    return obj

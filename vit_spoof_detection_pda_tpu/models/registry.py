@@ -1,0 +1,134 @@
+"""Declarative model registry.
+
+Replaces the reference harness's ordered ``models_to_evaluate`` list of
+(name, loader_fn) closures (evaluate_all_models.py:458-463) with entries
+declaring builder + weight source + preprocessing, so the cross-model
+harness, latency benchmark and analysis suite all drive off one table.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import convert
+from .resnet import ResNet50
+from .vit import ViTAntiSpoof, ViTLinearHead
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelEntry:
+    """One registry row.
+
+    `weights`: how to obtain variables — "checkpoint" (torch .pth via the
+    converter), "pretrained" (local pretrained file if present), or
+    "random".  `placeholder`: the model knowingly stands in for an
+    unavailable one (the reference's SigNet_F substitutes an *untrained*
+    ResNet50 with a logged warning, evaluate_all_models.py:336-355 — which
+    is why its published AUC is 0.399).
+    """
+
+    name: str
+    build: Callable[..., object]            # kwargs -> flax Module
+    weights: str = "random"
+    weight_converter: Optional[Callable] = None
+    placeholder: bool = False
+    description: str = ""
+
+
+def _build_vit_antispoof(dropout: float = 0.1, dtype=jnp.float32, **kw):
+    return ViTAntiSpoof(dropout=dropout, dtype=dtype)
+
+
+def _build_vit_linear(dtype=jnp.float32, **kw):
+    return ViTLinearHead(dtype=dtype)
+
+
+def _build_resnet50(dtype=jnp.float32, **kw):
+    return ResNet50(dtype=dtype)
+
+
+MODEL_REGISTRY = {
+    "Custom_ViT_FineTuned": ModelEntry(
+        name="Custom_ViT_FineTuned",
+        build=_build_vit_antispoof,
+        weights="checkpoint",
+        weight_converter=convert.antispoof_from_torch,
+        description="ViT-B/16 + MLP head fine-tuned on CelebA-Spoof "
+                    "(reference ViTFaceAntiSpoofing, published checkpoint "
+                    "best_model_run_eif1jakb.pth)",
+    ),
+    "Base_ViT_Pretrained": ModelEntry(
+        name="Base_ViT_Pretrained",
+        build=_build_vit_linear,
+        weights="pretrained",
+        weight_converter=convert.vit_linear_from_hf,
+        description="Frozen ImageNet ViT-B/16 + random 2-way head, no "
+                    "fine-tune (ablation; reference "
+                    "evaluate_all_models.py:307-318)",
+    ),
+    "ResNet50_Pretrained": ModelEntry(
+        name="ResNet50_Pretrained",
+        build=_build_resnet50,
+        weights="pretrained",
+        weight_converter=convert.resnet50_from_torchvision,
+        description="ImageNet ResNet50, fc -> 2 "
+                    "(reference evaluate_all_models.py:71-78)",
+    ),
+    "SigNet_F": ModelEntry(
+        name="SigNet_F",
+        build=_build_resnet50,
+        weights="random",
+        placeholder=True,
+        description="SigNet-F is not public; untrained ResNet50 stands in "
+                    "(reference evaluate_all_models.py:336-355)",
+    ),
+}
+
+
+def build_model(name: str, *, checkpoint_path: Optional[str] = None,
+                pretrained_path: Optional[str] = None, seed: int = 0,
+                dtype=jnp.float32, dropout: float = 0.1):
+    """Build (module, variables) for a registry entry.
+
+    Weight resolution: explicit checkpoint/pretrained path if provided and
+    present, else random init (with a warning for non-placeholder models —
+    mirrors the harness's strict=False tolerance,
+    evaluate_all_models.py:300).
+    """
+    entry = MODEL_REGISTRY[name]
+    module = entry.build(dropout=dropout, dtype=dtype)
+
+    path = checkpoint_path if entry.weights == "checkpoint" else pretrained_path
+    if path and os.path.exists(path) and entry.weight_converter:
+        sd = _load_state_dict(path)
+        variables = entry.weight_converter(sd)
+        variables = jax.tree.map(jnp.asarray, variables)
+        log.info("loaded %s weights from %s", name, path)
+    else:
+        if entry.placeholder:
+            log.warning("%s: placeholder model — using UNTRAINED weights "
+                        "(expected; see registry description)", name)
+        elif path:
+            log.warning("%s: weight file %s missing — random init", name, path)
+        rng = jax.random.PRNGKey(seed)
+        dummy = jnp.zeros((1, 224, 224, 3), jnp.float32)
+        variables = module.init(rng, dummy)
+    return module, variables
+
+
+def _load_state_dict(path: str):
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+        return load_file(path)
+    if path.endswith((".npz", ".npy")):
+        import numpy as np
+        return dict(np.load(path, allow_pickle=True))
+    return convert.load_torch_checkpoint(path)

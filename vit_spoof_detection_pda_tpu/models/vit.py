@@ -1,0 +1,204 @@
+"""ViT-B/16 backbone + anti-spoofing head, TPU-first.
+
+Functionally equivalent to the reference's timm ``vit_base_patch16_224``
+with ``num_classes=0`` (pooled CLS features) plus the custom MLP head
+(reference train_advanced.py:187-204: LayerNorm -> Dropout -> Linear(768,512)
+-> GELU -> Dropout -> Linear(512,2)), but built for the MXU:
+
+- **Fused QKV**: one [D, 3D] matmul per block instead of three — matches
+  timm's fused layout, keeps the MXU busy with one large GEMM.
+- **Patch embedding as reshape+matmul**: the 16x16/stride-16 conv is
+  mathematically a [P*P*C, D] GEMM over non-overlapping patches; expressed
+  that way XLA tiles it straight onto the MXU with no conv lowering.
+- **bf16 compute policy** (`dtype`), float32 params and final logits —
+  the TPU equivalent of the reference's CUDA AMP (train_advanced.py:326).
+- Static shapes everywhere: 224x224 -> 196 patches + CLS = 197 tokens.
+- Exact (erf) GELU to match torch `nn.GELU` / timm numerics.
+
+Sequence length is 197, so attention is a dense [B, H, 197, 197] einsum —
+flash/blockwise attention buys nothing at this size (SURVEY.md §2.7), but
+the attention core is factored out (`dot_product_attention`) so a Pallas
+blockwise kernel can be swapped in for longer sequences.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def dot_product_attention(q, k, v, *, dtype=jnp.float32):
+    """Plain dense attention: [B, T, H, Dh] inputs, softmax in float32.
+
+    Factored out so a Pallas blockwise kernel can replace it if sequence
+    length ever grows beyond ViT's 197 tokens.
+    """
+    dh = q.shape[-1]
+    scale = jnp.asarray(dh, jnp.float32) ** -0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    weights = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention with fused QKV projection."""
+
+    num_heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        dh = d // self.num_heads
+        qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(x)  # [B,T,3D]
+        qkv = qkv.reshape(x.shape[0], x.shape[1], 3, self.num_heads, dh)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        out = dot_product_attention(q, k, v, dtype=self.dtype)
+        out = out.reshape(x.shape[0], x.shape[1], d)
+        return nn.Dense(d, dtype=self.dtype, name="proj")(out)
+
+
+class MlpBlock(nn.Module):
+    hidden_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)   # torch nn.GELU default = erf
+        x = nn.Dense(d, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+class EncoderBlock(nn.Module):
+    """Pre-LN transformer block (timm ViT layout)."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    norm_eps: float = 1e-6          # timm default; HF ViT uses 1e-12
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        y = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm1")(x)
+        x = x + Attention(self.num_heads, dtype=self.dtype, name="attn")(y)
+        y = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm2")(x)
+        x = x + MlpBlock(int(d * self.mlp_ratio), dtype=self.dtype,
+                         name="mlp")(y)
+        return x
+
+
+class ViT(nn.Module):
+    """ViT backbone; returns pooled features (timm ``num_classes=0`` mode:
+    CLS token after the final LayerNorm)."""
+
+    patch_size: int = 16
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    pool: str = "token"              # "token" (timm default) | "mean"
+    norm_eps: float = 1e-6           # timm 1e-6; HF ViT 1e-12
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        """x: [B, H, W, 3] float (already normalized). Returns [B, D]."""
+        b, h, w, c = x.shape
+        p = self.patch_size
+        gh, gw = h // p, w // p
+
+        # Patch embed as one GEMM: [B, gh, p, gw, p, C] -> [B, N, p*p*C] @ W
+        x = x.astype(self.dtype)
+        x = x.reshape(b, gh, p, gw, p, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, p * p * c)
+        x = nn.Dense(self.embed_dim, dtype=self.dtype, name="patch_embed")(x)
+
+        cls = self.param("cls_token", nn.initializers.zeros,
+                         (1, 1, self.embed_dim))
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(self.dtype), (b, 1, self.embed_dim)),
+             x], axis=1)
+        pos = self.param("pos_embed",
+                         nn.initializers.normal(stddev=0.02),
+                         (1, gh * gw + 1, self.embed_dim))
+        x = x + pos.astype(self.dtype)
+
+        for i in range(self.depth):
+            x = EncoderBlock(self.num_heads, self.mlp_ratio, self.norm_eps,
+                             dtype=self.dtype, name=f"block{i}")(x)
+        x = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm")(x)
+        if self.pool == "token":
+            return x[:, 0]
+        return jnp.mean(x[:, 1:], axis=1)
+
+
+class AntiSpoofHead(nn.Module):
+    """LayerNorm -> Dropout -> Dense(512) -> GELU -> Dropout -> Dense(2)
+    (reference train_advanced.py:193-200, nn.Sequential indices 0..5)."""
+
+    hidden: int = 512
+    num_classes: int = 2
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, *, train: bool = False):
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(feats)  # torch default eps
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        # Final logits in float32 for stable loss/metrics under bf16 policy.
+        return nn.Dense(self.num_classes, dtype=jnp.float32, name="fc2")(x)
+
+
+class ViTAntiSpoof(nn.Module):
+    """Flagship model: ViT-B/16 features + anti-spoofing MLP head
+    (reference ViTFaceAntiSpoofing, train_advanced.py:187-204)."""
+
+    patch_size: int = 16
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    hidden: int = 512
+    num_classes: int = 2
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+
+    norm_eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        feats = ViT(self.patch_size, self.embed_dim, self.depth,
+                    self.num_heads, self.mlp_ratio, norm_eps=self.norm_eps,
+                    dtype=self.dtype, name="vit")(x)
+        return AntiSpoofHead(self.hidden, self.num_classes, self.dropout,
+                             dtype=self.dtype, name="head")(
+            feats.astype(jnp.float32), train=train)
+
+
+class ViTLinearHead(nn.Module):
+    """ViT + bare linear head on CLS — the "frozen/base ViT" ablation
+    (HF ViTForImageClassification with num_labels=2, random head, no
+    fine-tune; reference evaluate_all_models.py:307-318)."""
+
+    num_classes: int = 2
+    dtype: Dtype = jnp.float32
+    # HF google/vit-base-patch16-224 puts LayerNorm before the classifier
+    # (ViTModel final layernorm), same as timm's `norm`.
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        feats = ViT(norm_eps=1e-12, dtype=self.dtype, name="vit")(x)
+        return nn.Dense(self.num_classes, dtype=jnp.float32,
+                        name="classifier")(feats.astype(jnp.float32))
