@@ -1,0 +1,196 @@
+"""Training engine: schedule parity, compiled steps over an 8-device mesh,
+checkpoint/resume, early stopping, end-to-end Trainer on synthetic data."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vit_spoof_detection_pda_tpu.config import Config
+from vit_spoof_detection_pda_tpu.ops import losses
+from vit_spoof_detection_pda_tpu.parallel import make_mesh, shard_batch
+from vit_spoof_detection_pda_tpu.train import (
+    EarlyStopping, Trainer, create_train_state, make_eval_step,
+    make_lr_schedule, make_optimizer, make_train_step)
+
+
+class TinyNet(nn.Module):
+    """Small conv+dense classifier for fast train tests."""
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        x = nn.Conv(8, (3, 3), strides=(2, 2))(x)
+        x = nn.relu(x)
+        x = jnp.mean(x, axis=(1, 2))
+        x = nn.Dropout(0.1, deterministic=not train)(x)
+        return nn.Dense(2)(x)
+
+
+def _synthetic(n=256, size=16, seed=0):
+    """Linearly separable images: class decided by mean brightness."""
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, 2, n)
+    base = rng.random((n, size, size, 3)).astype(np.float32)
+    images = base + labels[:, None, None, None] * 0.8
+    return images, labels.astype(np.int32)
+
+
+def test_schedule_matches_torch_cosine():
+    torch = pytest.importorskip("torch")
+    base_lr, total, warmup = 3e-4, 100, 10
+    sched = make_lr_schedule(base_lr, total, warmup, min_lr=1e-6)
+    opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=base_lr)
+    tsched = torch.optim.lr_scheduler.CosineAnnealingLR(
+        opt, T_max=total - warmup, eta_min=1e-6)
+    for step in range(total):
+        want = tsched.get_last_lr()[0]
+        got = float(sched(step))
+        assert got == pytest.approx(want, rel=1e-5), step
+        opt.step()
+        tsched.step()
+
+
+def test_true_warmup_ramp():
+    sched = make_lr_schedule(1e-3, 100, 10, min_lr=0.0, true_warmup=True)
+    assert float(sched(0)) == 0.0
+    assert float(sched(5)) == pytest.approx(5e-4)
+    assert float(sched(10)) == pytest.approx(1e-3)
+    assert float(sched(100)) == pytest.approx(0.0, abs=1e-9)
+
+
+def test_train_step_learns_on_mesh():
+    mesh = make_mesh()   # 8 virtual CPU devices on the data axis
+    assert mesh.devices.size == 8
+    module = TinyNet()
+    tx = make_optimizer(1e-2, weight_decay=0.0)
+    state = create_train_state(module, tx, jax.random.PRNGKey(0),
+                               input_shape=(1, 16, 16, 3))
+    step_fn = make_train_step(
+        losses.make_loss_fn("focal"), mesh=mesh)
+
+    images, labels = _synthetic(256)
+    first = last = None
+    for i in range(30):
+        batch = shard_batch({"image": images, "label": labels}, mesh)
+        state, metrics = step_fn(state, batch)
+        if i == 0:
+            first = float(metrics["loss"])
+        last = float(metrics["loss"])
+    assert last < first * 0.5, (first, last)
+    assert int(state.step) == 30
+
+
+def test_eval_step_scores():
+    mesh = make_mesh()
+    module = TinyNet()
+    tx = make_optimizer(1e-2)
+    state = create_train_state(module, tx, jax.random.PRNGKey(0),
+                               input_shape=(1, 16, 16, 3))
+    eval_fn = make_eval_step(module.apply, mesh=mesh)
+    images, _ = _synthetic(64)
+    out = eval_fn(state.params, None, jnp.asarray(images))
+    assert out["score"].shape == (64,)
+    s = np.asarray(out["score"])
+    assert np.all((s >= 0) & (s <= 1))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from vit_spoof_detection_pda_tpu.utils.checkpoint import CheckpointManager
+    module = TinyNet()
+    tx = make_optimizer(1e-2)
+    state = create_train_state(module, tx, jax.random.PRNGKey(0),
+                               input_shape=(1, 16, 16, 3))
+    step_fn = make_train_step(losses.make_loss_fn("ce"), donate=False)
+    images, labels = _synthetic(64)
+    batch = {"image": jnp.asarray(images), "label": jnp.asarray(labels)}
+    for _ in range(3):
+        state, _ = step_fn(state, batch)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), best_metric="val_f1")
+    assert mgr.save(int(state.step), state,
+                    metrics={"val_f1": 0.9}, config={"a": 1})
+
+    fresh = create_train_state(module, tx, jax.random.PRNGKey(1),
+                               input_shape=(1, 16, 16, 3))
+    restored = mgr.restore(fresh)
+    assert int(restored.step) == 3
+    jax.tree.map(np.testing.assert_array_equal, restored.params, state.params)
+    jax.tree.map(np.testing.assert_array_equal,
+                 restored.opt_state, state.opt_state)
+    assert mgr.restore_metrics()["val_f1"] == 0.9
+
+    # resumed training continues deterministically vs uninterrupted run
+    s_cont, _ = step_fn(state, batch)
+    s_rest, _ = step_fn(restored, batch)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
+        s_cont.params, s_rest.params)
+    mgr.close()
+
+
+def test_early_stopping():
+    es = EarlyStopping(patience=2, min_delta=0.01, mode="max")
+    assert not es.update(0.5)
+    assert not es.update(0.6)       # improvement
+    assert not es.update(0.605)     # < min_delta, counter 1
+    assert es.update(0.60)          # counter 2 -> stop
+    assert es.should_stop
+
+
+def test_trainer_end_to_end(tmp_path):
+    images, labels = _synthetic(256, seed=1)
+    val_images, val_labels = _synthetic(128, seed=2)
+    bs = 32
+
+    def train_batches(epoch):
+        rng = np.random.default_rng(epoch)
+        idx = rng.permutation(len(images))
+        for i in range(0, len(images) - bs + 1, bs):
+            j = idx[i:i + bs]
+            yield {"image": images[j], "label": labels[j]}
+
+    def val_batches():
+        for i in range(0, len(val_images), bs):
+            yield {"image": val_images[i:i + bs],
+                   "label": val_labels[i:i + bs]}
+
+    cfg = Config().with_overrides({
+        "optim.num_epochs": 3,
+        "optim.learning_rate": 1e-2,
+        "data.img_size": 16,
+        "telemetry.log_interval": 100,
+        "telemetry.jsonl_path": str(tmp_path / "metrics.jsonl"),
+    })
+    from vit_spoof_detection_pda_tpu.utils.checkpoint import CheckpointManager
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    trainer = Trainer(cfg, TinyNet(),
+                      train_batches=train_batches, val_batches=val_batches,
+                      steps_per_epoch=len(images) // bs,
+                      checkpoints=mgr)
+    best = trainer.fit()
+    assert best["val_f1"] > 0.8, best
+    assert mgr.latest_step() is not None
+    # metric stream written
+    assert (tmp_path / "metrics.jsonl").read_text().count("\n") >= 3
+    mgr.close()
+
+
+def test_sweep_driver_runs():
+    from vit_spoof_detection_pda_tpu.train.sweep import run_sweep
+
+    calls = []
+
+    def fake_train(cfg):
+        calls.append(cfg)
+        # score peaks at lr ~2e-4
+        import math
+        return {"optimal_f1": 1.0 - abs(
+            math.log10(cfg.optim.learning_rate / 2e-4))}
+
+    results = run_sweep(Config(), fake_train, count=6, seed=0)
+    assert len(results) == 6
+    assert results[0].metric == max(r.metric for r in results)
+    # exploit phase samples near the best explore result
+    assert 5e-5 <= results[0].overrides["optim.learning_rate"] <= 5e-4

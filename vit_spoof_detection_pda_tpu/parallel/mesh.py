@@ -1,0 +1,98 @@
+"""Mesh construction and sharding rules.
+
+Data parallelism is the load-bearing strategy for this 86M-param 224x224
+classifier (SURVEY.md §2.7): batches shard over the ``data`` axis and
+GSPMD compiles the gradient all-reduce onto ICI.  Tensor-parallel
+partition specs for the ViT are provided as mesh capability (``model``
+axis): fused QKV and MLP fc1 shard column-wise, attention proj and fc2
+row-wise — the Megatron split expressed purely as PartitionSpecs.
+
+Multi-host: call `jax.distributed.initialize()` before `make_mesh()`; the
+same specs then span hosts, with per-host data feeding handled by the
+data layer (each host feeds its local shard of the batch).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(data: int = -1, model: int = 1,
+              devices=None) -> Mesh:
+    """Build a (data, model) mesh.  data=-1 -> all remaining devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if data == -1:
+        if n % model:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    return Mesh(devices.reshape(data, model), (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_spec() -> P:
+    """Batches shard their leading dim over the data axis."""
+    return P(DATA_AXIS)
+
+
+# Tensor-parallel rules for the ViT/head/ResNet parameter tree.
+# Matched against the '/'-joined flax param path; first hit wins.
+# Column-split the up-projections (qkv, fc1), row-split the
+# down-projections (proj, fc2) so each block needs exactly one
+# all-reduce on the model axis — the Megatron pattern.
+_TP_RULES = [
+    (re.compile(r".*attn/qkv/kernel$"), P(None, MODEL_AXIS)),
+    (re.compile(r".*attn/qkv/bias$"), P(MODEL_AXIS)),
+    (re.compile(r".*attn/proj/kernel$"), P(MODEL_AXIS, None)),
+    (re.compile(r".*mlp/fc1/kernel$"), P(None, MODEL_AXIS)),
+    (re.compile(r".*mlp/fc1/bias$"), P(MODEL_AXIS)),
+    (re.compile(r".*mlp/fc2/kernel$"), P(MODEL_AXIS, None)),
+]
+
+
+def _spec_for_path(path: str, leaf) -> P:
+    for pat, spec in _TP_RULES:
+        if pat.match(path):
+            if len(spec) <= leaf.ndim:
+                return spec
+    return P()  # replicated
+
+
+def param_specs(params) -> dict:
+    """PartitionSpec pytree for a model parameter tree."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def path_str(kp):
+        return "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                        for k in kp)
+
+    specs = {path_str(kp): _spec_for_path(path_str(kp), leaf)
+             for kp, leaf in flat}
+
+    def build(kp, leaf):
+        return specs[path_str(kp)]
+
+    return jax.tree_util.tree_map_with_path(build, params)
+
+
+def shard_params(params, mesh: Mesh):
+    """Device-put a parameter tree with its TP/replication shardings."""
+    specs = param_specs(params)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, specs)
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Device-put a host batch sharded over the data axis."""
+    sharding = NamedSharding(mesh, batch_spec())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)

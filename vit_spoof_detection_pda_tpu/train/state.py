@@ -1,0 +1,74 @@
+"""Train state + optimizer construction.
+
+One pytree carries everything the reference persisted across its epoch
+loop — params, optimizer state, step, PRNG key, and (for ResNet-style
+models) batch statistics — so checkpoints capture the FULL resumable
+state, fixing the reference's resume gap (its loader restores only
+``model_state_dict``; test.py:167-188, SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+    batch_stats: Any = None
+    apply_fn: Any = struct.field(pytree_node=False, default=None)
+    tx: Any = struct.field(pytree_node=False, default=None)
+
+    def apply_gradients(self, grads):
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            opt_state=new_opt,
+        )
+
+
+def make_optimizer(learning_rate, *, weight_decay: float = 0.05,
+                   beta1: float = 0.9, beta2: float = 0.999,
+                   max_grad_norm: Optional[float] = 1.0,
+                   gradient_accumulation_steps: int = 1):
+    """AdamW chain: global-norm clip -> adamw[ -> MultiSteps].
+
+    Mirrors the reference's clip_grad_norm(1.0) + AdamW(3e-4, wd=0.05,
+    betas 0.9/0.999) + gradient_accumulation_steps
+    (train_advanced.py:332-339, 592-597).
+    """
+    chain = []
+    if max_grad_norm is not None:
+        chain.append(optax.clip_by_global_norm(max_grad_norm))
+    chain.append(optax.adamw(learning_rate, b1=beta1, b2=beta2,
+                             weight_decay=weight_decay))
+    tx = optax.chain(*chain)
+    if gradient_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, gradient_accumulation_steps)
+    return tx
+
+
+def create_train_state(module, tx, rng, input_shape=(1, 224, 224, 3),
+                       variables=None):
+    """Initialize (or adopt converted) variables into a TrainState."""
+    init_rng, state_rng = jax.random.split(rng)
+    if variables is None:
+        variables = module.init(init_rng, jnp.zeros(input_shape, jnp.float32))
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        rng=state_rng,
+        batch_stats=variables.get("batch_stats"),
+        apply_fn=module.apply,
+        tx=tx,
+    )

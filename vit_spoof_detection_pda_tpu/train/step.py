@@ -1,0 +1,109 @@
+"""pjit-compiled train / eval steps.
+
+The reference's hot loop (train_advanced.py:315-365: H2D copy, autocast
+forward, scaled backward, unscale-clip-step-update, meter `.item()` syncs
+every batch) collapses here into ONE compiled XLA program per step:
+forward+backward+clip+AdamW+metrics, with the batch sharded over the
+``data`` mesh axis and the gradient all-reduce inserted by GSPMD.  No
+loss scaling is needed — bf16 on TPU keeps fp32 range (the AMP GradScaler
+machinery has no TPU equivalent by design).
+
+Metrics come back as a tiny dict of scalars fetched asynchronously; no
+per-batch host sync.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..parallel.mesh import batch_spec, param_specs
+
+
+def make_train_step(loss_fn: Callable, *, has_batch_stats: bool = False,
+                    mesh: Optional[Mesh] = None, donate: bool = True):
+    """Build the compiled train step.
+
+    loss_fn(logits, labels) -> scalar.  The model is called through
+    ``state.apply_fn`` with dropout rng threaded per-step (fold_in on the
+    step counter keeps the key stream deterministic and resumable).
+    """
+
+    def step(state, batch):
+        images, labels = batch["image"], batch["label"]
+        rng = jax.random.fold_in(state.rng, state.step)
+
+        def loss_of(params):
+            variables = {"params": params}
+            kwargs = {"train": True, "rngs": {"dropout": rng}}
+            if has_batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                out, mut = state.apply_fn(
+                    variables, images, mutable=["batch_stats"], **kwargs)
+                logits = out
+                new_stats = mut["batch_stats"]
+            else:
+                logits = state.apply_fn(variables, images, **kwargs)
+                new_stats = None
+            loss = loss_fn(logits, labels)
+            return loss, (logits, new_stats)
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            loss_of, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads)
+        if has_batch_stats:
+            new_state = new_state.replace(batch_stats=new_stats)
+        preds = jnp.argmax(logits, axis=-1)
+        metrics = {
+            "loss": loss,
+            "accuracy": jnp.mean((preds == labels).astype(jnp.float32)),
+            "grad_norm": optax_global_norm(grads),
+        }
+        return new_state, metrics
+
+    if mesh is not None:
+        dspec = {"image": batch_spec(), "label": batch_spec()}
+        return jax.jit(
+            step,
+            in_shardings=(None, jax.tree.map(
+                lambda s: NamedSharding(mesh, s), dspec)),
+            donate_argnums=(0,) if donate else (),
+        )
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def optax_global_norm(tree):
+    leaves = jax.tree.leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32)))
+                        for x in leaves))
+
+
+def make_eval_step(apply_fn: Callable, *, has_batch_stats: bool = False,
+                   positive_index: int = 1, mesh: Optional[Mesh] = None):
+    """Compiled eval step: logits -> (pred, P(positive)).
+
+    ``positive_index`` selects which softmax column is the score —
+    column 1 is P(live) in the train/test stack (reference test.py:217)
+    and P(spoof) in the harness convention (evaluate_all_models.py:145);
+    both are "column 1 of softmax", the label convention adapter lives in
+    the data layer.
+    """
+
+    def step(params, batch_stats, images):
+        variables = {"params": params}
+        if has_batch_stats and batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+        logits = apply_fn(variables, images)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        preds = jnp.argmax(logits, axis=-1)
+        return {"pred": preds, "score": probs[:, positive_index],
+                "logits": logits}
+
+    if mesh is not None:
+        return jax.jit(step, in_shardings=(
+            None, None, NamedSharding(mesh, batch_spec())))
+    return jax.jit(step)

@@ -1,0 +1,220 @@
+"""Config-driven training orchestrator.
+
+The reference's ``train()`` (train_advanced.py:492-693) is a 200-line
+script: wandb init, seeding, scan, class weights, split, loaders, model,
+loss/opt/sched/scaler, epoch loop with best-tracking + early stop.  Here
+the lifecycle is the same but the per-batch work is one compiled
+``train_step`` and validation is one compiled ``eval_step`` + device-side
+metric reductions (metrics/device.py) — the host loop only feeds batches
+and logs.
+
+Data contract: ``train_batches(epoch) -> iterator of {"image": [B,H,W,3]
+float32 (normalized), "label": [B] int32}``; ``val_batches() ->`` same.
+The data layer provides these; synthetic iterators work for tests.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..metrics import device as dmetrics
+from ..ops import losses
+from ..parallel import make_mesh, shard_batch
+from ..utils.checkpoint import CheckpointManager
+from ..utils.telemetry import MetricLogger
+from .early_stop import EarlyStopping
+from .schedule import make_lr_schedule
+from .state import create_train_state, make_optimizer
+from .step import make_eval_step, make_train_step
+
+log = logging.getLogger(__name__)
+
+
+class Trainer:
+    def __init__(self, config: Config, module, *,
+                 train_batches: Callable[[int], Iterable],
+                 val_batches: Callable[[], Iterable],
+                 steps_per_epoch: int,
+                 class_counts=None,
+                 variables=None,
+                 mesh=None,
+                 logger: Optional[MetricLogger] = None,
+                 checkpoints: Optional[CheckpointManager] = None):
+        self.config = config
+        self.module = module
+        self.train_batches = train_batches
+        self.val_batches = val_batches
+        self.steps_per_epoch = steps_per_epoch
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.logger = logger or MetricLogger(
+            jsonl_path=config.telemetry.jsonl_path,
+            wandb_project=config.telemetry.wandb_project,
+            wandb_entity=config.telemetry.wandb_entity,
+            config=config.to_dict())
+        self.checkpoints = checkpoints
+
+        total_steps = steps_per_epoch * config.optim.num_epochs
+        warmup_steps = steps_per_epoch * config.optim.warmup_epochs
+        self.lr_schedule = make_lr_schedule(
+            config.optim.learning_rate, total_steps, warmup_steps,
+            config.optim.min_lr, config.optim.true_warmup)
+
+        tx = make_optimizer(
+            self.lr_schedule,
+            weight_decay=config.optim.weight_decay,
+            beta1=config.optim.beta1, beta2=config.optim.beta2,
+            max_grad_norm=config.optim.max_grad_norm,
+            gradient_accumulation_steps=(
+                config.optim.gradient_accumulation_steps))
+
+        class_weights = None
+        if config.loss.loss_type == "weighted_ce":
+            if class_counts is None:
+                raise ValueError("weighted_ce needs class_counts")
+            class_weights = losses.class_weights_from_counts(class_counts)
+        loss_fn = losses.make_loss_fn(
+            config.loss.loss_type,
+            focal_alpha=config.loss.focal_alpha,
+            focal_gamma=config.loss.focal_gamma,
+            label_smoothing=config.loss.label_smoothing,
+            class_weights=class_weights)
+
+        rng = jax.random.PRNGKey(config.seed)
+        size = config.data.img_size
+        self.state = create_train_state(
+            module, tx, rng, input_shape=(1, size, size, 3),
+            variables=variables)
+        has_stats = self.state.batch_stats is not None
+
+        self.train_step = make_train_step(
+            loss_fn, has_batch_stats=has_stats, mesh=self.mesh)
+        self.eval_step = make_eval_step(
+            module.apply, has_batch_stats=has_stats, mesh=self.mesh)
+
+    # ------------------------------------------------------------------
+
+    def fit(self):
+        cfg = self.config
+        stopper = EarlyStopping(cfg.early_stop.patience,
+                                cfg.early_stop.min_delta,
+                                cfg.early_stop.mode)
+        best = {"val_f1": -1.0, "epoch": -1}
+        for epoch in range(cfg.optim.num_epochs):
+            t0 = time.time()
+            train_metrics = self.train_epoch(epoch)
+            val_metrics = self.validate()
+            epoch_summary = {
+                "epoch": epoch,
+                "epoch_time_s": time.time() - t0,
+                **{f"train/{k}": v for k, v in train_metrics.items()},
+                **{f"val/{k}": v for k, v in val_metrics.items()},
+            }
+            self.logger.log(epoch_summary, step=int(self.state.step))
+
+            val_f1 = float(val_metrics["f1"])
+            if val_f1 > best["val_f1"]:
+                best = {"val_f1": val_f1, "epoch": epoch,
+                        **{k: float(v) for k, v in val_metrics.items()
+                           if np.isscalar(v) or getattr(v, "ndim", 1) == 0}}
+                if self.checkpoints:
+                    self.checkpoints.save(
+                        int(self.state.step), self.state,
+                        metrics={"val_f1": val_f1, "epoch": epoch},
+                        config=self.config.to_dict(), force=True)
+            elif self.checkpoints and (
+                    (epoch + 1) % cfg.checkpoint.save_every_epochs == 0):
+                self.checkpoints.save(
+                    int(self.state.step), self.state,
+                    metrics={"val_f1": val_f1, "epoch": epoch},
+                    config=self.config.to_dict())
+
+            if stopper.update(val_f1):
+                log.info("early stopping at epoch %d (best %.4f @ %d)",
+                         epoch, stopper.best_score, best["epoch"])
+                break
+        return best
+
+    # ------------------------------------------------------------------
+
+    def train_epoch(self, epoch: int):
+        meters = {"loss": 0.0, "accuracy": 0.0}
+        count = 0
+        pending = None
+        for i, batch in enumerate(self.train_batches(epoch)):
+            batch = self._device_batch(batch)
+            self.state, metrics = self.train_step(self.state, batch)
+            # fetch the *previous* step's metrics: keeps the device queue
+            # busy (no same-step sync, unlike the reference's `.item()`
+            # every batch, train_advanced.py:341-352)
+            if pending is not None:
+                self._accumulate(meters, pending)
+                count += 1
+            pending = metrics
+            if (i + 1) % self.config.telemetry.log_interval == 0:
+                step = int(self.state.step)
+                self.logger.log({
+                    "train/loss": float(metrics["loss"]),
+                    "train/acc": float(metrics["accuracy"]),
+                    "train/lr": float(self.lr_schedule(step)),
+                }, step=step)
+        if pending is not None:
+            self._accumulate(meters, pending)
+            count += 1
+        return {k: v / max(count, 1) for k, v in meters.items()}
+
+    @staticmethod
+    def _accumulate(meters, metrics):
+        for k in meters:
+            meters[k] += float(metrics[k])
+
+    # ------------------------------------------------------------------
+
+    def validate(self):
+        """Eval pass + device-side metrics (reference validate,
+        train_advanced.py:368-472, minus the host sklearn round-trips)."""
+        scores, labels = [], []
+        for batch in self.val_batches():
+            images = jnp.asarray(batch["image"])
+            out = self.eval_step(self.state.params, self.state.batch_stats,
+                                 images)
+            scores.append(out["score"])
+            labels.append(jnp.asarray(batch["label"]))
+        scores = jnp.concatenate(scores)
+        labels = jnp.concatenate(labels)
+
+        table = dmetrics.threshold_table(scores, labels, jnp.asarray([0.5]))
+        out = {
+            "accuracy": table["accuracy"][0],
+            "precision": table["precision"][0],
+            "recall": table["recall"][0],
+            "f1": table["f1_score"][0],
+            "specificity": table["specificity"][0],
+            "npv": table["npv"][0],
+            "far": table["far"][0],
+            "frr": table["frr"][0],
+            "tp": table["tp"][0], "tn": table["tn"][0],
+            "fp": table["fp"][0], "fn": table["fn"][0],
+            "auc": dmetrics.auc(scores, labels),
+        }
+        if self.config.threshold.optimize:
+            t, f1, _ = dmetrics.optimal_threshold_f1(
+                scores, labels,
+                self.config.threshold.t_min, self.config.threshold.t_max,
+                self.config.threshold.steps)
+            out["optimal_threshold"] = t
+            out["optimal_f1"] = f1
+        return {k: float(v) for k, v in out.items()}
+
+    # ------------------------------------------------------------------
+
+    def _device_batch(self, batch):
+        batch = {"image": np.asarray(batch["image"], np.float32),
+                 "label": np.asarray(batch["label"], np.int32)}
+        return shard_batch(batch, self.mesh)
