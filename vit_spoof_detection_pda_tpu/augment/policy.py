@@ -1,0 +1,127 @@
+"""Severity-tier augmentation policies and the differential plan.
+
+Op parameters transcribed from the reference's three Kornia pipelines
+(augment_data.py:60-85):
+
+heavy : HFlip(.5), Rot(20, p.7), CJ(.4,.4,.4,.2, p.8), Blur(5x5, s .1-2, p.5),
+        Noise(std .05, p.3), Persp(.2, p.4), Elastic(p.3), Sharp(2.0, p.3)
+medium: HFlip(.5), Rot(15, p.6), CJ(.3,.3,.3,.1, p.7), Blur(3x3, s .1-1.5, p.4),
+        Noise(.03, p.2), Persp(.15, p.3)
+light : HFlip(.5), Rot(10, p.5), CJ(.2,.2,.2,.05, p.5), Blur(3x3, s .1-1, p.3)
+
+Severity schedule per copy index (augment_data.py:188-194): first third
+heavy, middle third medium, rest light.  Differential multiplier: live x8,
+spoof x2 (augment_data.py:33-34) — turning the 1:3.87 imbalance into
+~1:0.97 (README.md:83-88).
+
+Design note: the reference feeds Kornia tensors that are ALREADY
+ImageNet-normalized (augment_data.py:226-231), so its color ops act on
+out-of-range values.  Here chains operate in [0,1] before normalization —
+the photometrically correct order; the denorm/renorm wash in the
+reference's writeback (augment_data.py:164-172) makes the on-disk outputs
+comparable either way.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, List, Sequence
+
+import jax
+
+from ..ops import augment as A
+
+Chain = List[Callable]   # each fn: (key, img[H,W,C] in [0,1]) -> img
+
+
+def heavy_chain() -> Chain:
+    return [
+        partial(A.random_hflip, p=0.5),
+        lambda k, im: A.random_rotation(k, im, 20.0, p=0.7),
+        lambda k, im: A.color_jitter(k, im, 0.4, 0.4, 0.4, 0.2, p=0.8),
+        lambda k, im: A.gaussian_blur(k, im, 5, (0.1, 2.0), p=0.5),
+        lambda k, im: A.gaussian_noise(k, im, std=0.05, p=0.3),
+        lambda k, im: A.random_perspective(k, im, 0.2, p=0.4),
+        lambda k, im: A.elastic_transform(k, im, p=0.3),
+        lambda k, im: A.random_sharpness(k, im, 2.0, p=0.3),
+    ]
+
+
+def medium_chain() -> Chain:
+    return [
+        partial(A.random_hflip, p=0.5),
+        lambda k, im: A.random_rotation(k, im, 15.0, p=0.6),
+        lambda k, im: A.color_jitter(k, im, 0.3, 0.3, 0.3, 0.1, p=0.7),
+        lambda k, im: A.gaussian_blur(k, im, 3, (0.1, 1.5), p=0.4),
+        lambda k, im: A.gaussian_noise(k, im, std=0.03, p=0.2),
+        lambda k, im: A.random_perspective(k, im, 0.15, p=0.3),
+    ]
+
+
+def light_chain() -> Chain:
+    return [
+        partial(A.random_hflip, p=0.5),
+        lambda k, im: A.random_rotation(k, im, 10.0, p=0.5),
+        lambda k, im: A.color_jitter(k, im, 0.2, 0.2, 0.2, 0.05, p=0.5),
+        lambda k, im: A.gaussian_blur(k, im, 3, (0.1, 1.0), p=0.3),
+    ]
+
+
+CHAINS = {"heavy": heavy_chain, "medium": medium_chain, "light": light_chain}
+
+
+def severity_for_copy(aug_idx: int, num_augmentations: int) -> str:
+    """First third heavy, middle third medium, rest light
+    (augment_data.py:188-194)."""
+    if aug_idx < num_augmentations // 3:
+        return "heavy"
+    if aug_idx < 2 * num_augmentations // 3:
+        return "medium"
+    return "light"
+
+
+def differential_plan(live_augmentations: int = 8,
+                      spoof_augmentations: int = 2):
+    """[(class_name, copy_index, severity), ...] for the full differential
+    fan-out (live x8 / spoof x2, augment_data.py:33-34, 344-358)."""
+    plan = []
+    for cls, n in (("live", live_augmentations),
+                   ("spoof", spoof_augmentations)):
+        for i in range(n):
+            plan.append((cls, i, severity_for_copy(i, n)))
+    return plan
+
+
+def train_time_chain(resize_to: int = 256, crop_size: int = 224,
+                     hflip_prob: float = 0.5,
+                     color_jitter=(0.2, 0.2, 0.2, 0.1),
+                     rotation_deg: float = 10.0,
+                     random_erase_prob: float = 0.25) -> Chain:
+    """Per-batch training augmentation (train_advanced.py:166-177):
+    RandomCrop(224) <- input already resized to 256 by the data layer ->
+    HFlip -> ColorJitter -> Rotation -> [normalize happens after] ->
+    RandomErasing.
+
+    Note: erasing runs here pre-normalization with value 0 (black); the
+    reference erases post-normalization (zero in normalized space).  The
+    erased patch differs by the channel mean — a documented deviation.
+    """
+    b, c, s, h = color_jitter
+    return [
+        lambda k, im: A.random_crop(k, im, crop_size),
+        partial(A.random_hflip, p=hflip_prob),
+        lambda k, im: A.color_jitter(k, im, b, c, s, h, p=1.0),
+        lambda k, im: A.random_rotation(k, im, rotation_deg, p=1.0),
+        lambda k, im: A.random_erasing(k, im, p=random_erase_prob),
+    ]
+
+
+def make_batch_augmenter(level_or_chain, jit: bool = True):
+    """Compile a chain into fn(key, batch[B,H,W,C]) -> batch."""
+    chain = (CHAINS[level_or_chain]() if isinstance(level_or_chain, str)
+             else level_or_chain)
+
+    def run(key, batch):
+        return A.apply_chain(key, batch, chain)
+
+    return jax.jit(run) if jit else run

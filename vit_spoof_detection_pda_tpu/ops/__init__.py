@@ -17,4 +17,4 @@
                optional preprocessing stage, Pallas-accelerated on TPU).
 """
 
-from . import image, losses, warp  # noqa: F401
+from . import augment, image, losses, warp  # noqa: F401

@@ -1,0 +1,350 @@
+"""Stochastic per-sample augmentation ops.
+
+The TPU-native replacement for the reference's two augmentation stacks:
+
+- the offline Kornia GPU pipelines (reference augment_data.py:51-107 —
+  heavy/medium/light tiers of HFlip, Rotation, ColorJitter, GaussianBlur,
+  GaussianNoise, Perspective, ElasticTransform, Sharpness), and
+- the torchvision train transform (train_advanced.py:166-177 — Resize 256,
+  RandomCrop 224, HFlip, ColorJitter, Rotation(10), Normalize,
+  RandomErasing).
+
+Design: every op is ``op(key, img, ...) -> img`` on a single HWC float
+image in [0,1], applying its own per-sample Bernoulli gate (Kornia
+semantics: each sample in a batch draws its own gate and parameters).
+Batching is ``jax.vmap`` over split keys — the whole chain compiles to one
+fused XLA program per batch; there is no per-image host work (the
+reference round-trips every image through CPU PIL between Kornia and
+JPEG, augment_data.py:201-207).
+
+Random-parameter semantics follow torchvision/Kornia distributions
+(not bitstreams): factors ~ U[max(0,1-b), 1+b], hue ~ U[-h, h], rotation
+angle ~ U[-deg, deg], etc. (SURVEY.md §7 hard part #4).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import warp
+from .image import IMAGENET_MEAN, IMAGENET_STD
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+
+def _gate(key, p, img, fn):
+    """Apply `fn` with probability p (per-sample Bernoulli, lax.cond so the
+    untaken branch costs nothing at trace level; both compile)."""
+    gate_key, fn_key = jax.random.split(key)
+    take = jax.random.bernoulli(gate_key, p)
+    return jax.lax.cond(take, lambda im: fn(fn_key, im), lambda im: im, img)
+
+
+def rgb_to_grayscale(img):
+    """ITU-R 601-2 luma (torchvision weights)."""
+    w = jnp.asarray([0.2989, 0.587, 0.114], img.dtype)
+    return jnp.sum(img * w, axis=-1, keepdims=True)
+
+
+def _blend(a, b, factor):
+    """torchvision blend: factor*a + (1-factor)*b, clamped to [0,1]."""
+    return jnp.clip(factor * a + (1.0 - factor) * b, 0.0, 1.0)
+
+
+# --------------------------------------------------------------------------
+# geometric ops
+# --------------------------------------------------------------------------
+
+
+def random_hflip(key, img, p: float = 0.5):
+    """K.RandomHorizontalFlip / transforms.RandomHorizontalFlip."""
+    return _gate(key, p, img, lambda k, im: im[:, ::-1, :])
+
+
+def random_rotation(key, img, degrees: float, p: float = 1.0):
+    """Rotate by angle ~ U[-degrees, degrees] about the image center,
+    bilinear, zero fill (K.RandomRotation / transforms.RandomRotation)."""
+
+    def rot(k, im):
+        angle = jax.random.uniform(k, (), minval=-degrees, maxval=degrees)
+        h, w = im.shape[0], im.shape[1]
+        m = warp.rotation_matrix(jnp.deg2rad(angle),
+                                 (h - 1) / 2.0, (w - 1) / 2.0)
+        return warp.affine_warp(im, m)
+
+    return _gate(key, p, img, rot)
+
+
+def random_crop(key, img, size: int):
+    """Uniform-offset crop to (size, size) (transforms.RandomCrop,
+    train_advanced.py:168)."""
+    h, w = img.shape[0], img.shape[1]
+    ky, kx = jax.random.split(key)
+    top = jax.random.randint(ky, (), 0, h - size + 1)
+    left = jax.random.randint(kx, (), 0, w - size + 1)
+    return jax.lax.dynamic_slice(img, (top, left, 0),
+                                 (size, size, img.shape[2]))
+
+
+def random_perspective(key, img, distortion_scale: float, p: float = 0.5):
+    """Displace the 4 corners inward by U[0, d*half] and warp
+    (K.RandomPerspective / transforms.RandomPerspective)."""
+
+    def persp(k, im):
+        h, w = im.shape[0], im.shape[1]
+        dx = distortion_scale * (w - 1) / 2.0
+        dy = distortion_scale * (h - 1) / 2.0
+        off = jax.random.uniform(k, (4, 2))
+        # dest corners stay at the frame; src corners move inward
+        dst = jnp.asarray([[0.0, 0.0], [w - 1.0, 0.0],
+                           [w - 1.0, h - 1.0], [0.0, h - 1.0]])
+        inward = jnp.asarray([[1.0, 1.0], [-1.0, 1.0],
+                              [-1.0, -1.0], [1.0, -1.0]])
+        src = dst + off * jnp.asarray([dx, dy]) * inward
+        hm = warp.homography_from_points(src, dst)   # dest -> src
+        return warp.perspective_warp(im, hm)
+
+    return _gate(key, p, img, persp)
+
+
+def elastic_transform(key, img, alpha: float = 1.0, sigma: float = 32.0,
+                      kernel_size: int = 63, p: float = 1.0):
+    """Smoothed random displacement field (K.RandomElasticTransform
+    defaults: kernel 63, sigma 32, alpha 1; displacement is in normalized
+    [-1,1] grid units, so alpha scales by half the image size in pixels)."""
+
+    def elastic(k, im):
+        h, w = im.shape[0], im.shape[1]
+        kx, ky = jax.random.split(k)
+        nx = jax.random.uniform(kx, (h, w), minval=-1.0, maxval=1.0)
+        ny = jax.random.uniform(ky, (h, w), minval=-1.0, maxval=1.0)
+        kern = _gaussian_kernel1d(kernel_size, sigma, img.dtype)
+        dx = _separable_blur2d(nx[..., None], kern)[..., 0] * alpha * (w / 2.0)
+        dy = _separable_blur2d(ny[..., None], kern)[..., 0] * alpha * (h / 2.0)
+        return warp.displacement_warp(im, dy, dx)
+
+    return _gate(key, p, img, elastic)
+
+
+# --------------------------------------------------------------------------
+# photometric ops
+# --------------------------------------------------------------------------
+
+
+def adjust_brightness(img, factor):
+    return jnp.clip(img * factor, 0.0, 1.0)
+
+
+def adjust_contrast(img, factor):
+    mean = jnp.mean(rgb_to_grayscale(img))
+    return _blend(img, mean, factor)
+
+
+def adjust_saturation(img, factor):
+    return _blend(img, rgb_to_grayscale(img), factor)
+
+
+def adjust_hue(img, delta):
+    """Shift hue by delta (fraction of a turn, torchvision range ±0.5)
+    via RGB->HSV->RGB."""
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    maxc = jnp.max(img, axis=-1)
+    minc = jnp.min(img, axis=-1)
+    v = maxc
+    c = maxc - minc
+    s = jnp.where(maxc > 0, c / jnp.maximum(maxc, 1e-8), 0.0)
+    safe_c = jnp.maximum(c, 1e-8)
+    rc = (maxc - r) / safe_c
+    gc = (maxc - g) / safe_c
+    bc = (maxc - b) / safe_c
+    hue = jnp.where(r == maxc, bc - gc,
+                    jnp.where(g == maxc, 2.0 + rc - bc, 4.0 + gc - rc))
+    hue = (hue / 6.0) % 1.0
+    hue = jnp.where(c > 0, hue, 0.0)
+
+    hue = (hue + delta) % 1.0
+
+    i = jnp.floor(hue * 6.0)
+    f = hue * 6.0 - i
+    pp = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    r2 = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                    [v, q, pp, pp, t, v])
+    g2 = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                    [t, v, v, q, pp, pp])
+    b2 = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                    [pp, pp, t, v, v, q])
+    return jnp.stack([r2, g2, b2], axis=-1)
+
+
+def color_jitter(key, img, brightness: float = 0.0, contrast: float = 0.0,
+                 saturation: float = 0.0, hue: float = 0.0, p: float = 1.0):
+    """torchvision/Kornia ColorJitter: per-sample factors
+    b,c,s ~ U[max(0,1-x), 1+x], hue ~ U[-h, h], applied in a RANDOM
+    per-sample order (torchvision permutes the four ops)."""
+
+    def jitter(k, im):
+        kb, kc, ks, kh, korder = jax.random.split(k, 5)
+        fb = jax.random.uniform(kb, (), minval=max(0.0, 1 - brightness),
+                                maxval=1 + brightness)
+        fc = jax.random.uniform(kc, (), minval=max(0.0, 1 - contrast),
+                                maxval=1 + contrast)
+        fs = jax.random.uniform(ks, (), minval=max(0.0, 1 - saturation),
+                                maxval=1 + saturation)
+        fh = jax.random.uniform(kh, (), minval=-hue, maxval=hue)
+
+        branches = [
+            lambda im_: adjust_brightness(im_, fb),
+            lambda im_: adjust_contrast(im_, fc),
+            lambda im_: adjust_saturation(im_, fs),
+            lambda im_: adjust_hue(im_, fh),
+        ]
+        order = jax.random.permutation(korder, 4)
+
+        def body(i, im_):
+            return jax.lax.switch(order[i], branches, im_)
+
+        return jax.lax.fori_loop(0, 4, body, im)
+
+    return _gate(key, p, img, jitter)
+
+
+def _gaussian_kernel1d(size: int, sigma, dtype=jnp.float32):
+    x = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    return (k / jnp.sum(k)).astype(dtype)
+
+
+def _separable_blur2d(img, kernel1d):
+    """Depthwise separable blur on HWC with reflect padding (torchvision
+    gaussian_blur / Kornia default border = reflect-101).  Two depthwise
+    1D convs — the kernel is symmetric so correlation == convolution."""
+    ksz = kernel1d.shape[0]
+    pad = ksz // 2
+    c = img.shape[-1]
+    x = jnp.pad(img, ((pad, pad), (pad, pad), (0, 0)), mode="reflect")
+    x = x[None].transpose(0, 3, 1, 2)                       # NCHW
+    kv = jnp.tile(kernel1d.reshape(1, 1, ksz, 1), (c, 1, 1, 1))
+    kh = jnp.tile(kernel1d.reshape(1, 1, 1, ksz), (c, 1, 1, 1))
+    x = jax.lax.conv_general_dilated(x, kv, (1, 1), "VALID",
+                                     feature_group_count=c)
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID",
+                                     feature_group_count=c)
+    return x[0].transpose(1, 2, 0)
+
+
+def gaussian_blur(key, img, kernel_size: int, sigma_range: Tuple[float, float],
+                  p: float = 1.0):
+    """Separable Gaussian blur with sigma ~ U[lo, hi]
+    (K.RandomGaussianBlur)."""
+
+    def blur(k, im):
+        sigma = jax.random.uniform(k, (), minval=sigma_range[0],
+                                   maxval=sigma_range[1])
+        kern = _gaussian_kernel1d(kernel_size, sigma, im.dtype)
+        return _separable_blur2d(im, kern)
+
+    return _gate(key, p, img, blur)
+
+
+def gaussian_noise(key, img, std: float = 0.05, mean: float = 0.0,
+                   p: float = 1.0):
+    """Additive Gaussian noise (K.RandomGaussianNoise — no clamp; the
+    writeback/normalize stage clamps)."""
+
+    def noise(k, im):
+        return im + mean + std * jax.random.normal(k, im.shape, im.dtype)
+
+    return _gate(key, p, img, noise)
+
+
+def random_sharpness(key, img, sharpness: float = 2.0, p: float = 1.0):
+    """Blend with a fixed 3x3 smoothing kernel, factor ~ U[0, sharpness]
+    (K.RandomSharpness; torchvision adjust_sharpness kernel
+    [[1,1,1],[1,5,1],[1,1,1]]/13, border pixels kept from the input)."""
+
+    def sharp(k, im):
+        factor = jax.random.uniform(k, (), minval=0.0, maxval=sharpness)
+        kern = jnp.asarray([[1.0, 1.0, 1.0], [1.0, 5.0, 1.0],
+                            [1.0, 1.0, 1.0]], im.dtype) / 13.0
+        x = jnp.pad(im, ((1, 1), (1, 1), (0, 0)), mode="edge")
+        smoothed = jax.lax.conv_general_dilated(
+            x[None].transpose(0, 3, 1, 2),
+            jnp.tile(kern[None, None], (im.shape[2], 1, 1, 1)),
+            window_strides=(1, 1), padding="VALID",
+            feature_group_count=im.shape[2],
+        )[0].transpose(1, 2, 0)
+        out = _blend(im, smoothed, factor)
+        # torchvision keeps the 1-pixel border unchanged
+        h, w = im.shape[0], im.shape[1]
+        ys = jnp.arange(h)[:, None, None]
+        xs = jnp.arange(w)[None, :, None]
+        border = (ys == 0) | (ys == h - 1) | (xs == 0) | (xs == w - 1)
+        return jnp.where(border, im, out)
+
+    return _gate(key, p, img, sharp)
+
+
+def random_erasing(key, img, p: float = 0.25,
+                   scale: Tuple[float, float] = (0.02, 0.33),
+                   ratio: Tuple[float, float] = (0.3, 3.3),
+                   value: float = 0.0):
+    """Erase a random rectangle (transforms.RandomErasing,
+    train_advanced.py:176).  Single-draw variant: area and aspect are
+    sampled once and the rectangle is clamped to fit (torchvision retries
+    up to 10x then gives up; distributionally close, never a no-op)."""
+
+    def erase(k, im):
+        h, w = im.shape[0], im.shape[1]
+        ka, kr, ky, kx = jax.random.split(k, 4)
+        area = h * w * jax.random.uniform(ka, (), minval=scale[0],
+                                          maxval=scale[1])
+        log_ratio = jax.random.uniform(
+            kr, (), minval=math.log(ratio[0]), maxval=math.log(ratio[1]))
+        r = jnp.exp(log_ratio)
+        eh = jnp.clip(jnp.round(jnp.sqrt(area * r)), 1, h).astype(jnp.int32)
+        ew = jnp.clip(jnp.round(jnp.sqrt(area / r)), 1, w).astype(jnp.int32)
+        top = jax.random.randint(ky, (), 0, h)
+        left = jax.random.randint(kx, (), 0, w)
+        top = jnp.minimum(top, h - eh)
+        left = jnp.minimum(left, w - ew)
+        ys = jnp.arange(h)[:, None, None]
+        xs = jnp.arange(w)[None, :, None]
+        mask = ((ys >= top) & (ys < top + eh) &
+                (xs >= left) & (xs < left + ew))
+        return jnp.where(mask, value, im)
+
+    return _gate(key, p, img, erase)
+
+
+# --------------------------------------------------------------------------
+# batching
+# --------------------------------------------------------------------------
+
+
+def batched(op, *static_args, **static_kwargs):
+    """Lift a per-sample op to a batch: op(keys[B], imgs[B,H,W,C])."""
+    return jax.vmap(lambda k, im: op(k, im, *static_args, **static_kwargs))
+
+
+def apply_chain(key, batch, chain: Sequence):
+    """Apply a list of per-sample closures fn(key, img) to a batch with
+    independent per-sample, per-op keys; one compiled program."""
+    n = batch.shape[0]
+
+    def per_sample(k, img):
+        for i, fn in enumerate(chain):
+            img = fn(jax.random.fold_in(k, i), img)
+        return img
+
+    keys = jax.random.split(key, n)
+    return jax.vmap(per_sample)(keys, batch)
