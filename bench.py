@@ -1,0 +1,71 @@
+"""Headline benchmark: ViT-B/16 anti-spoofing inference throughput on one
+chip, compiled steady state with on-device preprocessing.
+
+Baseline: the reference's single-image latency benchmark measured 184.16
+FPS for the fine-tuned ViT on an RTX A4500 including CPU preprocessing
+(reference results/inference_time_benchmark.json, README.md:187;
+additional_analysis.py:184-315).  The BASELINE.md north star is >10x that
+(>1841 img/s/chip).
+
+Protocol here: batch-128 uint8 input -> on-device normalize -> bf16
+ViT-B/16 + head -> softmax scores, median over timed iterations after
+warmup.  Prints ONE JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_FPS = 184.16
+BATCH = 128
+WARMUP = 3
+ITERS = 20
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from vit_spoof_detection_pda_tpu.models.vit import ViTAntiSpoof
+    from vit_spoof_detection_pda_tpu.ops import image as I
+
+    module = ViTAntiSpoof(dtype=jnp.bfloat16)
+    variables = module.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 224, 224, 3), jnp.float32))
+
+    @jax.jit
+    def infer(params, batch_u8):
+        x = I.normalize(I.to_float(batch_u8))
+        logits = module.apply({"params": params}, x)
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 1]
+
+    rng = np.random.default_rng(0)
+    batch = jnp.asarray(rng.integers(0, 256, (BATCH, 224, 224, 3),
+                                     dtype=np.uint8))
+    params = variables["params"]
+
+    # block_until_ready is unreliable on the experimental axon platform —
+    # force a host fetch to bound each measurement.
+    for _ in range(WARMUP):
+        np.asarray(infer(params, batch))
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [infer(params, batch) for _ in range(ITERS)]
+        np.asarray(outs[-1])
+        times.append((time.perf_counter() - t0) / ITERS)
+
+    med = float(np.median(times))
+    fps = BATCH / med
+    print(json.dumps({
+        "metric": "vit_b16_infer_img_per_s_per_chip",
+        "value": round(fps, 2),
+        "unit": "img/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,159 @@
+"""Evaluation harness: artifact contracts on synthetic data + golden
+replay of the reference's per-model summaries through the full writer."""
+
+import csv
+import json
+
+import numpy as np
+import pytest
+
+from flax import linen as nn
+import jax.numpy as jnp
+
+from vit_spoof_detection_pda_tpu.data import scan_test
+from vit_spoof_detection_pda_tpu.data.manifest import Record
+from vit_spoof_detection_pda_tpu.eval import (
+    run_inference, run_single_model_eval)
+from vit_spoof_detection_pda_tpu.eval.harness import (
+    evaluate_scores, run_cross_model_eval, save_model_results)
+
+from util_synthetic import make_subject_tree
+
+
+class BrightnessNet(nn.Module):
+    """Deterministic 'model': logit_live proportional to brightness —
+    classifies the synthetic dataset perfectly."""
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        _ = self.param("dummy", nn.initializers.zeros, (1,))
+        # x arrives ImageNet-normalized; brightness ~ mean channel value
+        m = jnp.mean(x, axis=(1, 2, 3))
+        return jnp.stack([-5 * m, 5 * m], axis=-1)
+
+
+def test_run_inference_alignment(tmp_path):
+    make_subject_tree(tmp_path, subjects=2, per_class=4, size=32)
+    records = scan_test(str(tmp_path))
+    mod = BrightnessNet()
+    variables = {"params": {"dummy": jnp.zeros((1,))}}
+    out = run_inference(mod, variables, records, batch_size=5, img_size=32)
+    assert out["prob1"].shape == (16,)
+    # brightness model: live (bright) scores above spoof
+    live = out["prob1"][out["labels"] == 1]
+    spoof = out["prob1"][out["labels"] == 0]
+    assert live.min() > spoof.max()
+
+
+def test_single_model_eval_artifacts(tmp_path):
+    data_dir = tmp_path / "data"
+    make_subject_tree(data_dir, subjects=2, per_class=4, size=32)
+    records = scan_test(str(data_dir))
+    mod = BrightnessNet()
+    variables = {"params": {"dummy": jnp.zeros((1,))}}
+    metrics, paths = run_single_model_eval(
+        mod, variables, records, output_dir=str(tmp_path / "out"),
+        batch_size=8, img_size=32, checkpoint_name="test.pth")
+    assert metrics["accuracy"] == 1.0
+    assert metrics["auc"] == 1.0
+    for key in ("metrics", "per_image", "cm_csv", "cm_png", "roc_png",
+                "per_subject", "summary"):
+        assert paths[key].exists(), key
+    # per-image CSV schema
+    with open(paths["per_image"]) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 16
+    assert set(rows[0]) >= {"image_path", "image_name", "subject_id",
+                            "true_label", "predicted_label",
+                            "probability_live", "probability_spoof",
+                            "correct"}
+    # per-subject groups by the 2 subjects
+    with open(paths["per_subject"]) as f:
+        subj_rows = list(csv.DictReader(f))
+    assert len(subj_rows) == 2
+    assert "FACE ANTI-SPOOFING TEST REPORT" in paths["summary"].read_text()
+
+
+def test_cross_model_eval_placeholder_only(tmp_path):
+    data_dir = tmp_path / "data"
+    make_subject_tree(data_dir, subjects=1, per_class=3, size=32)
+    records = scan_test(str(data_dir))
+    results = run_cross_model_eval(
+        records, output_dir=str(tmp_path / "results"),
+        model_names=["SigNet_F"], batch_size=4, img_size=224)
+    assert "SigNet_F" in results
+    mdir = tmp_path / "results" / "SigNet_F"
+    for fname in ("per_image_predictions.csv", "roc_curve_data.csv",
+                  "threshold_analysis.csv", "confusion_matrices.json",
+                  "evaluation_summary.json", "evaluation_report.txt"):
+        assert (mdir / fname).exists(), fname
+    for fname in ("model_comparison.csv", "model_comparison.json",
+                  "comparison_report.txt"):
+        assert (tmp_path / "results" / fname).exists(), fname
+    s = json.load(open(mdir / "evaluation_summary.json"))
+    assert s["total_samples"] == 6
+    assert set(s["operating_points"]) == {
+        "threshold_0.5", "threshold_0.7", "eer_point"}
+    # threshold_analysis has 9 grid rows + EER row
+    with open(mdir / "threshold_analysis.csv") as f:
+        assert len(list(csv.DictReader(f))) == 10
+
+
+def test_error_isolation(tmp_path, monkeypatch):
+    """One broken model must not kill the sweep (reference
+    evaluate_all_models.py:472-502)."""
+    data_dir = tmp_path / "data"
+    make_subject_tree(data_dir, subjects=1, per_class=2, size=32)
+    records = scan_test(str(data_dir))
+    import vit_spoof_detection_pda_tpu.eval.harness as H
+
+    real_build = H.build_model
+
+    def flaky_build(name, **kw):
+        if name == "SigNet_F":
+            raise RuntimeError("boom")
+        return real_build(name, **kw)
+
+    monkeypatch.setattr(H, "build_model", flaky_build)
+    results = run_cross_model_eval(
+        records, output_dir=str(tmp_path / "results"),
+        model_names=["SigNet_F"], batch_size=4)
+    assert results == {}
+
+
+MODELS = ["Custom_ViT_FineTuned", "ResNet50_Pretrained"]
+
+
+@pytest.mark.parametrize("model", MODELS)
+def test_golden_replay_full_writer(reference_root, tmp_path, model):
+    """Replay the reference's raw scores through evaluate_scores +
+    save_model_results; the resulting summary JSON must match the
+    checked-in one to 1e-12."""
+    path = reference_root / "results" / model / "per_image_predictions.csv"
+    labels, scores, paths = [], [], []
+    with open(path) as f:
+        for row in csv.DictReader(f):
+            labels.append(int(row["true_label"]))
+            scores.append(np.float32(row["spoof_score"]))
+            paths.append(row["image_path"])
+    labels = np.array(labels)
+    scores = np.array(scores, dtype=np.float64)
+    records = [Record(path=p, label=1 - l) for p, l in zip(paths, labels)]
+
+    ev = evaluate_scores(labels, scores)
+    summary = save_model_results(model, records, labels, scores, ev,
+                                 tmp_path)
+    want = json.load(open(
+        reference_root / "results" / model / "evaluation_summary.json"))
+    assert summary["roc_auc"] == pytest.approx(want["roc_auc"], abs=1e-12)
+    assert summary["eer"] == pytest.approx(want["eer"], abs=1e-12)
+    assert summary["eer_threshold"] == pytest.approx(
+        want["eer_threshold"], abs=1e-12)
+    for key in ("threshold_0.5", "threshold_0.7", "eer_point"):
+        for fld in ("accuracy", "precision", "recall", "f1_score",
+                    "apcer", "bpcer", "tp", "tn", "fp", "fn"):
+            assert summary["operating_points"][key][fld] == pytest.approx(
+                want["operating_points"][key][fld], abs=1e-9), (key, fld)
+    for fld in ("mean", "std", "min", "max"):
+        assert summary["score_statistics"][fld] == pytest.approx(
+            want["score_statistics"][fld], abs=1e-6)

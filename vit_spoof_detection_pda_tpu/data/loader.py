@@ -1,0 +1,178 @@
+"""Host decode + prefetch pipeline.
+
+The reference feeds its GPU from 28 forked DataLoader workers doing PIL
+decode + full CPU transform chains (train_advanced.py:554-573).  Here the
+host does the MINIMUM — JPEG/PNG decode and a fixed-size resize — and
+everything else (augmentation, normalization) runs on device.  A thread
+pool decodes ahead of the device through a bounded queue, and batches can
+be double-buffered onto the device (`prefetch_to_device`).
+
+Behavior parity: corrupt files fall back to a black image with a logged
+warning instead of crashing the epoch (reference train_advanced.py:131-134,
+test.py:145-149).
+
+Multi-host DP: `shard_for_host` slices the record list by
+``jax.process_index()`` so each host decodes only its share.
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from .manifest import Record
+
+log = logging.getLogger(__name__)
+
+
+def decode_image(path: str, size: int, resize: str = "exact") -> np.ndarray:
+    """Decode to uint8 RGB and resize.
+
+    resize="exact": (size, size) — the eval transform's Resize((S,S))
+    (test.py:158).  resize="shorter": shorter side -> size, keeping aspect
+    (the train transform's Resize(256) before RandomCrop,
+    train_advanced.py:167) then center-crop the long side to `size` x
+    `size`... no: for train we return (size, size) after shorter-side
+    resize + center crop of the longer side to keep static shapes; the
+    on-device RandomCrop(224) then crops within it.
+
+    Black-image fallback on any decode failure.
+    """
+    from PIL import Image
+    try:
+        with Image.open(path) as im:
+            im = im.convert("RGB")
+            if resize == "exact":
+                im = im.resize((size, size), Image.BILINEAR)
+            else:
+                w, h = im.size
+                if w <= h:
+                    nw, nh = size, max(1, round(h * size / w))
+                else:
+                    nw, nh = max(1, round(w * size / h)), size
+                im = im.resize((nw, nh), Image.BILINEAR)
+                left = (nw - size) // 2
+                top = (nh - size) // 2
+                im = im.crop((left, top, left + size, top + size))
+            return np.asarray(im, dtype=np.uint8)
+    except Exception as e:                       # noqa: BLE001
+        log.warning("decode failed for %s (%s) — black fallback", path, e)
+        return np.zeros((size, size, 3), np.uint8)
+
+
+def shard_for_host(records: Sequence[Record]) -> List[Record]:
+    """Slice the dataset for this host in a multi-host run."""
+    import jax
+    n_proc = jax.process_count()
+    if n_proc == 1:
+        return list(records)
+    idx = jax.process_index()
+    return list(records)[idx::n_proc]
+
+
+class DataPipeline:
+    """Threaded decode pipeline yielding uint8 batches.
+
+    One epoch = one call to `batches()`.  Shuffling is seeded per epoch
+    (deterministic and resumable).  `drop_last` mirrors the reference's
+    train loader (train_advanced.py:561).
+    """
+
+    def __init__(self, records: Sequence[Record], *, batch_size: int,
+                 img_size: int = 224, resize: str = "exact",
+                 num_workers: int = 8, prefetch_depth: int = 4,
+                 shuffle: bool = False, drop_last: bool = False,
+                 seed: int = 42):
+        self.records = list(records)
+        self.batch_size = batch_size
+        self.img_size = img_size
+        self.resize = resize
+        self.num_workers = max(1, num_workers)
+        self.prefetch_depth = prefetch_depth
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+
+    @property
+    def steps_per_epoch(self) -> int:
+        n = len(self.records)
+        return n // self.batch_size if self.drop_last else (
+            (n + self.batch_size - 1) // self.batch_size)
+
+    def _epoch_order(self, epoch: int) -> np.ndarray:
+        idx = np.arange(len(self.records))
+        if self.shuffle:
+            np.random.default_rng(self.seed + epoch).shuffle(idx)
+        return idx
+
+    def batches(self, epoch: int = 0) -> Iterator[dict]:
+        """Yield {"image": uint8 [B,S,S,3], "label": int32 [B],
+        "index": int64 [B]} with background decoding."""
+        order = self._epoch_order(epoch)
+        n = len(order)
+        limit = (n // self.batch_size) * self.batch_size if self.drop_last \
+            else n
+        starts = list(range(0, limit, self.batch_size))
+        if not starts:
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
+        stop = threading.Event()
+
+        def producer():
+            import concurrent.futures as futures
+            with futures.ThreadPoolExecutor(self.num_workers) as pool:
+                for s in starts:
+                    if stop.is_set():
+                        break
+                    idxs = order[s:s + self.batch_size]
+                    imgs = list(pool.map(
+                        lambda i: decode_image(
+                            self.records[i].path, self.img_size, self.resize),
+                        idxs))
+                    labels = np.asarray(
+                        [self.records[i].label for i in idxs], np.int32)
+                    q.put({"image": np.stack(imgs),
+                           "label": labels,
+                           "index": idxs.astype(np.int64)})
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()
+            # drain so the producer can exit
+            while t.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join(timeout=5)
+
+
+def prefetch_to_device(iterator, *, device_put_fn=None, depth: int = 2):
+    """Keep `depth` batches in flight on the device (double buffering) —
+    the TPU replacement for pin_memory + non_blocking H2D copies
+    (train_advanced.py:323-324)."""
+    import collections
+
+    import jax
+
+    put = device_put_fn or jax.device_put
+    buf = collections.deque()
+    for item in iterator:
+        buf.append(put(item))
+        if len(buf) >= depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()

@@ -1,0 +1,70 @@
+"""Batched compiled inference over a dataset.
+
+Replaces the reference inference loops (test.py:191-220,
+evaluate_all_models.py:132-149): host threads decode, the device runs ONE
+jitted program per batch (normalize -> model -> softmax), and only the
+final score vector is fetched.  The tail batch is padded to the fixed
+batch size so a single compilation serves the whole pass (no dynamic
+shapes).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.loader import DataPipeline
+from ..data.manifest import Record
+from ..ops import image as I
+
+log = logging.getLogger(__name__)
+
+
+def make_infer_fn(module, *, has_batch_stats: bool = False,
+                  normalize: bool = True):
+    """One fused program: uint8 -> float -> ImageNet-normalize -> model ->
+    softmax scores."""
+
+    @jax.jit
+    def infer(variables, batch_u8):
+        x = I.to_float(batch_u8)
+        if normalize:
+            x = I.normalize(x)
+        logits = module.apply(variables, x)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        return {"prob1": probs[:, 1], "pred": jnp.argmax(logits, axis=-1)}
+
+    return infer
+
+
+def run_inference(module, variables, records: Sequence[Record], *,
+                  batch_size: int = 128, img_size: int = 224,
+                  num_workers: int = 8, normalize: bool = True):
+    """Returns dict of per-image arrays aligned with `records`:
+    labels (canonical 1=live), prob1 (= softmax column 1), pred."""
+    pipe = DataPipeline(records, batch_size=batch_size, img_size=img_size,
+                        resize="exact", num_workers=num_workers,
+                        shuffle=False, drop_last=False)
+    infer = make_infer_fn(module, normalize=normalize)
+
+    n = len(records)
+    prob1 = np.zeros(n, np.float32)
+    pred = np.zeros(n, np.int32)
+    labels = np.asarray([r.label for r in records], np.int32)
+
+    for batch in pipe.batches():
+        imgs = batch["image"]
+        idx = batch["index"]
+        b = imgs.shape[0]
+        if b < batch_size:   # pad tail to the compiled shape
+            padp = np.zeros((batch_size - b,) + imgs.shape[1:], imgs.dtype)
+            imgs = np.concatenate([imgs, padp])
+        out = infer(variables, jnp.asarray(imgs))
+        prob1[idx] = np.asarray(out["prob1"])[:b]
+        pred[idx] = np.asarray(out["pred"])[:b]
+
+    return {"labels": labels, "prob1": prob1, "pred": pred}
