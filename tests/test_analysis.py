@@ -1,0 +1,135 @@
+"""Analysis suite vs the reference's own checked-in results/ directory
+(golden replay) plus smoke tests of latency benchmarking and figures."""
+
+import json
+import shutil
+
+import numpy as np
+import pytest
+
+from vit_spoof_detection_pda_tpu.analysis import (
+    analyze_score_distributions, extract_failed_cases,
+    generate_summary_statistics)
+
+
+@pytest.fixture()
+def results_tree(reference_root, tmp_path):
+    """Copy the reference's CSV/JSON result artifacts (not images) into a
+    writable tree."""
+    src = reference_root / "results"
+    dst = tmp_path / "results"
+    dst.mkdir()
+    for mdir in src.iterdir():
+        if not mdir.is_dir() or mdir.name in ("archived",
+                                              "failed_cases_analysis"):
+            continue
+        (dst / mdir.name).mkdir()
+        for f in mdir.glob("*.csv"):
+            shutil.copy2(f, dst / mdir.name / f.name)
+        for f in mdir.glob("*.json"):
+            shutil.copy2(f, dst / mdir.name / f.name)
+    shutil.copy2(src / "model_comparison.csv", dst / "model_comparison.csv")
+    return dst
+
+
+def test_distributions_golden_replay(reference_root, results_tree):
+    got = analyze_score_distributions(str(results_tree))
+    want = json.load(open(
+        reference_root / "results" / "score_distribution_analysis.json"))
+    assert set(got) == set(want)
+    for model in want:
+        for cls in ("live_scores", "spoof_scores"):
+            for k, v in want[model][cls].items():
+                assert got[model][cls][k] == pytest.approx(v, abs=1e-6), (
+                    model, cls, k)
+        for k, v in want[model]["separation_metrics"].items():
+            assert got[model]["separation_metrics"][k] == pytest.approx(
+                v, abs=1e-5), (model, k)
+    # artifacts written
+    assert (results_tree / "score_distribution_analysis.json").exists()
+    assert (results_tree / "score_separation_comparison.csv").exists()
+    assert (results_tree / "Custom_ViT_FineTuned" /
+            "score_distributions.csv").exists()
+
+
+def test_failed_cases_golden_counts(reference_root, results_tree):
+    got = extract_failed_cases(str(results_tree), top_n=20)
+    want = json.load(open(reference_root / "results" /
+                          "failed_cases_analysis" /
+                          "failed_cases_summary.json"))
+    for model in want:
+        assert got[model]["total_fp"] == want[model]["total_fp"], model
+        assert got[model]["total_fn"] == want[model]["total_fn"], model
+        # same worst-case scores in the same order
+        w_scores = [c["predicted_score"]
+                    for c in want[model]["false_positives"]]
+        g_scores = [c["predicted_score"]
+                    for c in got[model]["false_positives"]][:len(w_scores)]
+        np.testing.assert_allclose(g_scores, w_scores, atol=1e-6)
+    assert (results_tree / "failed_cases_analysis" /
+            "failed_cases_summary.json").exists()
+
+
+def test_summary_golden(reference_root, results_tree):
+    got = generate_summary_statistics(str(results_tree))
+    want = json.load(open(
+        reference_root / "results" / "final_summary.json"))
+    assert got["best_performers"]["highest_auc"]["model"] == \
+        want["best_performers"]["highest_auc"]["model"]
+    assert got["best_performers"]["highest_auc"]["value"] == pytest.approx(
+        want["best_performers"]["highest_auc"]["value"], abs=1e-9)
+    assert got["best_performers"]["lowest_eer"]["model"] == \
+        want["best_performers"]["lowest_eer"]["model"]
+    assert got["performance_ranges"]["auc"] == pytest.approx(
+        want["performance_ranges"]["auc"], abs=1e-9)
+
+
+def test_latency_single_image(tmp_path):
+    from flax import linen as nn
+    import jax.numpy as jnp
+
+    from vit_spoof_detection_pda_tpu.analysis.latency import (
+        benchmark_models, benchmark_throughput)
+    from vit_spoof_detection_pda_tpu.data import scan_test
+    from util_synthetic import make_subject_tree
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x, *, train=False):
+            return nn.Dense(2)(jnp.mean(x, axis=(1, 2)))
+
+    make_subject_tree(tmp_path / "data", subjects=2, per_class=4, size=32)
+    records = scan_test(str(tmp_path / "data"))
+    import jax
+    net = Net()
+    variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+
+    res = benchmark_models(
+        {"TinyNet": lambda: (net, variables)}, records,
+        output_dir=str(tmp_path / "out"), n_images=8, batch_size=8)
+    r = res["TinyNet"]
+    for key in ("mean_time_ms", "std_time_ms", "min_time_ms",
+                "max_time_ms", "median_time_ms", "fps", "total_samples"):
+        assert key in r
+    assert r["total_samples"] == 8
+    assert r["throughput"]["images_per_second"] > 0
+    assert (tmp_path / "out" / "inference_time_benchmark.json").exists()
+    assert (tmp_path / "out" / "inference_time_comparison.csv").exists()
+
+
+def test_figures_generate_from_reference_tree(results_tree, tmp_path):
+    from vit_spoof_detection_pda_tpu.analysis.figures import (
+        generate_all_figures)
+
+    sample = np.random.default_rng(0).random((32, 32, 3)).astype(np.float32)
+    figs = generate_all_figures(str(results_tree), str(tmp_path / "figs"),
+                                sample_image=sample)
+    made = [k for k, v in figs.items()
+            if v is not None and not str(v).startswith("ERROR")]
+    # everything except the misclassified grids (no images copied) renders
+    for key in ("roc_comparison", "apcer_bpcer", "score_histograms",
+                "confusion_matrices", "finetuning_impact",
+                "threshold_table", "violin", "overlaid_histograms",
+                "augmentation_grid", "augmentation_2x2"):
+        assert key in made, (key, figs.get(key))
+        assert (tmp_path / "figs").glob("*.png")

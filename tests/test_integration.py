@@ -1,0 +1,99 @@
+"""Full-pipeline integration (SURVEY.md §4): synthetic dataset ->
+augment CLI -> train (tiny ViT) -> checkpoint -> test CLI -> evaluate-all
+-> analyze, all through the CLI entry points on the CPU backend."""
+
+import json
+import sys
+
+import numpy as np
+import pytest
+
+from util_synthetic import make_subject_tree
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ws")
+    make_subject_tree(root / "raw", subjects=2, per_class=4, size=64)
+    make_subject_tree(root / "test", subjects=2, per_class=3, size=64)
+    return root
+
+
+def test_augment_cli(workspace):
+    from vit_spoof_detection_pda_tpu.cli.augment import main
+    total = main([
+        "--set", f'augment.input_dir="{workspace / "raw"}"',
+        "--set", f'augment.output_dir="{workspace / "aug"}"',
+        "--set", "augment.live_augmentations=2",
+        "--set", "augment.spoof_augmentations=1",
+        "--set", "augment.batch_size=8",
+        "--set", "augment.img_size=32",
+    ])
+    # live: 8 originals + 16 aug; spoof: 8 originals + 8 aug
+    assert total == 24 + 16
+    assert len(list((workspace / "aug" / "live").glob("*.jpg"))) == 24
+    assert len(list((workspace / "aug" / "spoof").glob("*.jpg"))) == 16
+
+
+def test_train_cli_tiny(workspace):
+    from vit_spoof_detection_pda_tpu.cli.train import main
+    best = main([
+        "--set", f'data.data_root="{workspace / "aug"}"',
+        "--set", "data.batch_size=8",
+        "--set", "data.eval_batch_size=8",
+        "--set", "data.img_size=32",
+        "--set", "data.num_workers=2",
+        "--set", "train_aug.resize_to=40",
+        "--set", "train_aug.crop_size=32",
+        "--set", "model.embed_dim=64",
+        "--set", "model.depth=1",
+        "--set", "model.num_heads=2",
+        "--set", "model.head_hidden=16",
+        "--set", "model.patch_size=16",
+        "--set", "optim.num_epochs=2",
+        "--set", "optim.learning_rate=3e-3",
+        "--set", f'checkpoint.save_dir="{workspace / "ckpts"}"',
+        "--set", "telemetry.log_interval=100",
+    ])
+    assert best["val_f1"] >= 0.0
+    steps = sorted(int(p.name) for p in (workspace / "ckpts").iterdir()
+                   if p.name.isdigit())
+    assert steps, "no checkpoint written"
+
+
+def test_evaluate_all_cli(workspace):
+    from vit_spoof_detection_pda_tpu.cli.evaluate_all import main
+    results = main([
+        "--set", f'data.test_root="{workspace / "test"}"',
+        "--set", f'eval.output_dir="{workspace / "results"}"',
+        "--set", "eval.batch_size=6",
+        "--models", "SigNet_F",
+    ])
+    assert "SigNet_F" in results
+    assert (workspace / "results" / "model_comparison.json").exists()
+
+
+def test_analyze_cli(workspace):
+    from vit_spoof_detection_pda_tpu.cli.analyze import main
+    out = main([
+        "--results-dir", str(workspace / "results"),
+        "--figures",
+    ])
+    assert "SigNet_F" in out["distributions"]
+    assert (workspace / "results" /
+            "score_distribution_analysis.json").exists()
+    figs = out["figures"]
+    assert any(v and not str(v).startswith("ERROR")
+               for v in figs.values()), figs
+
+
+def test_dispatcher_help(capsys):
+    from vit_spoof_detection_pda_tpu.__main__ import main as dispatch
+    old = sys.argv
+    try:
+        sys.argv = ["prog"]
+        assert dispatch() == 1
+        sys.argv = ["prog", "bogus"]
+        assert dispatch() == 1
+    finally:
+        sys.argv = old

@@ -1,0 +1,426 @@
+"""Publication-figure suite.
+
+Re-implements the reference's data_vis generators against the same
+results-directory file contracts (per_image_predictions.csv,
+roc_curve_data.csv, threshold_analysis.csv, score_distributions.csv,
+model_comparison.csv):
+
+- augmentation grid            (generate_figures.py Fig2 + 2x2 variant)
+- ROC comparison               (Fig4)
+- APCER/BPCER trade-off + EER  (Fig5/6 — note: the reference reads its
+  `frr` column as APCER and `far` as BPCER, generate_figures.py:158-161;
+  here axes are labeled from the harness's own apcer/bpcer columns)
+- score histograms             (Fig7/8)
+- confusion matrices at EER    (Fig9/10)
+- misclassified grids          (Fig11/12 + 2x2, with exclusion lists)
+- fine-tuning impact bars      (generate_additional_figures.py FigA)
+- threshold table PNG          (FigB, red highlight > 85%)
+- violin plots                 (FigC + violin_plot.py re-render)
+- overlaid histograms + Cohen's d warnings (FigD)
+
+All figures render with the Agg backend; each generator is independent
+and failure-isolated in `generate_all_figures`.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+log = logging.getLogger(__name__)
+
+MODEL_COLORS = {
+    "Custom_ViT_FineTuned": "#1f77b4",
+    "Base_ViT_Pretrained": "#ff7f0e",
+    "ResNet50_Pretrained": "#2ca02c",
+    "SigNet_F": "#d62728",
+}
+
+
+def _model_dirs(results_dir: Path):
+    return sorted(p for p in results_dir.iterdir()
+                  if p.is_dir() and p.name != "failed_cases_analysis")
+
+
+def _save(fig, out: Path, name: str):
+    out.mkdir(parents=True, exist_ok=True)
+    path = out / name
+    fig.savefig(path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    log.info("wrote %s", path)
+    return path
+
+
+# --------------------------------------------------------------------------
+
+
+def figure_augmentation_grid(sample_image: np.ndarray, output_dir: str, *,
+                             grid: str = "2x4", seed: int = 0):
+    """Original + augmented variants of one image (Fig2 / the 2x2
+    make_data_augmentation variants)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..augment import make_batch_augmenter
+
+    rows, cols = (2, 4) if grid == "2x4" else (2, 2)
+    n = rows * cols
+    aug = make_batch_augmenter("heavy")
+    batch = jnp.asarray(
+        np.stack([sample_image.astype(np.float32)] * (n - 1)))
+    outs = np.asarray(aug(jax.random.PRNGKey(seed), batch))
+
+    fig, axes = plt.subplots(rows, cols, figsize=(3 * cols, 3 * rows))
+    images = [sample_image] + list(outs)
+    titles = ["Original"] + [f"Augmented {i + 1}" for i in range(n - 1)]
+    for ax, im, t in zip(axes.ravel(), images, titles):
+        ax.imshow(np.clip(im, 0, 1))
+        ax.set_title(t, fontsize=10)
+        ax.axis("off")
+    fig.suptitle("Differential Data Augmentation", fontweight="bold")
+    return _save(fig, Path(output_dir), f"figure_augmentation_{grid}.png")
+
+
+def figure_roc_comparison(results_dir: str, output_dir: str):
+    """Overlayed ROC curves from each model's roc_curve_data.csv (Fig4)."""
+    import pandas as pd
+
+    results = Path(results_dir)
+    fig, ax = plt.subplots(figsize=(8, 7))
+    for mdir in _model_dirs(results):
+        f = mdir / "roc_curve_data.csv"
+        if not f.exists():
+            continue
+        df = pd.read_csv(f)
+        summary = json.load(open(mdir / "evaluation_summary.json"))
+        ax.plot(df["fpr"], df["tpr"], lw=2,
+                color=MODEL_COLORS.get(mdir.name),
+                label=f"{mdir.name} (AUC = {summary['roc_auc']:.4f})")
+    ax.plot([0, 1], [0, 1], "k--", lw=1, label="Random")
+    ax.set_xlabel("False Positive Rate")
+    ax.set_ylabel("True Positive Rate")
+    ax.set_title("ROC Curve Comparison", fontweight="bold")
+    ax.legend(loc="lower right", fontsize=9)
+    ax.grid(alpha=0.3)
+    return _save(fig, Path(output_dir), "figure_roc_comparison.png")
+
+
+def figure_apcer_bpcer_tradeoff(results_dir: str, output_dir: str):
+    """APCER vs BPCER over the threshold grid with the EER point starred
+    (Fig5/6)."""
+    import pandas as pd
+
+    results = Path(results_dir)
+    fig, ax = plt.subplots(figsize=(8, 7))
+    for mdir in _model_dirs(results):
+        f = mdir / "threshold_analysis.csv"
+        if not f.exists():
+            continue
+        df = pd.read_csv(f).sort_values("threshold")
+        color = MODEL_COLORS.get(mdir.name)
+        ax.plot(df["apcer"], df["bpcer"], "o-", lw=1.5, ms=4, color=color,
+                label=mdir.name)
+        summary = json.load(open(mdir / "evaluation_summary.json"))
+        eer = summary["eer"]
+        ax.plot([eer], [summary["operating_points"]["eer_point"]["bpcer"]],
+                "*", ms=16, color=color)
+    ax.plot([0, 1], [0, 1], "k:", lw=1, alpha=0.5)
+    ax.set_xlabel("APCER (Attack Presentation Classification Error Rate)")
+    ax.set_ylabel("BPCER (Bona-fide Presentation Classification Error Rate)")
+    ax.set_title("APCER / BPCER Trade-off (stars = EER points)",
+                 fontweight="bold")
+    ax.legend(fontsize=9)
+    ax.grid(alpha=0.3)
+    return _save(fig, Path(output_dir), "figure_apcer_bpcer_tradeoff.png")
+
+
+def figure_score_histograms(results_dir: str, output_dir: str):
+    """Per-model live/spoof score histograms (Fig7/8)."""
+    import pandas as pd
+
+    results = Path(results_dir)
+    dirs = [d for d in _model_dirs(results)
+            if (d / "score_distributions.csv").exists()]
+    if not dirs:
+        return None
+    n = len(dirs)
+    cols = min(2, n)
+    rows = (n + cols - 1) // cols
+    fig, axes = plt.subplots(rows, cols, figsize=(7 * cols, 5 * rows),
+                             squeeze=False)
+    for ax, mdir in zip(axes.ravel(), dirs):
+        df = pd.read_csv(mdir / "score_distributions.csv")
+        for label, color in (("live", "#2ca02c"), ("spoof", "#d62728")):
+            ax.hist(df[df["label"] == label]["score"], bins=40, alpha=0.6,
+                    color=color, label=label, density=True)
+        ax.axvline(0.5, color="k", ls="--", lw=1)
+        ax.set_title(mdir.name)
+        ax.set_xlabel("Spoof score")
+        ax.set_ylabel("Density")
+        ax.legend()
+    for ax in axes.ravel()[n:]:
+        ax.axis("off")
+    fig.suptitle("Score Distributions by Model", fontweight="bold")
+    return _save(fig, Path(output_dir), "figure_score_histograms.png")
+
+
+def figure_confusion_matrices(results_dir: str, output_dir: str,
+                              threshold_key: str = "eer_point"):
+    """Confusion matrices at the EER operating point (Fig9/10)."""
+    results = Path(results_dir)
+    dirs = [d for d in _model_dirs(results)
+            if (d / "evaluation_summary.json").exists()]
+    if not dirs:
+        return None
+    n = len(dirs)
+    cols = min(2, n)
+    rows = (n + cols - 1) // cols
+    fig, axes = plt.subplots(rows, cols, figsize=(5 * cols, 4.5 * rows),
+                             squeeze=False)
+    for ax, mdir in zip(axes.ravel(), dirs):
+        s = json.load(open(mdir / "evaluation_summary.json"))
+        m = s["operating_points"][threshold_key]
+        cm = np.array([[m["tn"], m["fp"]], [m["fn"], m["tp"]]])
+        im = ax.imshow(cm, cmap="Blues")
+        for (i, j), v in np.ndenumerate(cm):
+            ax.text(j, i, str(v), ha="center", va="center",
+                    color="white" if v > cm.max() / 2 else "black",
+                    fontsize=14)
+        ax.set_xticks([0, 1], ["Live", "Spoof"])
+        ax.set_yticks([0, 1], ["Live", "Spoof"])
+        ax.set_xlabel("Predicted")
+        ax.set_ylabel("Actual")
+        ax.set_title(f"{mdir.name}\n(EER threshold "
+                     f"{s['eer_threshold']:.3f})", fontsize=10)
+        fig.colorbar(im, ax=ax, shrink=0.7)
+    for ax in axes.ravel()[n:]:
+        ax.axis("off")
+    fig.suptitle("Confusion Matrices at EER", fontweight="bold")
+    return _save(fig, Path(output_dir), "figure_confusion_matrices_eer.png")
+
+
+def figure_misclassified_grid(results_dir: str, output_dir: str, *,
+                              model: str = "Custom_ViT_FineTuned",
+                              kind: str = "false_positives",
+                              grid: str = "2x4",
+                              exclude: Sequence[str] = ()):
+    """Worst misclassified image grid (Fig11/12 + 2x2 variant) with an
+    exclusion list (reference generate_figures.py:14-32 excludes specific
+    images from publication)."""
+    from PIL import Image
+
+    fdir = (Path(results_dir) / "failed_cases_analysis" / model / kind)
+    if not fdir.is_dir():
+        log.warning("no failed-case dir %s", fdir)
+        return None
+    rows, cols = (2, 4) if grid == "2x4" else (2, 2)
+    n = rows * cols
+    files = [f for f in sorted(fdir.iterdir())
+             if f.suffix.lower() in (".png", ".jpg", ".jpeg")
+             and not any(e in f.name for e in exclude)][:n]
+    if not files:
+        return None
+    fig, axes = plt.subplots(rows, cols, figsize=(3 * cols, 3.2 * rows))
+    for ax, f in zip(np.ravel(axes), files):
+        ax.imshow(Image.open(f))
+        score = f.name.split("score")[1].split("_")[0] \
+            if "score" in f.name else "?"
+        ax.set_title(f"score={score}", fontsize=9)
+        ax.axis("off")
+    for ax in np.ravel(axes)[len(files):]:
+        ax.axis("off")
+    label = "False Positives (live -> spoof)" \
+        if kind == "false_positives" else "False Negatives (spoof -> live)"
+    fig.suptitle(f"{model}: worst {label}", fontweight="bold")
+    return _save(fig, Path(output_dir),
+                 f"figure_misclassified_{kind}_{grid}.png")
+
+
+def figure_finetuning_impact(results_dir: str, output_dir: str):
+    """Fine-tuned vs frozen ViT AUC bars with improvement annotation
+    (FigA; the reference reports +35.5% AUC, README.md:179)."""
+    import pandas as pd
+
+    df = pd.read_csv(Path(results_dir) / "model_comparison.csv")
+    pairs = [("Base_ViT_Pretrained", "Frozen ViT"),
+             ("Custom_ViT_FineTuned", "Fine-tuned ViT")]
+    vals, names = [], []
+    for key, label in pairs:
+        row = df[df["model_name"] == key]
+        if len(row):
+            vals.append(float(row["roc_auc"].iloc[0]))
+            names.append(label)
+    if len(vals) < 2:
+        return None
+    fig, ax = plt.subplots(figsize=(6, 5))
+    bars = ax.bar(names, vals, color=["#ff7f0e", "#1f77b4"])
+    for b, v in zip(bars, vals):
+        ax.text(b.get_x() + b.get_width() / 2, v + 0.01, f"{v:.4f}",
+                ha="center", fontweight="bold")
+    if vals[0] > 0:
+        ax.annotate(f"+{(vals[1] - vals[0]) / vals[0] * 100:.1f}%",
+                    xy=(1, vals[1]), xytext=(0.5, max(vals) * 1.1),
+                    ha="center", fontsize=14, color="green",
+                    fontweight="bold",
+                    arrowprops=dict(arrowstyle="->", color="green"))
+    ax.axhline(0.5, color="k", ls=":", lw=1, label="Random (0.5)")
+    ax.set_ylabel("ROC AUC")
+    ax.set_title("Impact of Fine-tuning on ROC AUC", fontweight="bold")
+    ax.legend()
+    return _save(fig, Path(output_dir), "figure_finetuning_impact.png")
+
+
+def figure_threshold_table(results_dir: str, output_dir: str, *,
+                           model: str = "Custom_ViT_FineTuned",
+                           highlight_above: float = 0.85):
+    """Threshold-analysis table rendered as PNG with error rates > 85%
+    highlighted red (FigB)."""
+    import pandas as pd
+
+    f = Path(results_dir) / model / "threshold_analysis.csv"
+    if not f.exists():
+        return None
+    df = pd.read_csv(f)
+    show = df[["threshold", "accuracy", "f1_score", "apcer", "bpcer"]
+              ].round(4)
+    fig, ax = plt.subplots(figsize=(8, 0.4 * len(show) + 1.5))
+    ax.axis("off")
+    table = ax.table(cellText=show.values.astype(str),
+                     colLabels=[c.upper() for c in show.columns],
+                     loc="center", cellLoc="center")
+    table.auto_set_font_size(False)
+    table.set_fontsize(9)
+    for (r, c), cell in table.get_celld().items():
+        if r == 0:
+            cell.set_facecolor("#404040")
+            cell.set_text_props(color="white", fontweight="bold")
+        elif show.columns[c] in ("apcer", "bpcer") and \
+                float(show.iloc[r - 1, c]) > highlight_above:
+            cell.set_facecolor("#ffcccc")
+    ax.set_title(f"{model}: Metrics by Threshold", fontweight="bold")
+    return _save(fig, Path(output_dir),
+                 f"figure_threshold_table_{model}.png")
+
+
+def figure_violin(results_dir: str, output_dir: str):
+    """Violin plots of score distributions (FigC / violin_plot.py)."""
+    import pandas as pd
+
+    results = Path(results_dir)
+    frames = []
+    for mdir in _model_dirs(results):
+        f = mdir / "score_distributions.csv"
+        if f.exists():
+            df = pd.read_csv(f)
+            df["model"] = mdir.name
+            frames.append(df)
+    if not frames:
+        return None
+    data = pd.concat(frames)
+    fig, ax = plt.subplots(figsize=(2.8 * data["model"].nunique() + 2, 6))
+    try:
+        import seaborn as sns
+        sns.violinplot(data=data, x="model", y="score", hue="label",
+                       split=True, inner="quart", ax=ax,
+                       palette={"live": "#2ca02c", "spoof": "#d62728"})
+    except ImportError:
+        for i, (m, g) in enumerate(data.groupby("model")):
+            parts = ax.violinplot(
+                [g[g.label == "live"]["score"],
+                 g[g.label == "spoof"]["score"]],
+                positions=[i - 0.15, i + 0.15], widths=0.25)
+        ax.set_xticks(range(data["model"].nunique()),
+                      sorted(data["model"].unique()))
+    ax.axhline(0.5, color="k", ls="--", lw=1)
+    ax.set_title("Score Distributions (violin)", fontweight="bold")
+    plt.setp(ax.get_xticklabels(), rotation=15, ha="right")
+    return _save(fig, Path(output_dir), "figure_violin.png")
+
+
+def figure_overlaid_histograms(results_dir: str, output_dir: str):
+    """Overlaid live/spoof histograms annotated with Cohen's d and a
+    LOW-SEPARATION warning when |d| < 0.5 (FigD)."""
+    import pandas as pd
+
+    results = Path(results_dir)
+    dist_json = results / "score_distribution_analysis.json"
+    stats = json.load(open(dist_json)) if dist_json.exists() else {}
+    dirs = [d for d in _model_dirs(results)
+            if (d / "score_distributions.csv").exists()]
+    if not dirs:
+        return None
+    n = len(dirs)
+    cols = min(2, n)
+    rows = (n + cols - 1) // cols
+    fig, axes = plt.subplots(rows, cols, figsize=(7 * cols, 4.5 * rows),
+                             squeeze=False)
+    for ax, mdir in zip(axes.ravel(), dirs):
+        df = pd.read_csv(mdir / "score_distributions.csv")
+        for label, color in (("live", "#2ca02c"), ("spoof", "#d62728")):
+            ax.hist(df[df["label"] == label]["score"], bins=50, alpha=0.5,
+                    color=color, label=label)
+        d = (stats.get(mdir.name, {}).get("separation_metrics", {})
+             .get("cohen_d"))
+        title = mdir.name
+        if d is not None:
+            title += f"  (Cohen's d = {d:.3f})"
+            if abs(d) < 0.5:
+                ax.text(0.5, 0.92, "LOW SEPARATION", transform=ax.transAxes,
+                        ha="center", color="red", fontweight="bold")
+        ax.set_title(title, fontsize=10)
+        ax.legend()
+    for ax in axes.ravel()[n:]:
+        ax.axis("off")
+    fig.suptitle("Overlaid Score Histograms", fontweight="bold")
+    return _save(fig, Path(output_dir), "figure_overlaid_histograms.png")
+
+
+# --------------------------------------------------------------------------
+
+
+def generate_all_figures(results_dir: str, output_dir: str, *,
+                         sample_image: Optional[np.ndarray] = None) -> Dict:
+    """Run every generator, failure-isolated; returns {name: path|error}."""
+    out = {}
+    gens = [
+        ("roc_comparison", lambda: figure_roc_comparison(
+            results_dir, output_dir)),
+        ("apcer_bpcer", lambda: figure_apcer_bpcer_tradeoff(
+            results_dir, output_dir)),
+        ("score_histograms", lambda: figure_score_histograms(
+            results_dir, output_dir)),
+        ("confusion_matrices", lambda: figure_confusion_matrices(
+            results_dir, output_dir)),
+        ("finetuning_impact", lambda: figure_finetuning_impact(
+            results_dir, output_dir)),
+        ("threshold_table", lambda: figure_threshold_table(
+            results_dir, output_dir)),
+        ("violin", lambda: figure_violin(results_dir, output_dir)),
+        ("overlaid_histograms", lambda: figure_overlaid_histograms(
+            results_dir, output_dir)),
+        ("misclassified_fp", lambda: figure_misclassified_grid(
+            results_dir, output_dir, kind="false_positives")),
+        ("misclassified_fn", lambda: figure_misclassified_grid(
+            results_dir, output_dir, kind="false_negatives")),
+    ]
+    if sample_image is not None:
+        gens.insert(0, ("augmentation_grid", lambda: figure_augmentation_grid(
+            sample_image, output_dir)))
+        gens.insert(1, ("augmentation_2x2", lambda: figure_augmentation_grid(
+            sample_image, output_dir, grid="2x2")))
+    for name, fn in gens:
+        try:
+            out[name] = fn()
+        except Exception as e:                       # noqa: BLE001
+            log.exception("figure %s failed: %s", name, e)
+            out[name] = f"ERROR: {e}"
+    return out

@@ -1,0 +1,131 @@
+"""Inference latency / throughput benchmarks.
+
+Two protocols:
+
+1. `benchmark_single_image` — the reference's protocol
+   (additional_analysis.py:184-315): N images, one at a time, wall-clock
+   per image INCLUDING host preprocessing (decode + resize + normalize),
+   batch size 1; stats -> ``inference_time_benchmark.json`` +
+   ``inference_time_comparison.csv`` (same keys/columns).
+2. `benchmark_throughput` — compiled steady-state batched inference with
+   on-device preprocessing (the ">10x 184 FPS" north star, BASELINE.md).
+
+On the experimental axon TPU platform, completion is bounded with a host
+fetch (block_until_ready can return early there).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+from pathlib import Path
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from ..data.loader import decode_image
+from ..data.manifest import Record
+from ..eval.runner import make_infer_fn
+
+log = logging.getLogger(__name__)
+
+
+def _stats_ms(times_s) -> dict:
+    t = np.asarray(times_s) * 1000.0
+    return {
+        "mean_time_ms": float(np.mean(t)),
+        "std_time_ms": float(np.std(t)),
+        "min_time_ms": float(np.min(t)),
+        "max_time_ms": float(np.max(t)),
+        "median_time_ms": float(np.median(t)),
+        "fps": float(1000.0 / np.mean(t)),
+        "total_samples": len(t),
+    }
+
+
+def benchmark_single_image(module, variables, records: Sequence[Record], *,
+                           n_images: int = 100, img_size: int = 224
+                           ) -> dict:
+    """Per-image wall-clock incl. preprocessing, bs=1 (reference
+    protocol: 50 live + 50 spoof, additional_analysis.py:259-277)."""
+    import jax.numpy as jnp
+
+    live = [r for r in records if r.label == 1][: n_images // 2]
+    spoof = [r for r in records if r.label == 0][: n_images // 2]
+    sample = live + spoof
+    infer = make_infer_fn(module)
+
+    # compile once outside the timed region (the reference's first-call
+    # CUDA warmup is likewise excluded by its warm cache)
+    warm = decode_image(sample[0].path, img_size)
+    np.asarray(infer(variables, jnp.asarray(warm[None])))
+
+    times = []
+    for r in sample:
+        t0 = time.perf_counter()
+        u8 = decode_image(r.path, img_size)
+        out = infer(variables, jnp.asarray(u8[None]))
+        np.asarray(out["prob1"])          # bound by host fetch
+        times.append(time.perf_counter() - t0)
+    return _stats_ms(times)
+
+
+def benchmark_throughput(module, variables, *, batch_size: int = 128,
+                         img_size: int = 224, iters: int = 20) -> dict:
+    """Compiled steady-state img/s with on-device preprocessing."""
+    import jax.numpy as jnp
+
+    infer = make_infer_fn(module)
+    rng = np.random.default_rng(0)
+    batch = jnp.asarray(rng.integers(
+        0, 256, (batch_size, img_size, img_size, 3), dtype=np.uint8))
+    np.asarray(infer(variables, batch)["prob1"])     # warmup/compile
+
+    t0 = time.perf_counter()
+    outs = [infer(variables, batch) for _ in range(iters)]
+    np.asarray(outs[-1]["prob1"])
+    dt = (time.perf_counter() - t0) / iters
+    return {
+        "batch_size": batch_size,
+        "ms_per_batch": dt * 1000.0,
+        "images_per_second": batch_size / dt,
+    }
+
+
+def benchmark_models(model_builders: Dict[str, callable],
+                     records: Sequence[Record], *, output_dir: str,
+                     n_images: int = 100, batch_size: int = 128,
+                     include_throughput: bool = True) -> dict:
+    """Run both protocols over a dict {name: () -> (module, variables)};
+    writes the reference-format artifacts."""
+    import pandas as pd
+
+    out = Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    results = {}
+    for name, build in model_builders.items():
+        try:
+            module, variables = build()
+            r = benchmark_single_image(module, variables, records,
+                                       n_images=n_images)
+            if include_throughput:
+                r["throughput"] = benchmark_throughput(
+                    module, variables, batch_size=batch_size)
+            results[name] = r
+            log.info("%s: %.2f ms/img (%.1f FPS)%s", name,
+                     r["mean_time_ms"], r["fps"],
+                     f", batched {r['throughput']['images_per_second']:.0f}"
+                     f" img/s" if include_throughput else "")
+        except Exception as e:                       # noqa: BLE001
+            log.exception("latency benchmark failed for %s: %s", name, e)
+
+    with open(out / "inference_time_benchmark.json", "w") as f:
+        json.dump(results, f, indent=2)
+    pd.DataFrame([
+        {"model": n, "mean_ms": r["mean_time_ms"], "fps": r["fps"],
+         "std_ms": r["std_time_ms"]}
+        for n, r in sorted(results.items(),
+                           key=lambda kv: kv[1]["mean_time_ms"])
+    ]).to_csv(out / "inference_time_comparison.csv", index=False)
+    return results

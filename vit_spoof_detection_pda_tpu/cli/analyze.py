@@ -1,0 +1,65 @@
+"""`analyze` command: score distributions, failed cases, latency
+benchmark, summary, figures (reference additional_analysis.py main +
+data_vis generators)."""
+
+from __future__ import annotations
+
+import argparse
+
+from ..analysis import (analyze_score_distributions, extract_failed_cases,
+                        generate_summary_statistics)
+from .common import add_config_args, resolve_config, setup_logging
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Post-evaluation analysis over a results directory")
+    add_config_args(parser)
+    parser.add_argument("--results-dir", default=None)
+    parser.add_argument("--test-data-dir", default="")
+    parser.add_argument("--figures", action="store_true",
+                        help="also render the publication figure suite")
+    parser.add_argument("--latency", action="store_true",
+                        help="also run the latency benchmark protocol")
+    parser.add_argument("--top-n", type=int, default=20)
+    args = parser.parse_args(argv)
+    setup_logging()
+    cfg = resolve_config(args)
+    results_dir = args.results_dir or cfg.eval.output_dir
+
+    out = {
+        "distributions": analyze_score_distributions(results_dir),
+        "failed_cases": extract_failed_cases(
+            results_dir, args.test_data_dir, top_n=args.top_n),
+    }
+    try:
+        out["summary"] = generate_summary_statistics(results_dir)
+    except FileNotFoundError:
+        print("model_comparison.csv missing — run evaluate-all first")
+
+    if args.latency:
+        import jax.numpy as jnp
+
+        from ..analysis.latency import benchmark_models
+        from ..data import scan_test
+        from ..models.registry import MODEL_REGISTRY, build_model
+
+        records = scan_test(cfg.data.test_root)
+        builders = {
+            name: (lambda n=name: build_model(
+                n, checkpoint_path=cfg.eval.checkpoint_path,
+                dtype=jnp.bfloat16))
+            for name in MODEL_REGISTRY}
+        out["latency"] = benchmark_models(
+            builders, records, output_dir=results_dir)
+
+    if args.figures:
+        from ..analysis.figures import generate_all_figures
+        out["figures"] = generate_all_figures(
+            results_dir, f"{results_dir}/figures")
+    print("analysis artifacts written under", results_dir)
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,37 @@
+"""`evaluate-all` command: cross-model sweep + comparison reports
+(reference evaluate_all_models.py main, :437-518)."""
+
+from __future__ import annotations
+
+import argparse
+
+from ..data import scan_test
+from ..eval import run_cross_model_eval
+from .common import add_config_args, resolve_config, setup_logging
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Evaluate all registry models on the test split")
+    add_config_args(parser)
+    parser.add_argument("--checkpoint", default=None,
+                        help="fine-tuned ViT checkpoint (.pth etc.)")
+    parser.add_argument("--models", nargs="*", default=None,
+                        help="subset of registry models")
+    args = parser.parse_args(argv)
+    setup_logging()
+    cfg = resolve_config(args)
+
+    records = scan_test(cfg.data.test_root)
+    results = run_cross_model_eval(
+        records, output_dir=cfg.eval.output_dir,
+        checkpoint_path=args.checkpoint or cfg.eval.checkpoint_path,
+        model_names=args.models, batch_size=cfg.eval.batch_size,
+        img_size=cfg.data.img_size)
+    for name, s in results.items():
+        print(f"{name}: AUC={s['roc_auc']:.4f} EER={s['eer']:.4f}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,44 @@
+"""`test` command: single-model evaluation with the test.py artifact
+contract (reference test.py main, :455-518)."""
+
+from __future__ import annotations
+
+import argparse
+
+import jax.numpy as jnp
+
+from ..data import scan_test
+from ..eval import run_single_model_eval
+from ..models.registry import build_model
+from .common import add_config_args, resolve_config, setup_logging
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Evaluate a checkpoint on the test split")
+    add_config_args(parser)
+    parser.add_argument("--checkpoint", default=None,
+                        help="torch .pth / safetensors / orbax checkpoint")
+    parser.add_argument("--no-plots", action="store_true")
+    args = parser.parse_args(argv)
+    setup_logging()
+    cfg = resolve_config(args)
+
+    ckpt = args.checkpoint or cfg.eval.checkpoint_path
+    module, variables = build_model(
+        "Custom_ViT_FineTuned", checkpoint_path=ckpt,
+        dropout=cfg.model.dropout, dtype=jnp.bfloat16)
+
+    records = scan_test(cfg.data.test_root)
+    metrics, paths = run_single_model_eval(
+        module, variables, records,
+        output_dir=cfg.eval.output_dir,
+        batch_size=cfg.eval.batch_size, img_size=cfg.data.img_size,
+        checkpoint_name=str(ckpt), write_plots=not args.no_plots)
+    print({k: round(v, 4) if isinstance(v, float) else v
+           for k, v in metrics.items()})
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,150 @@
+"""Config -> full training run (the reference's ``train()`` lifecycle,
+train_advanced.py:492-693, as a library function).
+
+Pipeline: scan augmented store -> class counts -> stratified split ->
+host decode (shorter-side resize to 256) -> ON-DEVICE per-batch
+augmentation (RandomCrop 224 / HFlip / ColorJitter / Rotation /
+RandomErasing as one compiled program; train_advanced.py:166-177 ran
+these on 28 CPU workers) -> normalize -> pjit train step -> validation
+with device-side metrics -> checkpoints / early stop.
+
+Deviations from the reference, both documented in augment/policy.py:
+RandomErasing erases pre-normalization, and the 256 resize center-crops
+the long side (torchvision keeps full aspect until RandomCrop).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..augment.policy import train_time_chain
+from ..config import Config
+from ..data.loader import DataPipeline, shard_for_host
+from ..data.manifest import class_counts, scan_augmented, stratified_split
+from ..models.registry import build_model
+from ..ops import augment as A
+from ..ops import image as I
+from ..utils.checkpoint import CheckpointManager
+from .trainer import Trainer
+
+log = logging.getLogger(__name__)
+
+
+def make_train_aug_fn(cfg: Config):
+    """One compiled program: uint8 [B,256,256,3] -> augmented normalized
+    float32 [B,224,224,3]."""
+    ta = cfg.train_aug
+    chain = train_time_chain(
+        resize_to=ta.resize_to, crop_size=ta.crop_size,
+        hflip_prob=ta.hflip_prob, color_jitter=ta.color_jitter,
+        rotation_deg=ta.rotation_deg,
+        random_erase_prob=ta.random_erase_prob)
+
+    @jax.jit
+    def run(key, batch_u8):
+        x = I.to_float(batch_u8)
+        x = A.apply_chain(key, x, chain)
+        return I.normalize(x).astype(jnp.float32)
+
+    return run
+
+
+def make_eval_prep_fn():
+    @jax.jit
+    def run(batch_u8):
+        return I.normalize(I.to_float(batch_u8)).astype(jnp.float32)
+
+    return run
+
+
+def train_from_config(cfg: Config, *, mesh=None, records=None,
+                      max_steps_per_epoch: Optional[int] = None):
+    """Run the full training lifecycle; returns the best-metrics dict."""
+    if records is None:
+        records = scan_augmented(cfg.data.data_root)
+    if not records:
+        raise FileNotFoundError(
+            f"no images found under {cfg.data.data_root} "
+            "(expected live/ and spoof/ subdirectories)")
+    records = shard_for_host(records)
+    counts = class_counts(records)
+    log.info("dataset: %d images (spoof=%d live=%d)", len(records),
+             counts[0], counts[1])
+
+    train_recs, val_recs = stratified_split(
+        records, cfg.data.train_split, cfg.data.split_seed)
+
+    aug_on = cfg.train_aug.enabled
+    train_pipe = DataPipeline(
+        train_recs, batch_size=cfg.data.batch_size,
+        img_size=cfg.train_aug.resize_to if aug_on else cfg.data.img_size,
+        resize="shorter" if aug_on else "exact",
+        num_workers=cfg.data.num_workers,
+        prefetch_depth=cfg.data.prefetch_depth,
+        shuffle=True, drop_last=cfg.data.drop_last_train, seed=cfg.seed)
+    val_pipe = DataPipeline(
+        val_recs, batch_size=cfg.data.eval_batch_size,
+        img_size=cfg.data.img_size, resize="exact",
+        num_workers=cfg.data.num_workers, drop_last=False)
+
+    aug_fn = make_train_aug_fn(cfg)
+    prep_fn = make_eval_prep_fn()
+    base_key = jax.random.PRNGKey(cfg.seed + 1)
+
+    def train_batches(epoch):
+        ekey = jax.random.fold_in(base_key, epoch)
+        for i, b in enumerate(train_pipe.batches(epoch)):
+            if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
+                break
+            img = aug_fn(jax.random.fold_in(ekey, i),
+                         jnp.asarray(b["image"]))
+            yield {"image": img, "label": b["label"]}
+
+    def val_batches():
+        for b in val_pipe.batches():
+            yield {"image": prep_fn(jnp.asarray(b["image"])),
+                   "label": b["label"]}
+
+    from ..models.vit import ViTAntiSpoof
+
+    dtype = (jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16"
+             else jnp.float32)
+    module = ViTAntiSpoof(
+        patch_size=cfg.model.patch_size, embed_dim=cfg.model.embed_dim,
+        depth=cfg.model.depth, num_heads=cfg.model.num_heads,
+        mlp_ratio=cfg.model.mlp_ratio, hidden=cfg.model.head_hidden,
+        num_classes=cfg.model.num_classes, dropout=cfg.model.dropout,
+        dtype=dtype)
+    variables = None
+    if cfg.model.pretrained_path:
+        # reuse the registry's weight-resolution path for the flagship
+        _, variables = build_model(
+            "Custom_ViT_FineTuned",
+            checkpoint_path=cfg.model.pretrained_path,
+            dropout=cfg.model.dropout, dtype=dtype)
+
+    ckpt = CheckpointManager(
+        cfg.checkpoint.save_dir,
+        max_to_keep=cfg.checkpoint.max_to_keep,
+        best_metric=cfg.checkpoint.keep_best_by,
+        save_every_epochs=cfg.checkpoint.save_every_epochs)
+
+    steps = train_pipe.steps_per_epoch
+    if max_steps_per_epoch is not None:
+        steps = min(steps, max_steps_per_epoch)
+
+    trainer = Trainer(
+        cfg, module,
+        train_batches=train_batches, val_batches=val_batches,
+        steps_per_epoch=steps,
+        class_counts=counts,
+        variables=variables if cfg.model.pretrained_path else None,
+        mesh=mesh, checkpoints=ckpt)
+    best = trainer.fit()
+    log.info("training done: best %s", best)
+    return best, trainer

@@ -179,12 +179,20 @@ class Trainer:
     def validate(self):
         """Eval pass + device-side metrics (reference validate,
         train_advanced.py:368-472, minus the host sklearn round-trips)."""
+        dsize = int(self.mesh.devices.shape[0])
         scores, labels = [], []
         for batch in self.val_batches():
             images = jnp.asarray(batch["image"])
+            b = images.shape[0]
+            # pad to a multiple of the data axis so the batch shards evenly
+            target = -(-b // dsize) * dsize
+            if target != b:
+                pad = jnp.zeros((target - b,) + images.shape[1:],
+                                images.dtype)
+                images = jnp.concatenate([images, pad])
             out = self.eval_step(self.state.params, self.state.batch_stats,
                                  images)
-            scores.append(out["score"])
+            scores.append(out["score"][:b])
             labels.append(jnp.asarray(batch["label"]))
         scores = jnp.concatenate(scores)
         labels = jnp.concatenate(labels)
@@ -215,6 +223,10 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def _device_batch(self, batch):
-        batch = {"image": np.asarray(batch["image"], np.float32),
-                 "label": np.asarray(batch["label"], np.int32)}
-        return shard_batch(batch, self.mesh)
+        img = batch["image"]
+        if not isinstance(img, jax.Array):
+            img = np.asarray(img, np.float32)
+        lbl = batch["label"]
+        if not isinstance(lbl, jax.Array):
+            lbl = np.asarray(lbl, np.int32)
+        return shard_batch({"image": img, "label": lbl}, self.mesh)
