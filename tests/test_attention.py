@@ -1,0 +1,62 @@
+"""Pallas fused attention vs the dense reference (interpret mode on CPU),
+forward and gradients."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vit_spoof_detection_pda_tpu.ops.attention import (
+    _dense_reference, fused_attention)
+
+
+def _qkv(seed=0, b=2, t=197, h=4, d=32, dtype=np.float32):
+    rng = np.random.default_rng(seed)
+    mk = lambda: jnp.asarray(
+        rng.standard_normal((b, t, h, d)).astype(dtype))
+    return mk(), mk(), mk()
+
+
+def test_forward_matches_dense():
+    q, k, v = _qkv()
+    got = fused_attention(q, k, v, True)      # interpret mode
+    want = _dense_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_forward_odd_lengths():
+    for t in (5, 128, 197):
+        q, k, v = _qkv(seed=t, b=1, t=t, h=2, d=16)
+        got = fused_attention(q, k, v, True)
+        want = _dense_reference(q, k, v)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=1e-5)
+
+
+def test_gradients_match_dense():
+    q, k, v = _qkv(seed=3, b=1, t=33, h=2, d=16)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(fused_attention(q, k, v, True) ** 2)
+
+    def loss_dense(q, k, v):
+        return jnp.sum(_dense_reference(q, k, v) ** 2)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_vit_cpu_uses_dense_path():
+    """On the CPU test backend the model must auto-select the dense path
+    (no Pallas TPU lowering available)."""
+    from vit_spoof_detection_pda_tpu.models.vit import ViT
+    m = ViT(patch_size=16, embed_dim=64, depth=1, num_heads=2)
+    variables = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    out = jax.jit(lambda v, x: m.apply(v, x))(
+        variables, jnp.zeros((2, 32, 32, 3)))
+    assert out.shape == (2, 64)

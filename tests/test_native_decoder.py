@@ -1,0 +1,94 @@
+"""Native C++ decoder: builds, decodes JPEG/PNG, agrees with PIL within
+resampling tolerance, survives corrupt input, and is faster than PIL."""
+
+import time
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from vit_spoof_detection_pda_tpu.data.native import get_lib, native_decode
+
+
+@pytest.fixture(scope="module")
+def lib():
+    lib = get_lib()
+    if lib is None:
+        pytest.skip("native decoder unavailable (no g++/libjpeg/libpng)")
+    return lib
+
+
+def _write_images(tmp_path, size=240):
+    rng = np.random.default_rng(0)
+    # smooth image so JPEG loss / resample differences stay small
+    base = np.zeros((size, size, 3), np.float32)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    base[..., 0] = yy
+    base[..., 1] = xx
+    base[..., 2] = 0.5 + 0.3 * np.sin(6 * yy) * np.cos(6 * xx)
+    u8 = (np.clip(base, 0, 1) * 255).astype(np.uint8)
+    jpg = tmp_path / "img.jpg"
+    png = tmp_path / "img.png"
+    Image.fromarray(u8).save(jpg, quality=95)
+    Image.fromarray(u8).save(png)
+    return jpg, png, u8
+
+
+def test_jpeg_and_png_decode(lib, tmp_path):
+    jpg, png, u8 = _write_images(tmp_path)
+    for path in (jpg, png):
+        out = native_decode(str(path), 224, "exact")
+        assert out is not None and out.shape == (224, 224, 3)
+        ref = np.asarray(Image.open(path).convert("RGB")
+                         .resize((224, 224), Image.BILINEAR)).astype(int)
+        diff = np.abs(out.astype(int) - ref)
+        # DCT prescale + different bilinear weighting: small mean error
+        assert diff.mean() < 4.0, (path.suffix, diff.mean())
+
+
+def test_shorter_side_mode(lib, tmp_path):
+    rng = np.random.default_rng(1)
+    u8 = (rng.random((120, 200, 3)) * 255).astype(np.uint8)
+    p = tmp_path / "rect.png"
+    Image.fromarray(u8).save(p)
+    out = native_decode(str(p), 96, "shorter")
+    assert out is not None and out.shape == (96, 96, 3)
+
+
+def test_corrupt_input_returns_none(lib, tmp_path):
+    bad = tmp_path / "bad.jpg"
+    bad.write_bytes(b"\xff\xd8garbagegarbage")
+    assert native_decode(str(bad), 64) is None
+    empty = tmp_path / "empty.png"
+    empty.write_bytes(b"")
+    assert native_decode(str(empty), 64) is None
+
+
+def test_loader_integration_uses_native(lib, tmp_path):
+    from vit_spoof_detection_pda_tpu.data.loader import decode_image
+    jpg, _, _ = _write_images(tmp_path)
+    out = decode_image(str(jpg), 128)
+    assert out.shape == (128, 128, 3)
+    assert out.any()
+
+
+def test_native_faster_than_pil(lib, tmp_path):
+    jpg, _, _ = _write_images(tmp_path, size=1024)
+
+    def pil():
+        im = Image.open(jpg).convert("RGB").resize((224, 224),
+                                                   Image.BILINEAR)
+        return np.asarray(im)
+
+    native_decode(str(jpg), 224)    # warm cache
+    n = 20
+    t0 = time.perf_counter()
+    for _ in range(n):
+        native_decode(str(jpg), 224)
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(n):
+        pil()
+    t_pil = time.perf_counter() - t0
+    # DCT prescale should beat full decode + resize comfortably
+    assert t_native < t_pil, (t_native, t_pil)

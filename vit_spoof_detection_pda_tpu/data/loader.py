@@ -41,7 +41,16 @@ def decode_image(path: str, size: int, resize: str = "exact") -> np.ndarray:
     on-device RandomCrop(224) then crops within it.
 
     Black-image fallback on any decode failure.
+
+    Fast path: the native C++ decoder (data/native) — libjpeg DCT-domain
+    prescale + fused bilinear resize, GIL released for the whole call.
+    PIL handles whatever the native path declines.
     """
+    from .native import native_decode
+    out = native_decode(path, size, resize)
+    if out is not None:
+        return out
+
     from PIL import Image
     try:
         with Image.open(path) as im:

@@ -32,12 +32,20 @@ from flax import linen as nn
 Dtype = Any
 
 
-def dot_product_attention(q, k, v, *, dtype=jnp.float32):
-    """Plain dense attention: [B, T, H, Dh] inputs, softmax in float32.
+def dot_product_attention(q, k, v, *, dtype=jnp.float32,
+                          use_fused=None):
+    """Attention core: [B, T, H, Dh] inputs, softmax in float32.
 
-    Factored out so a Pallas blockwise kernel can replace it if sequence
-    length ever grows beyond ViT's 197 tokens.
+    On TPU this dispatches to the Pallas fused kernel
+    (ops/attention.py) which keeps the [T, T] softmax entirely in VMEM;
+    elsewhere (or with use_fused=False) it falls back to the dense
+    einsum path.
     """
+    if use_fused is None:
+        use_fused = jax.default_backend() == "tpu"
+    if use_fused:
+        from ..ops.attention import fused_attention
+        return fused_attention(q, k, v)
     dh = q.shape[-1]
     scale = jnp.asarray(dh, jnp.float32) ** -0.5
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,

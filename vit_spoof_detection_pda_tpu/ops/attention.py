@@ -1,0 +1,129 @@
+"""Pallas fused attention for the ViT.
+
+The dense einsum attention materializes the [B, H, T, T] logit tensor in
+HBM (for ViT-B at batch 128 that is ~238 MB of fp32 written and re-read
+around the softmax) — pure HBM-bandwidth waste at T=197.  This kernel
+keeps the whole  QK^T -> mask -> softmax -> @V  row block in VMEM: one
+grid step per (batch*head), everything fused, nothing but Q/K/V/O
+touching HBM.
+
+T=197 padded to 256 fits VMEM trivially (256x256 fp32 logits = 256 KB),
+so no online-softmax streaming is needed — this IS the flash-attention
+memory win without its bookkeeping; the kernel is written blockwise over
+(batch, head) so longer sequences would extend it with a KV loop
+(SURVEY.md §2.7: blockwise by design, no ring/CP machinery).
+
+Training: a custom VJP recomputes the dense backward in XLA (same
+residual memory as the einsum path the reference effectively uses;
+forward-pass HBM traffic is where the win is at this scale).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                 valid_len: int, num_heads: int):
+    """One grid step per batch item, static loop over heads: a small grid
+    (per-program launch overhead dominates this tiny-T workload) while the
+    grid-level pipeline overlaps each item's DMA with the previous item's
+    compute.  Measured on v5e vs alternatives: 1 slice/program (grid
+    B*H) and a fori_loop over slices were both slower; full unrolling of
+    larger blocks blew up compile time."""
+    tp = q_ref.shape[2]
+    col = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
+    mask = col < valid_len
+    for h in range(num_heads):
+        q = q_ref[0, h]                           # [Tp, D]
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale   # [Tp, Tp]
+        logits = jnp.where(mask, logits, -1e30)
+        weights = jax.nn.softmax(logits, axis=-1)
+        out = jnp.dot(weights.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32)
+        o_ref[0, h] = out.astype(o_ref.dtype)
+
+
+def _forward(q, k, v, *, interpret: bool = False):
+    """q, k, v: [B, T, H, D] -> [B, T, H, D]."""
+    b, t, h, d = q.shape
+    tp = _round_up(t, 128)
+    scale = float(d) ** -0.5
+
+    def prep(x):
+        x = jnp.transpose(x, (0, 2, 1, 3))               # [B, H, T, D]
+        return jnp.pad(x, ((0, 0), (0, 0), (0, tp - t), (0, 0)))
+
+    qf, kf, vf = prep(q), prep(k), prep(v)
+    kernel = functools.partial(_attn_kernel, scale=scale, valid_len=t,
+                               num_heads=h)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, h, tp, d), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec((1, h, tp, d), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, tp, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * tp * tp * d,
+            bytes_accessed=4 * b * h * tp * d * q.dtype.itemsize,
+            transcendentals=b * h * tp * tp),
+        interpret=interpret,
+    )(qf, kf, vf)
+    out = out[:, :, :t, :]
+    return jnp.transpose(out, (0, 2, 1, 3))
+
+
+def _dense_reference(q, k, v):
+    """Dense einsum attention (the non-Pallas path and VJP recompute)."""
+    d = q.shape[-1]
+    scale = jnp.asarray(d, jnp.float32) ** -0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_attention(q, k, v, interpret: bool = False):
+    """Pallas fused attention with dense-recompute backward."""
+    return _forward(q, k, v, interpret=interpret)
+
+
+def _fwd(q, k, v, interpret):
+    return _forward(q, k, v, interpret=interpret), (q, k, v)
+
+
+def _bwd(interpret, res, g):
+    q, k, v = res
+    d = q.shape[-1]
+    scale = jnp.asarray(d, jnp.float32) ** -0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    w = jax.nn.softmax(logits, axis=-1)                   # [B,H,Tq,Tk] f32
+    g32 = g.astype(jnp.float32)
+    v32 = v.astype(jnp.float32)
+    dv = jnp.einsum("bhqk,bqhd->bkhd", w, g32)
+    dw = jnp.einsum("bqhd,bkhd->bhqk", g32, v32)
+    dlogits = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bkhd->bqhd", dlogits, k.astype(jnp.float32)) * scale
+    dk = jnp.einsum("bhqk,bqhd->bkhd", dlogits, q.astype(jnp.float32)) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+fused_attention.defvjp(_fwd, _bwd)

@@ -1,0 +1,61 @@
+"""Profiling / tracing hooks (SURVEY.md §5: the reference has only tqdm
+postfixes; here: jax.profiler TensorBoard traces + named annotations +
+a lightweight step timer feeding the metric stream)."""
+
+from __future__ import annotations
+
+import contextlib
+import logging
+import time
+from typing import Optional
+
+log = logging.getLogger(__name__)
+
+
+@contextlib.contextmanager
+def profile_trace(log_dir: Optional[str]):
+    """Capture a jax.profiler trace viewable in TensorBoard/XProf.
+
+    No-op when log_dir is falsy, so callers can pass
+    ``config.telemetry.profile_dir`` straight through.
+    """
+    if not log_dir:
+        yield
+        return
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    log.info("profiler trace started -> %s", log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+        log.info("profiler trace written to %s", log_dir)
+
+
+def annotate(name: str):
+    """Named region that shows up on the profiler timeline."""
+    import jax
+
+    return jax.profiler.TraceAnnotation(name)
+
+
+class StepTimer:
+    """Rolling step timer: feeds steps/sec into the metric stream without
+    device syncs (wall-clock between host-side step submissions)."""
+
+    def __init__(self, window: int = 50):
+        self.window = window
+        self._times = []
+        self._last = None
+
+    def tick(self) -> Optional[float]:
+        now = time.perf_counter()
+        if self._last is not None:
+            self._times.append(now - self._last)
+            if len(self._times) > self.window:
+                self._times.pop(0)
+        self._last = now
+        if self._times:
+            return len(self._times) / sum(self._times)
+        return None
