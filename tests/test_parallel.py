@@ -1,0 +1,116 @@
+"""Parallel layer: mesh construction, TP partition specs, and numerical
+equivalence of sharded vs single-device execution."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from vit_spoof_detection_pda_tpu.models.vit import ViTAntiSpoof
+from vit_spoof_detection_pda_tpu.ops import losses
+from vit_spoof_detection_pda_tpu.parallel import (
+    make_mesh, param_specs, shard_batch, shard_params)
+from vit_spoof_detection_pda_tpu.train import (
+    create_train_state, make_optimizer, make_train_step)
+
+
+def _tiny_vit():
+    return ViTAntiSpoof(patch_size=8, embed_dim=64, depth=2, num_heads=2,
+                        hidden=32)
+
+
+def test_make_mesh_shapes():
+    m = make_mesh()
+    assert m.devices.shape == (8, 1)
+    m2 = make_mesh(data=4, model=2)
+    assert m2.devices.shape == (4, 2)
+    with pytest.raises(ValueError):
+        make_mesh(data=3, model=2)
+
+
+def test_param_specs_megatron_rules():
+    module = _tiny_vit()
+    variables = module.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 32, 32, 3)))
+    specs = param_specs(variables["params"])
+    blk = specs["vit"]["block0"]
+    assert blk["attn"]["qkv"]["kernel"] == P(None, "model")
+    assert blk["attn"]["proj"]["kernel"] == P("model", None)
+    assert blk["mlp"]["fc1"]["kernel"] == P(None, "model")
+    assert blk["mlp"]["fc2"]["kernel"] == P("model", None)
+    # everything else replicated
+    assert specs["vit"]["patch_embed"]["kernel"] == P()
+    assert specs["head"]["fc2"]["kernel"] == P()
+
+
+@pytest.mark.parametrize("dp,tp", [(8, 1), (4, 2), (2, 4)])
+def test_sharded_forward_matches_single_device(dp, tp):
+    module = _tiny_vit()
+    variables = module.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 32, 32, 3)))
+    x = np.random.default_rng(0).standard_normal(
+        (16, 32, 32, 3)).astype(np.float32)
+
+    want = np.asarray(module.apply(variables, jnp.asarray(x)))
+
+    mesh = make_mesh(data=dp, model=tp)
+    with mesh:
+        params = shard_params(variables["params"], mesh)
+        xb = shard_batch({"image": x}, mesh)["image"]
+        got = np.asarray(jax.jit(
+            lambda p, x: module.apply({"params": p}, x))(params, xb))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+def test_sharded_train_step_matches_single_device():
+    """One focal-loss SGD step: DP(4)xTP(2) must match 1-device params to
+    float tolerance (the gradient all-reduce is exact in fp32)."""
+    module = _tiny_vit()
+    rng = np.random.default_rng(1)
+    batch_np = {
+        "image": rng.standard_normal((16, 32, 32, 3)).astype(np.float32),
+        "label": (rng.random(16) < 0.5).astype(np.int32),
+    }
+
+    import optax
+
+    def one_step(mesh):
+        # SGD: post-step params differ exactly by lr*grad, so the
+        # comparison checks gradient equality without Adam's sign
+        # amplification of near-zero gradients
+        tx = optax.sgd(0.1)
+        state = create_train_state(module, tx, jax.random.PRNGKey(0),
+                                   input_shape=(1, 32, 32, 3))
+        if mesh is not None:
+            with mesh:
+                state = state.replace(
+                    params=shard_params(state.params, mesh),
+                    opt_state=tx.init(shard_params(state.params, mesh)))
+                step = make_train_step(losses.make_loss_fn("focal"),
+                                       mesh=mesh, donate=False)
+                batch = shard_batch(batch_np, mesh)
+                state, metrics = step(state, batch)
+        else:
+            step = make_train_step(losses.make_loss_fn("focal"),
+                                   donate=False)
+            state, metrics = step(state, {k: jnp.asarray(v)
+                                          for k, v in batch_np.items()})
+        return (jax.tree.map(np.asarray, state.params),
+                float(metrics["loss"]))
+
+    p_single, l_single = one_step(None)
+    p_mesh, l_mesh = one_step(make_mesh(data=4, model=2))
+    assert l_mesh == pytest.approx(l_single, abs=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=5e-5, rtol=1e-4),
+        p_single, p_mesh)
+
+
+def test_batch_indivisible_raises():
+    mesh = make_mesh()
+    with pytest.raises(Exception):
+        sharded = shard_batch(
+            {"image": np.zeros((6, 4, 4, 3), np.float32)}, mesh)
+        np.asarray(sharded["image"])
