@@ -25,6 +25,21 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def init_multi_host(**kwargs):
+    """Initialize the JAX distributed runtime for multi-host DP.
+
+    Call once per host before `make_mesh()`; afterwards `jax.devices()`
+    spans the slice, the same partition specs apply globally, and the
+    gradient psum crosses hosts over DCN transparently (SURVEY.md §5:
+    the "backend" is sharding specs + compiled collectives — no custom
+    transport).  Per-host input sharding is `data.loader.shard_for_host`.
+    """
+    import jax
+
+    jax.distributed.initialize(**kwargs)
+    return jax.process_index(), jax.process_count()
+
+
 def make_mesh(data: int = -1, model: int = 1,
               devices=None) -> Mesh:
     """Build a (data, model) mesh.  data=-1 -> all remaining devices."""

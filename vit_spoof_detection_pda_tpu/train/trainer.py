@@ -106,9 +106,13 @@ class Trainer:
                                 cfg.early_stop.min_delta,
                                 cfg.early_stop.mode)
         best = {"val_f1": -1.0, "epoch": -1}
+        from ..utils.profiling import profile_trace
         for epoch in range(cfg.optim.num_epochs):
             t0 = time.time()
-            train_metrics = self.train_epoch(epoch)
+            # capture a profiler trace of the first epoch when configured
+            with profile_trace(cfg.telemetry.profile_dir
+                               if epoch == 0 else None):
+                train_metrics = self.train_epoch(epoch)
             val_metrics = self.validate()
             epoch_summary = {
                 "epoch": epoch,
@@ -144,12 +148,16 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def train_epoch(self, epoch: int):
+        from ..utils.profiling import StepTimer
+
         meters = {"loss": 0.0, "accuracy": 0.0}
         count = 0
         pending = None
+        timer = StepTimer()
         for i, batch in enumerate(self.train_batches(epoch)):
             batch = self._device_batch(batch)
             self.state, metrics = self.train_step(self.state, batch)
+            rate = timer.tick()
             # fetch the *previous* step's metrics: keeps the device queue
             # busy (no same-step sync, unlike the reference's `.item()`
             # every batch, train_advanced.py:341-352)
@@ -159,11 +167,14 @@ class Trainer:
             pending = metrics
             if (i + 1) % self.config.telemetry.log_interval == 0:
                 step = int(self.state.step)
-                self.logger.log({
+                record = {
                     "train/loss": float(metrics["loss"]),
                     "train/acc": float(metrics["accuracy"]),
                     "train/lr": float(self.lr_schedule(step)),
-                }, step=step)
+                }
+                if rate:
+                    record["train/steps_per_sec"] = rate
+                self.logger.log(record, step=step)
         if pending is not None:
             self._accumulate(meters, pending)
             count += 1
