@@ -34,34 +34,42 @@ from ..ops import augment as A
 Chain = List[Callable]   # each fn: (key, img[H,W,C] in [0,1]) -> img
 
 
+# All geometric sub-ops of a tier compose into ONE resampling pass
+# (A.composed_geometric) — on TPU each extra warp is a ~254 ms/128-batch
+# gather while photometric ops cost <10 ms (BENCH_NOTES.md).  Photometric
+# ops then run on the warped image; for isotropic kernels this is
+# distributionally equivalent to the reference's interleaved order, and
+# noise added post-warp stays white (arguably more correct than warping
+# previously-added noise).
+
+
 def heavy_chain() -> Chain:
     return [
-        partial(A.random_hflip, p=0.5),
-        lambda k, im: A.random_rotation(k, im, 20.0, p=0.7),
+        lambda k, im: A.composed_geometric(
+            k, im, hflip_p=0.5, rotation=(20.0, 0.7),
+            perspective=(0.2, 0.4), elastic=(1.0, 32.0, 63, 0.3)),
         lambda k, im: A.color_jitter(k, im, 0.4, 0.4, 0.4, 0.2, p=0.8),
         lambda k, im: A.gaussian_blur(k, im, 5, (0.1, 2.0), p=0.5),
         lambda k, im: A.gaussian_noise(k, im, std=0.05, p=0.3),
-        lambda k, im: A.random_perspective(k, im, 0.2, p=0.4),
-        lambda k, im: A.elastic_transform(k, im, p=0.3),
         lambda k, im: A.random_sharpness(k, im, 2.0, p=0.3),
     ]
 
 
 def medium_chain() -> Chain:
     return [
-        partial(A.random_hflip, p=0.5),
-        lambda k, im: A.random_rotation(k, im, 15.0, p=0.6),
+        lambda k, im: A.composed_geometric(
+            k, im, hflip_p=0.5, rotation=(15.0, 0.6),
+            perspective=(0.15, 0.3)),
         lambda k, im: A.color_jitter(k, im, 0.3, 0.3, 0.3, 0.1, p=0.7),
         lambda k, im: A.gaussian_blur(k, im, 3, (0.1, 1.5), p=0.4),
         lambda k, im: A.gaussian_noise(k, im, std=0.03, p=0.2),
-        lambda k, im: A.random_perspective(k, im, 0.15, p=0.3),
     ]
 
 
 def light_chain() -> Chain:
     return [
-        partial(A.random_hflip, p=0.5),
-        lambda k, im: A.random_rotation(k, im, 10.0, p=0.5),
+        lambda k, im: A.composed_geometric(
+            k, im, hflip_p=0.5, rotation=(10.0, 0.5)),
         lambda k, im: A.color_jitter(k, im, 0.2, 0.2, 0.2, 0.05, p=0.5),
         lambda k, im: A.gaussian_blur(k, im, 3, (0.1, 1.0), p=0.3),
     ]
@@ -109,9 +117,9 @@ def train_time_chain(resize_to: int = 256, crop_size: int = 224,
     b, c, s, h = color_jitter
     return [
         lambda k, im: A.random_crop(k, im, crop_size),
-        partial(A.random_hflip, p=hflip_prob),
+        lambda k, im: A.composed_geometric(
+            k, im, hflip_p=hflip_prob, rotation=(rotation_deg, 1.0)),
         lambda k, im: A.color_jitter(k, im, b, c, s, h, p=1.0),
-        lambda k, im: A.random_rotation(k, im, rotation_deg, p=1.0),
         lambda k, im: A.random_erasing(k, im, p=random_erase_prob),
     ]
 

@@ -197,6 +197,18 @@ def resnet50_from_torchvision(sd: Mapping, stage_sizes=(3, 4, 6, 3)):
 # --------------------------------------------------------------------------
 
 
+def load_from_hf_hub(repo_id: str, filename: str) -> dict:
+    """Download a published checkpoint from the HF hub and return its
+    state dict (reference evaluate_all_models.py:282-304 pulls
+    ``best_model_run_eif1jakb.pth`` from ``ArchitRastogi/vit-spoof-
+    detection-pda``).  Gated: requires huggingface_hub + network; in an
+    air-gapped run pass a local path to the converters instead."""
+    from huggingface_hub import hf_hub_download
+
+    path = hf_hub_download(repo_id=repo_id, filename=filename)
+    return load_torch_checkpoint(path)
+
+
 def load_torch_checkpoint(path: str) -> dict:
     """Load a torch ``.pth`` and return its flat state dict.
 

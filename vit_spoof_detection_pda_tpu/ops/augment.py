@@ -327,6 +327,90 @@ def random_erasing(key, img, p: float = 0.25,
 
 
 # --------------------------------------------------------------------------
+# composed geometric warp — ONE resampling pass for the whole geometric
+# sub-chain
+# --------------------------------------------------------------------------
+
+
+def composed_geometric(key, img, *,
+                       hflip_p: float = 0.0,
+                       rotation=None,        # (degrees, p)
+                       perspective=None,     # (distortion_scale, p)
+                       elastic=None):        # (alpha, sigma, ksize, p)
+    """Flip + rotation + perspective + elastic as ONE bilinear resample.
+
+    Sequential warps (the Kornia pipeline layout, augment_data.py:60-85)
+    resample the image once per op — on TPU each resample is a gather,
+    by far the most expensive primitive in the chain (measured 254 ms /
+    128-batch vs <10 ms for any photometric op).  Coordinate transforms
+    compose cheaply in coordinate space, so this op builds the chained
+    dest->src map (elastic displacement -> inverse perspective -> inverse
+    rotation -> flip) and samples the source image exactly once.
+    Gated sub-ops contribute identity transforms.
+
+    Distribution semantics match the sequential version; interpolation
+    differs slightly (single resample = less compounded blur — strictly
+    higher fidelity than Kornia's repeated resampling).
+    """
+    h, w = img.shape[0], img.shape[1]
+    kf, kr_gate, kr, kp_gate, kp, ke_gate, ke = jax.random.split(key, 7)
+    ys, xs = warp._dest_grid(h, w)
+
+    # elastic displacement first (it was the LAST image-space warp, so
+    # its displacement applies to dest coordinates)
+    if elastic is not None:
+        alpha, sigma, ksize, p = elastic
+        kex, key_ = jax.random.split(ke)
+        nx = jax.random.uniform(kex, (h, w), minval=-1.0, maxval=1.0)
+        ny = jax.random.uniform(key_, (h, w), minval=-1.0, maxval=1.0)
+        kern = _gaussian_kernel1d(ksize, sigma, img.dtype)
+        dx = _separable_blur2d(nx[..., None], kern)[..., 0] * alpha * (w / 2)
+        dy = _separable_blur2d(ny[..., None], kern)[..., 0] * alpha * (h / 2)
+        gate = jax.random.bernoulli(ke_gate, p).astype(img.dtype)
+        xs = xs + dx * gate
+        ys = ys + dy * gate
+
+    # inverse perspective (dest -> src)
+    if perspective is not None:
+        scale, p = perspective
+        off = jax.random.uniform(kp, (4, 2))
+        dxm = scale * (w - 1) / 2.0
+        dym = scale * (h - 1) / 2.0
+        dst = jnp.asarray([[0.0, 0.0], [w - 1.0, 0.0],
+                           [w - 1.0, h - 1.0], [0.0, h - 1.0]])
+        inward = jnp.asarray([[1.0, 1.0], [-1.0, 1.0],
+                              [-1.0, -1.0], [1.0, -1.0]])
+        src = dst + off * jnp.asarray([dxm, dym]) * inward
+        hm = warp.homography_from_points(src, dst)
+        eye = jnp.eye(3, dtype=hm.dtype)
+        hm = jnp.where(jax.random.bernoulli(kp_gate, p), hm, eye)
+        den = hm[2, 0] * xs + hm[2, 1] * ys + hm[2, 2]
+        den = jnp.where(jnp.abs(den) < 1e-8, 1e-8, den)
+        xs, ys = ((hm[0, 0] * xs + hm[0, 1] * ys + hm[0, 2]) / den,
+                  (hm[1, 0] * xs + hm[1, 1] * ys + hm[1, 2]) / den)
+
+    # inverse rotation about center
+    if rotation is not None:
+        degrees, p = rotation
+        angle = jax.random.uniform(kr, (), minval=-degrees, maxval=degrees)
+        angle = angle * jax.random.bernoulli(kr_gate, p)
+        m = warp.rotation_matrix(jnp.deg2rad(angle),
+                                 (h - 1) / 2.0, (w - 1) / 2.0)
+        xs, ys = (m[0, 0] * xs + m[0, 1] * ys + m[0, 2],
+                  m[1, 0] * xs + m[1, 1] * ys + m[1, 2])
+
+    # horizontal flip is x -> (w-1) - x in source space
+    if hflip_p > 0.0:
+        do_flip = jax.random.bernoulli(kf, hflip_p)
+        xs = jnp.where(do_flip, (w - 1.0) - xs, xs)
+
+    # packed single-gather sampler with bf16 taps: 2.25x faster than the
+    # naive 4-gather path on TPU (see warp.bilinear_sample_packed)
+    return warp.bilinear_sample_packed(img, ys, xs,
+                                       tap_dtype=jnp.bfloat16)
+
+
+# --------------------------------------------------------------------------
 # batching
 # --------------------------------------------------------------------------
 
