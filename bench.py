@@ -36,9 +36,11 @@ def main():
 
     @jax.jit
     def infer(params, batch_u8):
-        x = I.normalize(I.to_float(batch_u8))
-        logits = module.apply({"params": params}, x)
-        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 1]
+        # fused u8 -> bf16 normalize (one HBM pass), P(live) as the
+        # sigmoid of the logit difference (== softmax column 1)
+        x = I.normalize_u8_fused(batch_u8)
+        logits = module.apply({"params": params}, x).astype(jnp.float32)
+        return jax.nn.sigmoid(logits[:, 1] - logits[:, 0])
 
     rng = np.random.default_rng(0)
     batch = jnp.asarray(rng.integers(0, 256, (BATCH, 224, 224, 3),

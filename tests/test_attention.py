@@ -60,3 +60,25 @@ def test_vit_cpu_uses_dense_path():
     out = jax.jit(lambda v, x: m.apply(v, x))(
         variables, jnp.zeros((2, 32, 32, 3)))
     assert out.shape == (2, 64)
+
+
+def test_fused_attention_qkv_matches_dense():
+    from vit_spoof_detection_pda_tpu.ops.attention import (
+        _qkv_dense_reference, fused_attention_qkv)
+    rng = np.random.default_rng(7)
+    qkv = jnp.asarray(rng.standard_normal((2, 197, 3 * 64)).astype(np.float32))
+    got = fused_attention_qkv(qkv, 4, True)
+    want = _qkv_dense_reference(qkv, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_fused_attention_qkv_grad_matches_dense():
+    from vit_spoof_detection_pda_tpu.ops.attention import (
+        _qkv_dense_reference, fused_attention_qkv)
+    rng = np.random.default_rng(8)
+    qkv = jnp.asarray(rng.standard_normal((1, 33, 3 * 32)).astype(np.float32))
+    gf = jax.grad(lambda x: jnp.sum(fused_attention_qkv(x, 2, True) ** 2))(qkv)
+    gd = jax.grad(lambda x: jnp.sum(_qkv_dense_reference(x, 2) ** 2))(qkv)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gd),
+                               atol=1e-4, rtol=1e-4)

@@ -1,0 +1,76 @@
+"""Online differential augmentation: record expansion, severity-grouped
+batching, and an end-to-end online training run."""
+
+import numpy as np
+import pytest
+
+from vit_spoof_detection_pda_tpu.data.manifest import Record
+from vit_spoof_detection_pda_tpu.train.online import (
+    OnlineAugmentedData, expand_records)
+
+from util_synthetic import make_subject_tree
+
+
+def _recs(n_live, n_spoof):
+    return ([Record(path=f"l{i}", label=1) for i in range(n_live)] +
+            [Record(path=f"s{i}", label=0) for i in range(n_spoof)])
+
+
+def test_expand_records_differential():
+    groups = expand_records(_recs(3, 6), live_mult=8, spoof_mult=2)
+    assert len(groups["orig"]) == 9
+    # live x8: copies 0,1 heavy; 2,3,4 medium; 5,6,7 light
+    # spoof x2: copy 0 medium; copy 1 light
+    assert len(groups["heavy"]) == 3 * 2
+    assert len(groups["medium"]) == 3 * 3 + 6 * 1
+    assert len(groups["light"]) == 3 * 3 + 6 * 1
+    # balance: live total 3*9=27, spoof total 6*3=18 -> ratio ~1:0.67
+    live_total = sum(sum(1 for r in g if r.label == 1)
+                     for g in groups.values())
+    spoof_total = sum(sum(1 for r in g if r.label == 0)
+                      for g in groups.values())
+    assert (live_total, spoof_total) == (27, 18)
+
+
+def test_online_batches_interleave(tmp_path):
+    make_subject_tree(tmp_path, subjects=2, per_class=6, size=16)
+    from vit_spoof_detection_pda_tpu.data import scan_raw
+    recs = scan_raw(str(tmp_path))
+    data = OnlineAugmentedData(recs, live_mult=2, spoof_mult=1,
+                               batch_size=4, img_size=16, num_workers=2)
+    batches = list(data.batches(epoch=0))
+    assert len(batches) == data.steps_per_epoch
+    groups = [g for g, _ in batches]
+    assert set(groups) <= {"orig", "heavy", "medium", "light"}
+    assert groups.count("orig") == 6            # 24 originals / bs 4
+    for _, b in batches:
+        assert b["image"].shape == (4, 16, 16, 3)
+    # deterministic per epoch, different across epochs
+    order0 = [g for g, _ in data.batches(0)]
+    assert order0 == groups
+    assert [g for g, _ in data.batches(1)] != groups
+
+
+def test_online_training_end_to_end(tmp_path):
+    from vit_spoof_detection_pda_tpu.config import Config
+    from vit_spoof_detection_pda_tpu.train.driver import train_from_config
+
+    make_subject_tree(tmp_path / "raw", subjects=2, per_class=4, size=32)
+    cfg = Config().with_overrides({
+        "augment.online": True,
+        "augment.input_dir": str(tmp_path / "raw"),
+        "augment.live_augmentations": 2,
+        "augment.spoof_augmentations": 1,
+        "data.batch_size": 8,
+        "data.eval_batch_size": 8,
+        "data.img_size": 32,
+        "data.num_workers": 2,
+        "model.embed_dim": 64, "model.depth": 1, "model.num_heads": 2,
+        "model.head_hidden": 16, "model.patch_size": 16,
+        "optim.num_epochs": 1,
+        "checkpoint.save_dir": str(tmp_path / "ckpt"),
+        "telemetry.log_interval": 100,
+    })
+    best, trainer = train_from_config(cfg)
+    assert np.isfinite(best["val_f1"])
+    assert int(trainer.state.step) > 0

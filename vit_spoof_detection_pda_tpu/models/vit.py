@@ -55,7 +55,11 @@ def dot_product_attention(q, k, v, *, dtype=jnp.float32,
 
 
 class Attention(nn.Module):
-    """Multi-head self-attention with fused QKV projection."""
+    """Multi-head self-attention with fused QKV projection.
+
+    On TPU the fused [B,T,3D] QKV tensor feeds the Pallas kernel
+    directly (head slicing happens in VMEM) — zero relayout between the
+    two projections; elsewhere the dense einsum path reshapes heads."""
 
     num_heads: int
     dtype: Dtype = jnp.float32
@@ -65,10 +69,16 @@ class Attention(nn.Module):
         d = x.shape[-1]
         dh = d // self.num_heads
         qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(x)  # [B,T,3D]
-        qkv = qkv.reshape(x.shape[0], x.shape[1], 3, self.num_heads, dh)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        out = dot_product_attention(q, k, v, dtype=self.dtype)
-        out = out.reshape(x.shape[0], x.shape[1], d)
+        if jax.default_backend() == "tpu":
+            from ..ops.attention import fused_attention_qkv
+            out = fused_attention_qkv(qkv, self.num_heads)
+        else:
+            parts = qkv.reshape(x.shape[0], x.shape[1], 3,
+                                self.num_heads, dh)
+            q, k, v = parts[:, :, 0], parts[:, :, 1], parts[:, :, 2]
+            out = dot_product_attention(q, k, v, dtype=self.dtype,
+                                        use_fused=False)
+            out = out.reshape(x.shape[0], x.shape[1], d)
         return nn.Dense(d, dtype=self.dtype, name="proj")(out)
 
 

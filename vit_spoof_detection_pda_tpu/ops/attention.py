@@ -89,6 +89,91 @@ def _forward(q, k, v, *, interpret: bool = False):
     return jnp.transpose(out, (0, 2, 1, 3))
 
 
+# --------------------------------------------------------------------------
+# Zero-transpose variant: consumes the fused QKV projection directly
+# --------------------------------------------------------------------------
+
+
+def _attn_qkv_kernel(qkv_ref, o_ref, *, scale: float, valid_len: int,
+                     num_heads: int, head_dim: int):
+    """Input block [1, Tp, 3D] straight from the QKV matmul; head slices
+    are taken INSIDE VMEM (static column slices), so the wrapper does no
+    transposes at all — the [B,H,T,D] relayouts of the generic path cost
+    ~1 ms/layer of pure HBM traffic at ViT-B scale.  Output lands in
+    [1, Tp, D], exactly the layout the proj matmul wants."""
+    tp = qkv_ref.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
+    mask = col < valid_len
+    d = num_heads * head_dim
+    for h in range(num_heads):
+        q = qkv_ref[0, :, h * head_dim:(h + 1) * head_dim]
+        k = qkv_ref[0, :, d + h * head_dim:d + (h + 1) * head_dim]
+        v = qkv_ref[0, :, 2 * d + h * head_dim:2 * d + (h + 1) * head_dim]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        logits = jnp.where(mask, logits, -1e30)
+        weights = jax.nn.softmax(logits, axis=-1)
+        out = jnp.dot(weights.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32)
+        o_ref[0, :, h * head_dim:(h + 1) * head_dim] = out.astype(o_ref.dtype)
+
+
+def _forward_qkv(qkv, num_heads: int, *, interpret: bool = False):
+    """qkv: [B, T, 3D] fused projection -> attention output [B, T, D]."""
+    b, t, d3 = qkv.shape
+    d = d3 // 3
+    head_dim = d // num_heads
+    tp = _round_up(t, 128)
+    scale = float(head_dim) ** -0.5
+    qkv = jnp.pad(qkv, ((0, 0), (0, tp - t), (0, 0)))
+    kernel = functools.partial(_attn_qkv_kernel, scale=scale, valid_len=t,
+                               num_heads=num_heads, head_dim=head_dim)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, tp, d3), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, tp, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, tp, d), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * num_heads * tp * tp * head_dim,
+            bytes_accessed=4 * b * tp * d * qkv.dtype.itemsize,
+            transcendentals=b * num_heads * tp * tp),
+        interpret=interpret,
+    )(qkv)
+    return out[:, :t, :]
+
+
+def _qkv_dense_reference(qkv, num_heads: int):
+    b, t, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // num_heads
+    parts = qkv.reshape(b, t, 3, num_heads, dh)
+    out = _dense_reference(parts[:, :, 0], parts[:, :, 1], parts[:, :, 2])
+    return out.reshape(b, t, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def fused_attention_qkv(qkv, num_heads: int, interpret: bool = False):
+    """Zero-transpose fused attention on the [B, T, 3D] QKV projection."""
+    return _forward_qkv(qkv, num_heads, interpret=interpret)
+
+
+def _qkv_fwd(qkv, num_heads, interpret):
+    return _forward_qkv(qkv, num_heads, interpret=interpret), (qkv,)
+
+
+def _qkv_bwd(num_heads, interpret, res, g):
+    (qkv,) = res
+    _, vjp = jax.vjp(lambda x: _qkv_dense_reference(x, num_heads), qkv)
+    return vjp(g)
+
+
+fused_attention_qkv.defvjp(_qkv_fwd, _qkv_bwd)
+
+
 def _dense_reference(q, k, v):
     """Dense einsum attention (the non-Pallas path and VJP recompute)."""
     d = q.shape[-1]

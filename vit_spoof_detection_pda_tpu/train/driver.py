@@ -62,53 +62,94 @@ def make_eval_prep_fn():
     return run
 
 
-def train_from_config(cfg: Config, *, mesh=None, records=None,
-                      max_steps_per_epoch: Optional[int] = None):
-    """Run the full training lifecycle; returns the best-metrics dict."""
-    if records is None:
-        records = scan_augmented(cfg.data.data_root)
+def _make_online_data(cfg: Config, mesh):
+    """Online differential augmentation: raw store -> expanded severity
+    groups -> per-batch on-device augment+normalize (train/online.py)."""
+    import jax.numpy as jnp
+
+    from ..augment.policy import CHAINS
+    from ..data.manifest import scan_raw
+    from ..ops.augment import apply_chain, color_jitter, composed_geometric, \
+        random_erasing
+    from .online import OnlineAugmentedData
+
+    records = scan_raw(cfg.augment.input_dir)
     if not records:
         raise FileNotFoundError(
-            f"no images found under {cfg.data.data_root} "
-            "(expected live/ and spoof/ subdirectories)")
+            f"online augmentation: no images under {cfg.augment.input_dir}")
     records = shard_for_host(records)
     counts = class_counts(records)
-    log.info("dataset: %d images (spoof=%d live=%d)", len(records),
-             counts[0], counts[1])
-
     train_recs, val_recs = stratified_split(
         records, cfg.data.train_split, cfg.data.split_seed)
 
-    aug_on = cfg.train_aug.enabled
-    train_pipe = DataPipeline(
-        train_recs, batch_size=cfg.data.batch_size,
-        img_size=cfg.train_aug.resize_to if aug_on else cfg.data.img_size,
-        resize="shorter" if aug_on else "exact",
+    data = OnlineAugmentedData(
+        train_recs, live_mult=cfg.augment.live_augmentations,
+        spoof_mult=cfg.augment.spoof_augmentations,
+        batch_size=cfg.data.batch_size, img_size=cfg.data.img_size,
         num_workers=cfg.data.num_workers,
-        prefetch_depth=cfg.data.prefetch_depth,
-        shuffle=True, drop_last=cfg.data.drop_last_train, seed=cfg.seed)
+        prefetch_depth=cfg.data.prefetch_depth, seed=cfg.seed)
+
+    ta = cfg.train_aug
+    b, c, s, hh = ta.color_jitter
+    # originals get the train-time aug (sans crop: inputs are already
+    # img_size); severity copies get their tier chain — one aug pass per
+    # batch either way
+    orig_chain = [
+        lambda k, im: composed_geometric(
+            k, im, hflip_p=ta.hflip_prob, rotation=(ta.rotation_deg, 1.0)),
+        lambda k, im: color_jitter(k, im, b, c, s, hh, p=1.0),
+        lambda k, im: random_erasing(k, im, p=ta.random_erase_prob),
+    ]
+    chains = {"orig": orig_chain}
+    for g in ("heavy", "medium", "light"):
+        chains[g] = CHAINS[g]()
+
+    augfns = {}
+    for g, chain in chains.items():
+        def make(chain):
+            @jax.jit
+            def run(key, u8):
+                x = I.to_float(u8)
+                x = apply_chain(key, x, chain)
+                return I.normalize(x).astype(jnp.float32)
+            return run
+        augfns[g] = make(chain)
+
+    base_key = jax.random.PRNGKey(cfg.seed + 2)
+
+    def train_batches(epoch):
+        ekey = jax.random.fold_in(base_key, epoch)
+        for i, (g, batch) in enumerate(data.batches(epoch)):
+            img = augfns[g](jax.random.fold_in(ekey, i),
+                            jnp.asarray(batch["image"]))
+            yield {"image": img, "label": batch["label"]}
+
+    return train_batches, val_recs, data.steps_per_epoch, counts
+
+
+def _run_training(cfg: Config, train_batches, val_recs, steps, counts,
+                  mesh, max_steps_per_epoch):
+    """Shared tail: val pipeline, model build, checkpoints, Trainer."""
     val_pipe = DataPipeline(
         val_recs, batch_size=cfg.data.eval_batch_size,
         img_size=cfg.data.img_size, resize="exact",
         num_workers=cfg.data.num_workers, drop_last=False)
-
-    aug_fn = make_train_aug_fn(cfg)
     prep_fn = make_eval_prep_fn()
-    base_key = jax.random.PRNGKey(cfg.seed + 1)
-
-    def train_batches(epoch):
-        ekey = jax.random.fold_in(base_key, epoch)
-        for i, b in enumerate(train_pipe.batches(epoch)):
-            if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
-                break
-            img = aug_fn(jax.random.fold_in(ekey, i),
-                         jnp.asarray(b["image"]))
-            yield {"image": img, "label": b["label"]}
 
     def val_batches():
         for b in val_pipe.batches():
             yield {"image": prep_fn(jnp.asarray(b["image"])),
                    "label": b["label"]}
+
+    if max_steps_per_epoch is not None:
+        steps = min(steps, max_steps_per_epoch)
+        inner = train_batches
+
+        def train_batches(epoch):                     # noqa: F811
+            for i, item in enumerate(inner(epoch)):
+                if i >= max_steps_per_epoch:
+                    break
+                yield item
 
     from ..models.vit import ViTAntiSpoof
 
@@ -134,17 +175,58 @@ def train_from_config(cfg: Config, *, mesh=None, records=None,
         best_metric=cfg.checkpoint.keep_best_by,
         save_every_epochs=cfg.checkpoint.save_every_epochs)
 
-    steps = train_pipe.steps_per_epoch
-    if max_steps_per_epoch is not None:
-        steps = min(steps, max_steps_per_epoch)
-
     trainer = Trainer(
         cfg, module,
         train_batches=train_batches, val_batches=val_batches,
         steps_per_epoch=steps,
         class_counts=counts,
-        variables=variables if cfg.model.pretrained_path else None,
+        variables=variables,
         mesh=mesh, checkpoints=ckpt)
     best = trainer.fit()
     log.info("training done: best %s", best)
     return best, trainer
+
+
+def train_from_config(cfg: Config, *, mesh=None, records=None,
+                      max_steps_per_epoch: Optional[int] = None):
+    """Run the full training lifecycle; returns the best-metrics dict."""
+    if cfg.augment.online:
+        train_batches, val_recs, steps, counts = _make_online_data(cfg, mesh)
+        return _run_training(cfg, train_batches, val_recs, steps, counts,
+                             mesh, max_steps_per_epoch)
+    if records is None:
+        records = scan_augmented(cfg.data.data_root)
+    if not records:
+        raise FileNotFoundError(
+            f"no images found under {cfg.data.data_root} "
+            "(expected live/ and spoof/ subdirectories)")
+    records = shard_for_host(records)
+    counts = class_counts(records)
+    log.info("dataset: %d images (spoof=%d live=%d)", len(records),
+             counts[0], counts[1])
+
+    train_recs, val_recs = stratified_split(
+        records, cfg.data.train_split, cfg.data.split_seed)
+
+    aug_on = cfg.train_aug.enabled
+    train_pipe = DataPipeline(
+        train_recs, batch_size=cfg.data.batch_size,
+        img_size=cfg.train_aug.resize_to if aug_on else cfg.data.img_size,
+        resize="shorter" if aug_on else "exact",
+        num_workers=cfg.data.num_workers,
+        prefetch_depth=cfg.data.prefetch_depth,
+        shuffle=True, drop_last=cfg.data.drop_last_train, seed=cfg.seed)
+
+    aug_fn = make_train_aug_fn(cfg)
+    base_key = jax.random.PRNGKey(cfg.seed + 1)
+
+    def train_batches(epoch):
+        ekey = jax.random.fold_in(base_key, epoch)
+        for i, b in enumerate(train_pipe.batches(epoch)):
+            img = aug_fn(jax.random.fold_in(ekey, i),
+                         jnp.asarray(b["image"]))
+            yield {"image": img, "label": b["label"]}
+
+    return _run_training(cfg, train_batches, val_recs,
+                         train_pipe.steps_per_epoch, counts, mesh,
+                         max_steps_per_epoch)

@@ -1,0 +1,81 @@
+"""Online differential augmentation feeding training directly.
+
+The offline pipeline materializes ~118k JPEGs and re-decodes them every
+epoch (reference augment_data.py -> train_advanced.py).  Online mode
+skips the disk entirely: the raw manifest is EXPANDED record-wise —
+each live record appears 1 + live_mult times, each spoof 1 + spoof_mult
+times, every copy tagged with its severity tier (the same first-third
+heavy / middle medium / rest light schedule, augment_data.py:188-194) —
+and augmentation happens on device en route to the train step.
+
+Batches are grouped BY severity tier so every batch runs exactly one
+compiled chain with static shapes (a per-sample severity switch would
+execute all tiers for all samples under vmap); the group batch streams
+interleave in a seeded random order each epoch, so the optimizer sees a
+shuffled mix.  Fresh augmentation parameters are drawn every epoch —
+strictly more augmentation diversity than the reference's frozen
+materialized copies.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Iterator, List, Sequence
+
+import numpy as np
+
+from ..augment.policy import severity_for_copy
+from ..data.loader import DataPipeline
+from ..data.manifest import Record
+
+log = logging.getLogger(__name__)
+
+GROUPS = ("orig", "heavy", "medium", "light")
+
+
+def expand_records(records: Sequence[Record], live_mult: int,
+                   spoof_mult: int) -> dict:
+    """{group: [Record, ...]} with the differential fan-out applied."""
+    groups = {g: [] for g in GROUPS}
+    for r in records:
+        groups["orig"].append(r)
+        n = live_mult if r.label == 1 else spoof_mult
+        for i in range(n):
+            groups[severity_for_copy(i, n)].append(r)
+    return groups
+
+
+class OnlineAugmentedData:
+    """Epoch iterator over severity-homogeneous augmented batches."""
+
+    def __init__(self, records: Sequence[Record], *, live_mult: int = 8,
+                 spoof_mult: int = 2, batch_size: int = 128,
+                 img_size: int = 224, num_workers: int = 8,
+                 prefetch_depth: int = 4, seed: int = 42):
+        self.groups = expand_records(records, live_mult, spoof_mult)
+        self.seed = seed
+        self.pipes = {
+            g: DataPipeline(rs, batch_size=batch_size, img_size=img_size,
+                            resize="exact", num_workers=num_workers,
+                            prefetch_depth=prefetch_depth, shuffle=True,
+                            drop_last=True, seed=seed + j)
+            for j, (g, rs) in enumerate(self.groups.items()) if rs
+        }
+
+    @property
+    def steps_per_epoch(self) -> int:
+        return sum(p.steps_per_epoch for p in self.pipes.values())
+
+    def batches(self, epoch: int) -> Iterator[tuple]:
+        """Yield (group, {"image": u8, "label": i32}) in a seeded
+        interleaved order."""
+        order: List[str] = []
+        for g, p in self.pipes.items():
+            order.extend([g] * p.steps_per_epoch)
+        np.random.default_rng(self.seed + 977 * epoch).shuffle(order)
+        iters = {g: p.batches(epoch) for g, p in self.pipes.items()}
+        for g in order:
+            try:
+                yield g, next(iters[g])
+            except StopIteration:  # pragma: no cover - drop_last guards
+                continue
