@@ -31,9 +31,11 @@ def make_infer_fn(module, *, has_batch_stats: bool = False,
 
     @jax.jit
     def infer(variables, batch_u8):
-        x = I.to_float(batch_u8)
         if normalize:
-            x = I.normalize(x)
+            # fused u8 -> bf16 normalize: one HBM pass (ops/image.py)
+            x = I.normalize_u8_fused(batch_u8)
+        else:
+            x = I.to_float(batch_u8)
         logits = module.apply(variables, x)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         return {"prob1": probs[:, 1], "pred": jnp.argmax(logits, axis=-1)}
