@@ -157,3 +157,35 @@ def test_golden_replay_full_writer(reference_root, tmp_path, model):
     for fld in ("mean", "std", "min", "max"):
         assert summary["score_statistics"][fld] == pytest.approx(
             want["score_statistics"][fld], abs=1e-6)
+
+
+def test_normalize_u8_fused_matches_two_pass():
+    """The fused single-pass normalize must equal to_float+normalize."""
+    import jax.numpy as jnp
+    from vit_spoof_detection_pda_tpu.ops import image as I
+    rng = np.random.default_rng(9)
+    u8 = jnp.asarray(rng.integers(0, 256, (2, 8, 8, 3), dtype=np.uint8))
+    want = np.asarray(I.normalize(I.to_float(u8)))
+    got32 = np.asarray(I.normalize_u8_fused(u8, dtype=jnp.float32))
+    np.testing.assert_allclose(got32, want, atol=1e-6)
+    got16 = np.asarray(I.normalize_u8_fused(u8, dtype=jnp.bfloat16),
+                       dtype=np.float32)
+    # within one bf16 ulp at the normalized magnitudes (|x| < ~2.7)
+    np.testing.assert_allclose(got16, want, atol=0.011)
+
+
+def test_infer_fn_accepts_float01_batches():
+    """Float [0,1] inputs must take the classic normalize path, not the
+    0-255-scale fused affine."""
+    import jax
+    import jax.numpy as jnp
+    from vit_spoof_detection_pda_tpu.eval.runner import make_infer_fn
+    mod = BrightnessNet()
+    variables = {"params": {"dummy": jnp.zeros((1,))}}
+    infer = make_infer_fn(mod)
+    rng = np.random.default_rng(10)
+    u8 = rng.integers(0, 256, (4, 8, 8, 3), dtype=np.uint8)
+    f01 = (u8.astype(np.float32) / 255.0)
+    out_u8 = np.asarray(infer(variables, jnp.asarray(u8))["prob1"])
+    out_f = np.asarray(infer(variables, jnp.asarray(f01))["prob1"])
+    np.testing.assert_allclose(out_u8, out_f, atol=1e-5)

@@ -24,18 +24,26 @@ from ..ops import image as I
 log = logging.getLogger(__name__)
 
 
-def make_infer_fn(module, *, has_batch_stats: bool = False,
-                  normalize: bool = True):
-    """One fused program: uint8 -> float -> ImageNet-normalize -> model ->
-    softmax scores."""
+def make_infer_fn(module, *, normalize: bool = True,
+                  input_dtype=jnp.float32):
+    """One fused program: image batch -> ImageNet-normalize -> model ->
+    softmax scores.
+
+    uint8 batches take the single-pass fused normalize; float batches
+    (already in [0,1]) take the classic to_float+normalize path — same
+    numbers either way in `input_dtype` (f32 default keeps eval scores
+    bit-comparable with the torch-parity validation; pass bf16 only for
+    throughput-oriented serving, see bench.py)."""
 
     @jax.jit
-    def infer(variables, batch_u8):
+    def infer(variables, batch):
         if normalize:
-            # fused u8 -> bf16 normalize: one HBM pass (ops/image.py)
-            x = I.normalize_u8_fused(batch_u8)
+            if batch.dtype == jnp.uint8:
+                x = I.normalize_u8_fused(batch, dtype=input_dtype)
+            else:
+                x = I.normalize(I.to_float(batch)).astype(input_dtype)
         else:
-            x = I.to_float(batch_u8)
+            x = I.to_float(batch)
         logits = module.apply(variables, x)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         return {"prob1": probs[:, 1], "pred": jnp.argmax(logits, axis=-1)}
