@@ -97,3 +97,23 @@ def test_dispatcher_help(capsys):
         assert dispatch() == 1
     finally:
         sys.argv = old
+
+
+def test_test_cli_loads_orbax_checkpoint(workspace):
+    """The checkpoint written by the train CLI must load through the
+    test CLI (Orbax dir -> eval artifacts)."""
+    from vit_spoof_detection_pda_tpu.cli.test import main
+    metrics = main([
+        "--checkpoint", str(workspace / "ckpts"),
+        "--set", f'data.test_root="{workspace / "test"}"',
+        "--set", f'eval.output_dir="{workspace / "test_out"}"',
+        "--set", "eval.batch_size=6",
+        "--set", "data.img_size=32",
+        "--set", "model.embed_dim=64",
+        "--set", "model.depth=1",
+        "--set", "model.num_heads=2",
+        "--set", "model.head_hidden=16",
+        "--no-plots",
+    ])
+    assert 0.0 <= metrics["accuracy"] <= 1.0
+    assert any((workspace / "test_out").glob("test_metrics_*.csv"))

@@ -24,10 +24,26 @@ def main(argv=None):
     setup_logging()
     cfg = resolve_config(args)
 
+    import os
+
     ckpt = args.checkpoint or cfg.eval.checkpoint_path
-    module, variables = build_model(
-        "Custom_ViT_FineTuned", checkpoint_path=ckpt,
-        dropout=cfg.model.dropout, dtype=jnp.bfloat16)
+    if ckpt and os.path.isdir(ckpt):
+        # Orbax checkpoint directory written by our own Trainer
+        from ..models.vit import ViTAntiSpoof
+        from ..utils.checkpoint import load_params_from_dir
+
+        module = ViTAntiSpoof(
+            patch_size=cfg.model.patch_size, embed_dim=cfg.model.embed_dim,
+            depth=cfg.model.depth, num_heads=cfg.model.num_heads,
+            mlp_ratio=cfg.model.mlp_ratio, hidden=cfg.model.head_hidden,
+            num_classes=cfg.model.num_classes, dropout=cfg.model.dropout,
+            dtype=jnp.bfloat16)
+        variables, step = load_params_from_dir(ckpt)
+        print(f"loaded orbax checkpoint step {step} from {ckpt}")
+    else:
+        module, variables = build_model(
+            "Custom_ViT_FineTuned", checkpoint_path=ckpt,
+            dropout=cfg.model.dropout, dtype=jnp.bfloat16)
 
     records = scan_test(cfg.data.test_root)
     metrics, paths = run_single_model_eval(

@@ -161,14 +161,88 @@ def fused_attention_qkv(qkv, num_heads: int, interpret: bool = False):
     return _forward_qkv(qkv, num_heads, interpret=interpret)
 
 
+def _attn_qkv_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, scale: float,
+                         valid_len: int, num_heads: int, head_dim: int):
+    """Backward in VMEM: recompute weights per head, then
+    dv = w^T g, dw = g v^T, dl = w*(dw - rowsum(dw*w)), dq = dl k * s,
+    dk = dl^T q * s.  Padded-query rows carry zero cotangent (g is
+    zero-padded) so they contribute nothing; masked key columns have
+    w == 0 hence dl == 0 — no extra masking needed beyond the forward's.
+    """
+    tp = qkv_ref.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
+    mask = col < valid_len
+    d = num_heads * head_dim
+    for h in range(num_heads):
+        sl_q = slice(h * head_dim, (h + 1) * head_dim)
+        sl_k = slice(d + h * head_dim, d + (h + 1) * head_dim)
+        sl_v = slice(2 * d + h * head_dim, 2 * d + (h + 1) * head_dim)
+        q = qkv_ref[0, :, sl_q]
+        k = qkv_ref[0, :, sl_k]
+        v = qkv_ref[0, :, sl_v]
+        g = g_ref[0, :, sl_q].astype(jnp.float32)
+
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        logits = jnp.where(mask, logits, -1e30)
+        w = jax.nn.softmax(logits, axis=-1)                  # [Tp, Tp] f32
+
+        dv = jax.lax.dot_general(                            # w^T @ g
+            w, g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dw = jax.lax.dot_general(                            # g @ v^T
+            g, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dl = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
+        dq = jnp.dot(dl, k.astype(jnp.float32),
+                     preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(                            # dl^T @ q
+            dl, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+
+        dqkv_ref[0, :, sl_q] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, sl_k] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, sl_v] = dv.astype(dqkv_ref.dtype)
+
+
+def _backward_qkv(qkv, g, num_heads: int, *, interpret: bool = False):
+    b, t, d3 = qkv.shape
+    d = d3 // 3
+    head_dim = d // num_heads
+    tp = _round_up(t, 128)
+    scale = float(head_dim) ** -0.5
+    qkv_p = jnp.pad(qkv, ((0, 0), (0, tp - t), (0, 0)))
+    g_p = jnp.pad(g, ((0, 0), (0, tp - t), (0, 0)))
+    kernel = functools.partial(_attn_qkv_bwd_kernel, scale=scale,
+                               valid_len=t, num_heads=num_heads,
+                               head_dim=head_dim)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, tp, d3), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, tp, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, tp, d3), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, tp, d3), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * b * num_heads * tp * tp * head_dim,
+            bytes_accessed=8 * b * tp * d * qkv.dtype.itemsize,
+            transcendentals=b * num_heads * tp * tp),
+        interpret=interpret,
+    )(qkv_p, g_p)
+    return out[:, :t, :]
+
+
 def _qkv_fwd(qkv, num_heads, interpret):
     return _forward_qkv(qkv, num_heads, interpret=interpret), (qkv,)
 
 
 def _qkv_bwd(num_heads, interpret, res, g):
     (qkv,) = res
-    _, vjp = jax.vjp(lambda x: _qkv_dense_reference(x, num_heads), qkv)
-    return vjp(g)
+    return (_backward_qkv(qkv, g, num_heads, interpret=interpret),)
 
 
 fused_attention_qkv.defvjp(_qkv_fwd, _qkv_bwd)

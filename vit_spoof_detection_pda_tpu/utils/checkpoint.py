@@ -106,6 +106,31 @@ class CheckpointManager:
         self._mgr.close()
 
 
+def load_params_from_dir(directory: str, step: Optional[int] = None):
+    """Load just the model params (and batch_stats if present) from an
+    Orbax checkpoint directory written by :class:`CheckpointManager`,
+    without needing the TrainState template — the bridge that lets the
+    eval/benchmark CLIs consume checkpoints produced by training."""
+    directory = os.path.abspath(directory)
+    mgr = ocp.CheckpointManager(
+        directory,
+        options=ocp.CheckpointManagerOptions(enable_async_checkpointing=False))
+    try:
+        if step is None:
+            step = mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {directory}")
+        restored = mgr.restore(
+            step, args=ocp.args.Composite(tree=ocp.args.PyTreeRestore()))
+        tree = restored["tree"]["state"]
+        variables = {"params": tree["params"]}
+        if "batch_stats" in tree:
+            variables["batch_stats"] = tree["batch_stats"]
+        return variables, int(step)
+    finally:
+        mgr.close()
+
+
 def _state_tree(state) -> dict:
     tree = {
         "step": state.step,
