@@ -15,9 +15,8 @@ from __future__ import annotations
 
 import concurrent.futures as futures
 import logging
-import os
 from pathlib import Path
-from typing import Iterable, Iterator, Optional, Tuple
+from typing import Iterable, Iterator, Tuple
 
 import jax
 import jax.numpy as jnp

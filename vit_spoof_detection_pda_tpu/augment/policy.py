@@ -24,8 +24,7 @@ comparable either way.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, List, Sequence
+from typing import Callable, List
 
 import jax
 

@@ -21,7 +21,6 @@ forward-pass HBM traffic is where the win is at this scale).
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

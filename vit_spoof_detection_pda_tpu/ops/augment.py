@@ -24,7 +24,6 @@ angle ~ U[-deg, deg], etc. (SURVEY.md §7 hard part #4).
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Sequence, Tuple
 
@@ -32,7 +31,6 @@ import jax
 import jax.numpy as jnp
 
 from . import warp
-from .image import IMAGENET_MEAN, IMAGENET_STD
 
 # --------------------------------------------------------------------------
 # helpers

@@ -15,7 +15,6 @@ data layer (each host feeds its local shard of the batch).
 from __future__ import annotations
 
 import re
-from typing import Optional
 
 import jax
 import numpy as np

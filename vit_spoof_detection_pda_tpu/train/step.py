@@ -14,14 +14,13 @@ per-batch host sync.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding
 
-from ..parallel.mesh import batch_spec, param_specs
+from ..parallel.mesh import batch_spec
 
 
 def make_train_step(loss_fn: Callable, *, has_batch_stats: bool = False,
