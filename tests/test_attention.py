@@ -82,3 +82,40 @@ def test_fused_attention_qkv_grad_matches_dense():
     gd = jax.grad(lambda x: jnp.sum(_qkv_dense_reference(x, 2) ** 2))(qkv)
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gd),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_sharded_attention_context_on_mesh():
+    """Under a multi-device data mesh the Trainer enables the shard_map-
+    wrapped Pallas path; outputs must match single-device dense."""
+    from vit_spoof_detection_pda_tpu.ops import attention as att
+    from vit_spoof_detection_pda_tpu.parallel import make_mesh, shard_batch
+    from vit_spoof_detection_pda_tpu.models.vit import ViT
+
+    m = ViT(patch_size=8, embed_dim=64, depth=1, num_heads=2)
+    variables = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    x = np.random.default_rng(0).standard_normal(
+        (16, 32, 32, 3)).astype(np.float32)
+    want = np.asarray(m.apply(variables, jnp.asarray(x)))
+
+    mesh = make_mesh()     # 8 x 1
+    before = att._context["pallas_calls"]
+    with mesh, att.attention_sharding(mesh=mesh, interpret=True):
+        xb = shard_batch({"image": x}, mesh)["image"]
+        got = np.asarray(jax.jit(
+            lambda v, x: m.apply(v, x))(variables, xb))
+    assert att._context["pallas_calls"] > before, "pallas path not taken"
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+def test_sharded_attention_tp_mesh_falls_back_dense():
+    from vit_spoof_detection_pda_tpu.ops import attention as att
+    from vit_spoof_detection_pda_tpu.parallel import make_mesh
+
+    mesh = make_mesh(data=4, model=2)
+    qkv = jnp.zeros((4, 8, 3 * 16))
+    before = att._context["pallas_calls"]
+    with att.attention_sharding(mesh=mesh, interpret=True):
+        out = att.dispatch_attention_qkv(
+            qkv, 2, lambda x: jnp.zeros((4, 8, 16)))
+    assert out.shape == (4, 8, 16)
+    assert att._context["pallas_calls"] == before  # dense fallback

@@ -54,44 +54,34 @@ def dot_product_attention(q, k, v, *, dtype=jnp.float32,
     return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
 
 
-def _pallas_attention_ok() -> bool:
-    """Default gate for the Pallas attention path: TPU backend AND a
-    single device.  Under a multi-device pjit mesh, GSPMD cannot
-    partition a pallas_call (it would replicate operands silently), so
-    multi-chip runs take the dense einsum path until the kernel is
-    wrapped in shard_map (future round)."""
-    return jax.default_backend() == "tpu" and jax.device_count() == 1
-
-
 class Attention(nn.Module):
     """Multi-head self-attention with fused QKV projection.
 
-    On a single TPU the fused [B,T,3D] QKV tensor feeds the Pallas kernel
-    directly (head slicing happens in VMEM) — zero relayout between the
-    two projections; elsewhere the dense einsum path reshapes heads.
-    `use_pallas` overrides the auto gate."""
+    Implementation choice is delegated to
+    `ops.attention.dispatch_attention_qkv`: Pallas kernel on a single
+    TPU, shard_map-wrapped Pallas under a multi-device data-parallel
+    mesh (set via `ops.attention.attention_sharding`, which the Trainer
+    enters), dense einsum everywhere else."""
 
     num_heads: int
     dtype: Dtype = jnp.float32
-    use_pallas: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x):
         d = x.shape[-1]
         dh = d // self.num_heads
         qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(x)  # [B,T,3D]
-        use_pallas = (self.use_pallas if self.use_pallas is not None
-                      else _pallas_attention_ok())
-        if use_pallas:
-            from ..ops.attention import fused_attention_qkv
-            out = fused_attention_qkv(qkv, self.num_heads)
-        else:
+
+        def dense(qkv):
             parts = qkv.reshape(x.shape[0], x.shape[1], 3,
                                 self.num_heads, dh)
             q, k, v = parts[:, :, 0], parts[:, :, 1], parts[:, :, 2]
             out = dot_product_attention(q, k, v, dtype=self.dtype,
                                         use_fused=False)
-            out = out.reshape(x.shape[0], x.shape[1], d)
+            return out.reshape(x.shape[0], x.shape[1], d)
+
+        from ..ops.attention import dispatch_attention_qkv
+        out = dispatch_attention_qkv(qkv, self.num_heads, dense)
         return nn.Dense(d, dtype=self.dtype, name="proj")(out)
 
 

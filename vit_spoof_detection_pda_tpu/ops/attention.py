@@ -20,6 +20,7 @@ forward-pass HBM traffic is where the win is at this scale).
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -245,6 +246,63 @@ def _qkv_bwd(num_heads, interpret, res, g):
 
 
 fused_attention_qkv.defvjp(_qkv_fwd, _qkv_bwd)
+
+
+# --------------------------------------------------------------------------
+# Dispatch: how models pick an attention implementation
+# --------------------------------------------------------------------------
+
+_context = {"mesh": None, "interpret": False, "pallas_calls": 0}
+
+
+@contextlib.contextmanager
+def attention_sharding(mesh=None, interpret: bool = False):
+    """Context enabling the Pallas kernel under a multi-device mesh.
+
+    GSPMD cannot partition a pallas_call, so under pjit with >1 device
+    the kernel must be wrapped in `jax.shard_map` over the data axis —
+    which needs the mesh object.  The Trainer enters this context around
+    training so model code (which has no mesh handle) can dispatch
+    correctly at trace time.  `interpret=True` lets CPU tests exercise
+    the sharded kernel path.
+    """
+    prev = dict(_context)
+    _context.update(mesh=mesh, interpret=interpret)
+    try:
+        yield
+    finally:
+        _context.update(mesh=prev["mesh"], interpret=prev["interpret"])
+
+
+def dispatch_attention_qkv(qkv, num_heads: int, dense_fallback):
+    """Pick the best attention path for the fused [B, T, 3D] projection:
+
+    1. multi-device mesh in context (model axis unsharded) -> shard_map
+       around the Pallas kernel over the data axis,
+    2. single-device TPU (or interpret context) -> plain Pallas kernel,
+    3. otherwise -> `dense_fallback(qkv)`.
+    """
+    mesh = _context["mesh"]
+    interpret = _context["interpret"]
+    on_tpu = jax.default_backend() == "tpu"
+
+    if mesh is not None and (on_tpu or interpret):
+        from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+        if dict(zip(mesh.axis_names, mesh.devices.shape)).get(
+                MODEL_AXIS, 1) != 1:
+            return dense_fallback(qkv)   # TP shards 3D dim: dense path
+        _context["pallas_calls"] += 1
+        from jax.sharding import PartitionSpec as P
+        f = jax.shard_map(
+            lambda x: fused_attention_qkv(x, num_heads, interpret),
+            mesh=mesh, in_specs=P(DATA_AXIS, None, None),
+            out_specs=P(DATA_AXIS, None, None), check_vma=False)
+        return f(qkv)
+
+    if interpret or (on_tpu and jax.device_count() == 1):
+        _context["pallas_calls"] += 1
+        return fused_attention_qkv(qkv, num_heads, interpret)
+    return dense_fallback(qkv)
 
 
 def _dense_reference(q, k, v):

@@ -107,6 +107,17 @@ class Trainer:
                                 cfg.early_stop.mode)
         best = {"val_f1": -1.0, "epoch": -1}
         from ..utils.profiling import profile_trace
+        import contextlib
+
+        from ..ops.attention import attention_sharding
+        fit_ctx = (attention_sharding(mesh=self.mesh)
+                   if self.mesh.devices.size > 1
+                   else contextlib.nullcontext())
+        with contextlib.ExitStack() as stack:
+            stack.enter_context(fit_ctx)
+            return self._fit_loop(cfg, stopper, best, profile_trace)
+
+    def _fit_loop(self, cfg, stopper, best, profile_trace):
         for epoch in range(cfg.optim.num_epochs):
             t0 = time.time()
             # capture a profiler trace of the first epoch when configured
