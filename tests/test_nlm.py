@@ -76,3 +76,26 @@ def test_batched_and_preprocess_integration():
     pre = preprocess_eval(jnp.asarray(u8), size=16, denoise=True)
     assert pre.shape == (2, 16, 16, 3)
     assert np.isfinite(np.asarray(pre)).all()
+
+
+def test_pallas_kernel_matches_xla(monkeypatch):
+    """Pallas NLM (interpret mode) must match the XLA implementation."""
+    from vit_spoof_detection_pda_tpu.ops.nlm_pallas import nlm_denoise_pallas
+    rng = np.random.default_rng(3)
+    img = rng.random((12, 14, 3)).astype(np.float32)
+    want = np.asarray(fast_nlm_denoise(
+        jnp.asarray(img), h=0.2, sigma=0.05, search_radius=2,
+        patch_radius=1, use_pallas=False))
+    got = np.asarray(nlm_denoise_pallas(
+        jnp.asarray(img), h=0.2, sigma=0.05, search_radius=2,
+        patch_radius=1, interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+    # batched
+    batch = rng.random((2, 12, 14, 3)).astype(np.float32)
+    wantb = np.asarray(fast_nlm_denoise(
+        jnp.asarray(batch), h=0.2, sigma=0.05, search_radius=2,
+        patch_radius=1, use_pallas=False))
+    gotb = np.asarray(nlm_denoise_pallas(
+        jnp.asarray(batch), h=0.2, sigma=0.05, search_radius=2,
+        patch_radius=1, interpret=True))
+    np.testing.assert_allclose(gotb, wantb, atol=1e-4)

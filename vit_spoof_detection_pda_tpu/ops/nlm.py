@@ -67,13 +67,25 @@ def _nlm_hwc(img, h: float, sigma: float, search_radius: int,
 
 
 def fast_nlm_denoise(img, *, h: float = 0.1, sigma: float = 0.04,
-                     search_radius: int = 5, patch_radius: int = 1):
+                     search_radius: int = 5, patch_radius: int = 1,
+                     use_pallas=None, interpret: bool = False):
     """Denoise NHWC or HWC float [0,1] images.
 
     Defaults (11x11 search, 3x3 patches) balance quality against the
     O((2r+1)^2) cost; h and sigma are in [0,1] intensity units
     (h=0.1 ~ "h=25" in 8-bit conventions).
+
+    On TPU the Pallas kernel runs the whole offset loop in VMEM (the XLA
+    spelling streams ~(2r+1)^2 full-image intermediates through HBM);
+    set use_pallas=False to force the XLA path.
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas or interpret:
+        from .nlm_pallas import nlm_denoise_pallas
+        return nlm_denoise_pallas(
+            img, h=h, sigma=sigma, search_radius=search_radius,
+            patch_radius=patch_radius, interpret=interpret)
     if img.ndim == 3:
         return _nlm_hwc(img, h, sigma, search_radius, patch_radius)
     return jax.vmap(
