@@ -25,6 +25,11 @@ ITERS = 20
 
 def main():
     import jax
+
+    # persistent compilation cache: the remote TPU compiler costs
+    # minutes per full-model compile; cache across runs
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     import jax.numpy as jnp
 
     from vit_spoof_detection_pda_tpu.models.vit import ViTAntiSpoof

@@ -133,3 +133,12 @@ def test_figures_generate_from_reference_tree(results_tree, tmp_path):
                 "augmentation_grid", "augmentation_2x2"):
         assert key in made, (key, figs.get(key))
         assert (tmp_path / "figs").glob("*.png")
+
+
+def test_benchmark_cli_smoke(tmp_path):
+    """benchmark CLI runs end-to-end on a tiny placeholder model."""
+    from vit_spoof_detection_pda_tpu.cli.benchmark import main
+    out = main(["--model", "SigNet_F", "--batch-size", "4", "--iters", "2",
+                "--set", "data.img_size=64"])
+    assert out["images_per_second"] > 0
+    assert out["batch_size"] == 4
