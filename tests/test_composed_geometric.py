@@ -81,3 +81,16 @@ def test_chains_still_batch_compile():
         out = np.asarray(aug(jax.random.PRNGKey(0), batch))
         assert out.shape == batch.shape
         assert np.isfinite(out).all()
+
+
+def test_packed_sampler_never_extrapolates():
+    """Border coords within 1px outside the frame must edge-clamp, not
+    linearly extrapolate out of the value range (review finding)."""
+    img = _img(9, 8, 8)
+    ys, xs = warp._dest_grid(8, 8)
+    out = np.asarray(warp.bilinear_sample_packed(
+        jnp.asarray(img), ys + 0.7, xs + 0.7))   # pushes past last row/col
+    assert out.min() >= -1e-6 and out.max() <= 1 + 1e-6
+    out2 = np.asarray(warp.bilinear_sample_packed(
+        jnp.asarray(img), ys - 0.7, xs - 0.7))
+    assert out2.min() >= -1e-6 and out2.max() <= 1 + 1e-6

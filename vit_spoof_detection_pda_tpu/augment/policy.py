@@ -99,7 +99,7 @@ def differential_plan(live_augmentations: int = 8,
     return plan
 
 
-def train_time_chain(resize_to: int = 256, crop_size: int = 224,
+def train_time_chain(resize_to: int = 256, crop_size=224,
                      hflip_prob: float = 0.5,
                      color_jitter=(0.2, 0.2, 0.2, 0.1),
                      rotation_deg: float = 10.0,
@@ -114,13 +114,16 @@ def train_time_chain(resize_to: int = 256, crop_size: int = 224,
     erased patch differs by the channel mean — a documented deviation.
     """
     b, c, s, h = color_jitter
-    return [
-        lambda k, im: A.random_crop(k, im, crop_size),
+    chain = []
+    if crop_size is not None:      # None: inputs already at target size
+        chain.append(lambda k, im: A.random_crop(k, im, crop_size))
+    chain += [
         lambda k, im: A.composed_geometric(
             k, im, hflip_p=hflip_prob, rotation=(rotation_deg, 1.0)),
         lambda k, im: A.color_jitter(k, im, b, c, s, h, p=1.0),
         lambda k, im: A.random_erasing(k, im, p=random_erase_prob),
     ]
+    return chain
 
 
 def make_batch_augmenter(level_or_chain, jit: bool = True):

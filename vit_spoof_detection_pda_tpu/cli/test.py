@@ -29,15 +29,10 @@ def main(argv=None):
     ckpt = args.checkpoint or cfg.eval.checkpoint_path
     if ckpt and os.path.isdir(ckpt):
         # Orbax checkpoint directory written by our own Trainer
-        from ..models.vit import ViTAntiSpoof
+        from ..models.registry import build_vit_from_config
         from ..utils.checkpoint import load_params_from_dir
 
-        module = ViTAntiSpoof(
-            patch_size=cfg.model.patch_size, embed_dim=cfg.model.embed_dim,
-            depth=cfg.model.depth, num_heads=cfg.model.num_heads,
-            mlp_ratio=cfg.model.mlp_ratio, hidden=cfg.model.head_hidden,
-            num_classes=cfg.model.num_classes, dropout=cfg.model.dropout,
-            dtype=jnp.bfloat16)
+        module = build_vit_from_config(cfg.model, jnp.bfloat16)
         variables, step = load_params_from_dir(ckpt)
         print(f"loaded orbax checkpoint step {step} from {ckpt}")
     else:

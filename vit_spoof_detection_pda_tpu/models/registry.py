@@ -47,6 +47,18 @@ def _build_vit_antispoof(dropout: float = 0.1, dtype=jnp.float32, **kw):
     return ViTAntiSpoof(dropout=dropout, dtype=dtype)
 
 
+def build_vit_from_config(model_cfg, dtype=jnp.float32) -> ViTAntiSpoof:
+    """One source of truth for mapping a ModelConfig onto ViTAntiSpoof
+    (used by the train driver AND the eval CLIs — a new architecture
+    field only needs wiring here)."""
+    return ViTAntiSpoof(
+        patch_size=model_cfg.patch_size, embed_dim=model_cfg.embed_dim,
+        depth=model_cfg.depth, num_heads=model_cfg.num_heads,
+        mlp_ratio=model_cfg.mlp_ratio, hidden=model_cfg.head_hidden,
+        num_classes=model_cfg.num_classes, dropout=model_cfg.dropout,
+        dtype=dtype)
+
+
 def _build_vit_linear(dtype=jnp.float32, **kw):
     return ViTLinearHead(dtype=dtype)
 

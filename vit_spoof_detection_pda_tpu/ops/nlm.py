@@ -79,8 +79,14 @@ def fast_nlm_denoise(img, *, h: float = 0.1, sigma: float = 0.04,
     spelling streams ~(2r+1)^2 full-image intermediates through HBM);
     set use_pallas=False to force the XLA path.
     """
+    hh, ww = (img.shape[0], img.shape[1]) if img.ndim == 3 else \
+        (img.shape[1], img.shape[2])
+    # VMEM gate: the kernel keeps image + padded copy + accumulators +
+    # HxH/WxW band matrices resident (~6 image-sized f32 buffers + bands);
+    # larger frames must take the HBM-streaming XLA path
+    fits_vmem = (hh * ww * 3 * 4 * 6 + (hh * hh + ww * ww) * 4) < 8 * 2**20
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = jax.default_backend() == "tpu" and fits_vmem
     if use_pallas or interpret:
         from .nlm_pallas import nlm_denoise_pallas
         return nlm_denoise_pallas(

@@ -56,9 +56,10 @@ def bilinear_sample_packed(img, ys, xs, *, tap_dtype=None, fill: float = 0.0):
     `tap_dtype=jnp.bfloat16` halves gather bandwidth; tap values then
     carry ~3 decimal digits — indistinguishable after the uint8/JPEG
     quantization the augmented images land in.  Interpolation weights
-    stay f32.  Out-of-bounds pixels fill with `fill` (whole-pixel mask:
-    within one pixel of the border this differs from per-tap zero-fill
-    by the partial-coverage blend — irrelevant for augmentation).
+    stay f32.  Out-of-bounds pixels fill with `fill`; coords within one
+    pixel of the frame edge-clamp rather than partial-coverage fade (the
+    naive per-tap sampler fades to fill there) — values always stay in
+    the source range, never extrapolated.
     """
     h, w = img.shape[0], img.shape[1]
     c = img.shape[2]
@@ -74,9 +75,11 @@ def bilinear_sample_packed(img, ys, xs, *, tap_dtype=None, fill: float = 0.0):
     y0i = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 2)
     x0i = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 2)
     # weights relative to the CLIPPED base so edge pixels pick the right
-    # tap (e.g. x = w-1 -> base w-2, wx = 1 -> the 'right' tap)
-    wy = (ys - y0i)[..., None]
-    wx = (xs - x0i)[..., None]
+    # tap (e.g. x = w-1 -> base w-2, wx = 1 -> the 'right' tap); CLAMPED
+    # to [0,1] so coords within 1px outside the frame edge-clamp instead
+    # of linearly extrapolating out of the value range
+    wy = jnp.clip(ys - y0i, 0.0, 1.0)[..., None]
+    wx = jnp.clip(xs - x0i, 0.0, 1.0)[..., None]
     taps = jnp.take(pack, y0i * w + x0i, axis=0)
     v00 = taps[..., 0:c].astype(jnp.float32)
     v01 = taps[..., c:2 * c].astype(jnp.float32)

@@ -61,15 +61,12 @@ def make_eval_prep_fn():
     return run
 
 
-def _make_online_data(cfg: Config, mesh):
+def _make_online_data(cfg: Config):
     """Online differential augmentation: raw store -> expanded severity
     groups -> per-batch on-device augment+normalize (train/online.py)."""
-    import jax.numpy as jnp
-
     from ..augment.policy import CHAINS
     from ..data.manifest import scan_raw
-    from ..ops.augment import apply_chain, color_jitter, composed_geometric, \
-        random_erasing
+    from ..ops.augment import apply_chain
     from .online import OnlineAugmentedData
 
     records = scan_raw(cfg.augment.input_dir)
@@ -77,7 +74,6 @@ def _make_online_data(cfg: Config, mesh):
         raise FileNotFoundError(
             f"online augmentation: no images under {cfg.augment.input_dir}")
     records = shard_for_host(records)
-    counts = class_counts(records)
     train_recs, val_recs = stratified_split(
         records, cfg.data.train_split, cfg.data.split_seed)
 
@@ -88,17 +84,21 @@ def _make_online_data(cfg: Config, mesh):
         num_workers=cfg.data.num_workers,
         prefetch_depth=cfg.data.prefetch_depth, seed=cfg.seed)
 
+    # class weights must reflect the stream the loss actually sees — the
+    # EXPANDED differential fan-out, not the raw store (live x9 / spoof x3
+    # with the default multipliers)
+    expanded = [r for rs in data.groups.values() for r in rs]
+    counts = class_counts(expanded)
+
     ta = cfg.train_aug
-    b, c, s, hh = ta.color_jitter
     # originals get the train-time aug (sans crop: inputs are already
-    # img_size); severity copies get their tier chain — one aug pass per
-    # batch either way
-    orig_chain = [
-        lambda k, im: composed_geometric(
-            k, im, hflip_p=ta.hflip_prob, rotation=(ta.rotation_deg, 1.0)),
-        lambda k, im: color_jitter(k, im, b, c, s, hh, p=1.0),
-        lambda k, im: random_erasing(k, im, p=ta.random_erase_prob),
-    ]
+    # img_size) unless train_aug is disabled; severity copies get their
+    # tier chain — one aug pass per batch either way
+    orig_chain = (train_time_chain(
+        crop_size=None, hflip_prob=ta.hflip_prob,
+        color_jitter=ta.color_jitter, rotation_deg=ta.rotation_deg,
+        random_erase_prob=ta.random_erase_prob)
+        if ta.enabled else [])
     chains = {"orig": orig_chain}
     for g in ("heavy", "medium", "light"):
         chains[g] = CHAINS[g]()
@@ -150,16 +150,11 @@ def _run_training(cfg: Config, train_batches, val_recs, steps, counts,
                     break
                 yield item
 
-    from ..models.vit import ViTAntiSpoof
+    from ..models.registry import build_vit_from_config
 
     dtype = (jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16"
              else jnp.float32)
-    module = ViTAntiSpoof(
-        patch_size=cfg.model.patch_size, embed_dim=cfg.model.embed_dim,
-        depth=cfg.model.depth, num_heads=cfg.model.num_heads,
-        mlp_ratio=cfg.model.mlp_ratio, hidden=cfg.model.head_hidden,
-        num_classes=cfg.model.num_classes, dropout=cfg.model.dropout,
-        dtype=dtype)
+    module = build_vit_from_config(cfg.model, dtype)
     variables = None
     if cfg.model.pretrained_path:
         # reuse the registry's weight-resolution path for the flagship
@@ -190,7 +185,7 @@ def train_from_config(cfg: Config, *, mesh=None, records=None,
                       max_steps_per_epoch: Optional[int] = None):
     """Run the full training lifecycle; returns the best-metrics dict."""
     if cfg.augment.online:
-        train_batches, val_recs, steps, counts = _make_online_data(cfg, mesh)
+        train_batches, val_recs, steps, counts = _make_online_data(cfg)
         return _run_training(cfg, train_batches, val_recs, steps, counts,
                              mesh, max_steps_per_epoch)
     if records is None:

@@ -113,8 +113,7 @@ class Trainer:
         fit_ctx = (attention_sharding(mesh=self.mesh)
                    if self.mesh.devices.size > 1
                    else contextlib.nullcontext())
-        with contextlib.ExitStack() as stack:
-            stack.enter_context(fit_ctx)
+        with fit_ctx:
             return self._fit_loop(cfg, stopper, best, profile_trace)
 
     def _fit_loop(self, cfg, stopper, best, profile_trace):
