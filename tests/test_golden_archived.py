@@ -70,3 +70,25 @@ def test_roc_curve_file_replay(reference_root, model):
     np.testing.assert_allclose(tpr, want_tpr, atol=1e-12)
     np.testing.assert_allclose(thr[1:], want_thr[1:], atol=1e-9)
     assert np.isinf(thr[0]) and np.isinf(want_thr[0])
+
+
+def test_simple_baseline_counts_replay(reference_root):
+    """The simple baseline's test_metrics.csv stores both raw confusion
+    counts and derived metrics — our device-side derivations must
+    reproduce the derived columns from the counts
+    (reference simple/results/test_metrics.csv)."""
+    import jax.numpy as jnp
+
+    from vit_spoof_detection_pda_tpu.metrics.device import (
+        binary_metrics_from_counts)
+
+    with open(reference_root / "simple" / "results" /
+              "test_metrics.csv") as f:
+        want = next(csv.DictReader(f))
+    got = binary_metrics_from_counts(
+        jnp.asarray(int(want["tp"])), jnp.asarray(int(want["tn"])),
+        jnp.asarray(int(want["fp"])), jnp.asarray(int(want["fn"])))
+    for field in ("accuracy", "precision", "recall", "f1_score",
+                  "specificity", "npv", "ppv", "far", "frr"):
+        assert float(got[field]) == pytest.approx(
+            float(want[field]), abs=2e-7), field
