@@ -273,7 +273,18 @@ class Config(_Base):
                 overrides[path] = json.loads(raw)
             except json.JSONDecodeError:
                 overrides[path] = raw
-        return self.with_overrides(overrides) if overrides else self
+        out = self
+        for path, value in overrides.items():
+            try:
+                out = _set_path(out, path.split("."), value)
+            except (AttributeError, TypeError):
+                # the env namespace is shared — an unrelated PAD_* var must
+                # not crash config construction (with_overrides stays strict)
+                import logging
+                logging.getLogger(__name__).warning(
+                    "ignoring env override %s%s: no config field %r",
+                    prefix, path.replace(".", "__").upper(), path)
+        return out
 
 
 # --------------------------------------------------------------------------

@@ -21,9 +21,22 @@ converters work without torch at runtime (torch is only needed to
 
 from __future__ import annotations
 
-from typing import Mapping
+import logging
+from typing import Callable, Mapping
 
 import numpy as np
+
+log = logging.getLogger(__name__)
+
+# Sentinel leaf marking a tensor absent from the source state dict when
+# converting in tolerant mode (torch load_state_dict(strict=False)
+# semantics, reference evaluate_all_models.py:300).  Strict mode (the
+# default) raises KeyError instead.
+MISSING = "<missing>"
+
+
+class _tolerant:
+    flag = False
 
 
 def _np(x) -> np.ndarray:
@@ -33,28 +46,83 @@ def _np(x) -> np.ndarray:
     return np.ascontiguousarray(np.asarray(x), dtype=np.float32)
 
 
+def _leaf(sd, key):
+    try:
+        return _np(sd[key])
+    except KeyError:
+        if _tolerant.flag:
+            return MISSING
+        raise
+
+
 def _linear(sd, name):
     """torch Linear -> flax Dense: kernel is transposed weight."""
-    return {"kernel": _np(sd[f"{name}.weight"]).T,
-            "bias": _np(sd[f"{name}.bias"])}
+    w = _leaf(sd, f"{name}.weight")
+    return {"kernel": w if w is MISSING else w.T,
+            "bias": _leaf(sd, f"{name}.bias")}
 
 
 def _layernorm(sd, name):
-    return {"scale": _np(sd[f"{name}.weight"]),
-            "bias": _np(sd[f"{name}.bias"])}
+    return {"scale": _leaf(sd, f"{name}.weight"),
+            "bias": _leaf(sd, f"{name}.bias")}
 
 
 def _conv(sd, name):
     """torch Conv2d [O,I,kh,kw] -> flax Conv [kh,kw,I,O]."""
-    return {"kernel": _np(sd[f"{name}.weight"]).transpose(2, 3, 1, 0)}
+    w = _leaf(sd, f"{name}.weight")
+    return {"kernel": w if w is MISSING else w.transpose(2, 3, 1, 0)}
 
 
 def _bn(sd, name):
     return (
-        {"scale": _np(sd[f"{name}.weight"]), "bias": _np(sd[f"{name}.bias"])},
-        {"mean": _np(sd[f"{name}.running_mean"]),
-         "var": _np(sd[f"{name}.running_var"])},
+        {"scale": _leaf(sd, f"{name}.weight"),
+         "bias": _leaf(sd, f"{name}.bias")},
+        {"mean": _leaf(sd, f"{name}.running_mean"),
+         "var": _leaf(sd, f"{name}.running_var")},
     )
+
+
+def convert_partial(converter: Callable, sd: Mapping, init_variables,
+                    **kwargs):
+    """Run `converter` with ``load_state_dict(strict=False)`` semantics.
+
+    Keys present in `sd` are converted; tensors the state dict lacks keep
+    their values from `init_variables` (the module's own init); unexpected
+    state-dict keys are ignored — exactly what the reference relies on
+    when loading the published checkpoint (evaluate_all_models.py:300)
+    and what `ignore_mismatched_sizes` papers over in its HF loader.
+
+    Returns ``(variables, missing_paths)``; missing paths are logged.
+    """
+    _tolerant.flag = True
+    try:
+        converted = converter(sd, **kwargs)
+    finally:
+        _tolerant.flag = False
+    variables, missing = _merge_missing(converted, init_variables)
+    if missing:
+        log.warning("partial weight load: %d tensors missing from state "
+                    "dict kept their init values: %s", len(missing),
+                    ", ".join(missing[:8]) + ("..." if len(missing) > 8
+                                              else ""))
+    return variables, missing
+
+
+def _merge_missing(converted, init, path=""):
+    if converted is MISSING:
+        if init is None:
+            raise KeyError(f"state dict missing {path} and no init value "
+                           "available")
+        return init, [path]
+    if isinstance(converted, dict):
+        out, missing = {}, []
+        for k, v in converted.items():
+            sub_init = init.get(k) if isinstance(init, Mapping) else None
+            out[k], m = _merge_missing(v, sub_init, f"{path}/{k}" if path
+                                       else str(k))
+            missing += m
+        return out, missing
+    return converted, []
 
 
 # --------------------------------------------------------------------------
@@ -70,15 +138,15 @@ def vit_backbone_from_timm(sd: Mapping, prefix: str = "", depth: int = 12):
     (ph, pw, c) order — exactly the order `ViT.__call__` flattens patches.
     """
     p = prefix
-    conv_w = _np(sd[f"{p}patch_embed.proj.weight"])      # [D, C, ph, pw]
-    d = conv_w.shape[0]
-    patch_kernel = conv_w.transpose(2, 3, 1, 0).reshape(-1, d)
+    conv_w = _leaf(sd, f"{p}patch_embed.proj.weight")    # [D, C, ph, pw]
+    patch_kernel = (conv_w if conv_w is MISSING else
+                    conv_w.transpose(2, 3, 1, 0).reshape(-1, conv_w.shape[0]))
 
     params = {
         "patch_embed": {"kernel": patch_kernel,
-                        "bias": _np(sd[f"{p}patch_embed.proj.bias"])},
-        "cls_token": _np(sd[f"{p}cls_token"]),
-        "pos_embed": _np(sd[f"{p}pos_embed"]),
+                        "bias": _leaf(sd, f"{p}patch_embed.proj.bias")},
+        "cls_token": _leaf(sd, f"{p}cls_token"),
+        "pos_embed": _leaf(sd, f"{p}pos_embed"),
         "norm": _layernorm(sd, f"{p}norm"),
     }
     for i in range(depth):
@@ -102,30 +170,34 @@ def vit_backbone_from_hf(sd: Mapping, prefix: str = "", depth: int = 12):
     heads as (H, Dh) in the same order).
     """
     p = prefix
-    conv_w = _np(sd[f"{p}embeddings.patch_embeddings.projection.weight"])
-    d = conv_w.shape[0]
+    conv_w = _leaf(sd, f"{p}embeddings.patch_embeddings.projection.weight")
     params = {
         "patch_embed": {
-            "kernel": conv_w.transpose(2, 3, 1, 0).reshape(-1, d),
-            "bias": _np(sd[f"{p}embeddings.patch_embeddings.projection.bias"]),
+            "kernel": (conv_w if conv_w is MISSING else
+                       conv_w.transpose(2, 3, 1, 0).reshape(
+                           -1, conv_w.shape[0])),
+            "bias": _leaf(sd,
+                          f"{p}embeddings.patch_embeddings.projection.bias"),
         },
-        "cls_token": _np(sd[f"{p}embeddings.cls_token"]),
-        "pos_embed": _np(sd[f"{p}embeddings.position_embeddings"]),
+        "cls_token": _leaf(sd, f"{p}embeddings.cls_token"),
+        "pos_embed": _leaf(sd, f"{p}embeddings.position_embeddings"),
         "norm": _layernorm(sd, f"{p}layernorm"),
     }
     for i in range(depth):
         b = f"{p}encoder.layer.{i}"
-        qw = _np(sd[f"{b}.attention.attention.query.weight"])
-        kw = _np(sd[f"{b}.attention.attention.key.weight"])
-        vw = _np(sd[f"{b}.attention.attention.value.weight"])
-        qb = _np(sd[f"{b}.attention.attention.query.bias"])
-        kb = _np(sd[f"{b}.attention.attention.key.bias"])
-        vb = _np(sd[f"{b}.attention.attention.value.bias"])
+        wparts = [_leaf(sd, f"{b}.attention.attention.{x}.weight")
+                  for x in ("query", "key", "value")]
+        bparts = [_leaf(sd, f"{b}.attention.attention.{x}.bias")
+                  for x in ("query", "key", "value")]
         params[f"block{i}"] = {
             "norm1": _layernorm(sd, f"{b}.layernorm_before"),
             "attn": {
-                "qkv": {"kernel": np.concatenate([qw, kw, vw], axis=0).T,
-                        "bias": np.concatenate([qb, kb, vb], axis=0)},
+                "qkv": {"kernel": (MISSING if any(w is MISSING
+                                                  for w in wparts) else
+                                   np.concatenate(wparts, axis=0).T),
+                        "bias": (MISSING if any(b_ is MISSING
+                                                for b_ in bparts) else
+                                 np.concatenate(bparts, axis=0))},
                 "proj": _linear(sd, f"{b}.attention.output.dense"),
             },
             "norm2": _layernorm(sd, f"{b}.layernorm_after"),

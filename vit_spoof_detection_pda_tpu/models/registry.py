@@ -121,7 +121,19 @@ def build_model(name: str, *, checkpoint_path: Optional[str] = None,
     path = checkpoint_path if entry.weights == "checkpoint" else pretrained_path
     if path and os.path.exists(path) and entry.weight_converter:
         sd = _load_state_dict(path)
-        variables = entry.weight_converter(sd)
+        try:
+            variables = entry.weight_converter(sd)
+        except KeyError:
+            # torch load_state_dict(strict=False) semantics, as the
+            # reference uses for the published checkpoint
+            # (evaluate_all_models.py:300): convert what is present, keep
+            # init values for the rest, warn.
+            init = module.init(jax.random.PRNGKey(seed),
+                               jnp.zeros((1, 224, 224, 3), jnp.float32))
+            variables, missing = convert.convert_partial(
+                entry.weight_converter, sd, init)
+            log.warning("%s: state dict at %s was incomplete; %d tensors "
+                        "kept init values", name, path, len(missing))
         variables = jax.tree.map(jnp.asarray, variables)
         log.info("loaded %s weights from %s", name, path)
     else:
