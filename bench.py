@@ -32,19 +32,21 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
     import jax.numpy as jnp
 
-    from vit_spoof_detection_pda_tpu.models.vit import ViTAntiSpoof
-    from vit_spoof_detection_pda_tpu.ops import image as I
+    from vit_spoof_detection_pda_tpu.models.vit import (
+        ViTAntiSpoof, fold_normalization)
 
     module = ViTAntiSpoof(dtype=jnp.bfloat16)
     variables = module.init(jax.random.PRNGKey(0),
                             jnp.zeros((1, 224, 224, 3), jnp.float32))
+    # ImageNet normalization folded into the patch-embed GEMM: the model
+    # consumes raw uint8, no separate normalize pass over the image.
+    variables = fold_normalization(variables)
 
     @jax.jit
     def infer(params, batch_u8):
-        # fused u8 -> bf16 normalize (one HBM pass), P(live) as the
-        # sigmoid of the logit difference (== softmax column 1)
-        x = I.normalize_u8_fused(batch_u8)
-        logits = module.apply({"params": params}, x).astype(jnp.float32)
+        # P(live) as the sigmoid of the logit difference (== softmax col 1)
+        logits = module.apply({"params": params}, batch_u8).astype(
+            jnp.float32)
         return jax.nn.sigmoid(logits[:, 1] - logits[:, 0])
 
     rng = np.random.default_rng(0)
@@ -56,6 +58,11 @@ def main():
     # force a host fetch to bound each measurement.
     for _ in range(WARMUP):
         np.asarray(infer(params, batch))
+
+    from vit_spoof_detection_pda_tpu.ops import attention as _att
+    assert _att._context["pallas_calls"] > 0, (
+        "benchmark silently fell back to dense attention — the headline "
+        "number would not measure the Pallas path")
 
     times = []
     for _ in range(3):

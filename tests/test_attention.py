@@ -119,3 +119,45 @@ def test_sharded_attention_tp_mesh_falls_back_dense():
             qkv, 2, lambda x: jnp.zeros((4, 8, 16)))
     assert out.shape == (4, 8, 16)
     assert att._context["pallas_calls"] == before  # dense fallback
+
+
+def test_fused_attention_qkv_grad_matches_dense_even_batch():
+    """Even batch exercises the block_b=2 kernel path (round-2 blocking)."""
+    import jax
+    from vit_spoof_detection_pda_tpu.ops import attention as att
+    rng = np.random.default_rng(11)
+    qkv = jnp.asarray(rng.standard_normal((4, 197, 3 * 64)).astype(np.float32))
+
+    def loss_fused(x):
+        return jnp.sum(att.fused_attention_qkv(x, 4, True) ** 2)
+
+    def loss_dense(x):
+        return jnp.sum(att._qkv_dense_reference(x, 4) ** 2)
+
+    gf = jax.grad(loss_fused)(qkv)
+    gd = jax.grad(loss_dense)(qkv)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gd),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_fold_normalization_matches_normalize_path():
+    """fold_normalization(variables) on raw uint8 == normalize -> model,
+    in f32 (the exactness claim in its docstring)."""
+    import jax
+    from vit_spoof_detection_pda_tpu.models.vit import (
+        ViTAntiSpoof, fold_normalization)
+    from vit_spoof_detection_pda_tpu.ops import image as I
+
+    m = ViTAntiSpoof(patch_size=16, embed_dim=64, depth=2, num_heads=2,
+                     hidden=16)
+    variables = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    folded = fold_normalization(variables)
+    u8 = jnp.asarray(np.random.default_rng(1).integers(
+        0, 256, (2, 32, 32, 3), dtype=np.uint8))
+    want = np.asarray(m.apply(variables, I.normalize(I.to_float(u8))))
+    got = np.asarray(m.apply(folded, u8.astype(jnp.float32)))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+    # original variables untouched
+    assert not np.array_equal(
+        np.asarray(folded["params"]["vit"]["patch_embed"]["kernel"]),
+        np.asarray(variables["params"]["vit"]["patch_embed"]["kernel"]))

@@ -189,3 +189,33 @@ def test_infer_fn_accepts_float01_batches():
     out_u8 = np.asarray(infer(variables, jnp.asarray(u8))["prob1"])
     out_f = np.asarray(infer(variables, jnp.asarray(f01))["prob1"])
     np.testing.assert_allclose(out_u8, out_f, atol=1e-5)
+
+
+def test_run_inference_on_mesh_takes_pallas_path(tmp_path):
+    """Multi-device eval must dispatch the shard_map-wrapped Pallas
+    attention (not silently fall back to dense) and match the
+    single-device scores (VERDICT round-1 weak #4)."""
+    import jax
+    from vit_spoof_detection_pda_tpu.models.vit import ViTAntiSpoof
+    from vit_spoof_detection_pda_tpu.ops import attention as att
+    from vit_spoof_detection_pda_tpu.parallel import make_mesh
+
+    make_subject_tree(tmp_path, subjects=2, per_class=4, size=32)
+    records = scan_test(str(tmp_path))
+    mod = ViTAntiSpoof(patch_size=16, embed_dim=64, depth=1, num_heads=2,
+                       hidden=16)
+    variables = mod.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+
+    single = run_inference(mod, variables, records, batch_size=8,
+                           img_size=32)
+    mesh = make_mesh(data=8, model=1)
+    before = att._context["pallas_calls"]
+    sharded = run_inference(mod, variables, records, batch_size=8,
+                            img_size=32, mesh=mesh, interpret=True)
+    assert att._context["pallas_calls"] > before, "dense fallback engaged"
+    np.testing.assert_allclose(sharded["prob1"], single["prob1"],
+                               atol=2e-5)
+
+    with pytest.raises(ValueError, match="not divisible"):
+        run_inference(mod, variables, records, batch_size=6, img_size=32,
+                      mesh=mesh, interpret=True)

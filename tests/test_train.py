@@ -194,3 +194,47 @@ def test_sweep_driver_runs():
     assert results[0].metric == max(r.metric for r in results)
     # exploit phase samples near the best explore result
     assert 5e-5 <= results[0].overrides["optim.learning_rate"] <= 5e-4
+
+
+def test_validate_emits_reference_wandb_key_set(tmp_path):
+    """validate() must produce the reference's FULL per-phase W&B block
+    (train_advanced.py:411-427), the complete optimal-threshold block
+    (:449-462), and stream the threshold_sweep/* series (:267-275)."""
+    import json
+
+    images, labels = _synthetic(64, seed=3)
+
+    def val_batches():
+        for i in range(0, 64, 32):
+            yield {"image": images[i:i + 32], "label": labels[i:i + 32]}
+
+    cfg = Config().with_overrides({
+        "data.img_size": 16,
+        "telemetry.jsonl_path": str(tmp_path / "m.jsonl"),
+    })
+    trainer = Trainer(cfg, TinyNet(),
+                      train_batches=lambda e: iter(()),
+                      val_batches=val_batches, steps_per_epoch=1)
+    out = trainer.validate(epoch=0)
+
+    base_block = {  # wandb.log block, train_advanced.py:411-427
+        "loss", "accuracy", "precision", "recall", "f1", "auc",
+        "specificity", "npv", "tp", "tn", "fp", "fn", "far", "frr",
+        "epoch"}
+    optimal_block = {  # train_advanced.py:449-462
+        "optimal_threshold", "optimal_accuracy", "optimal_precision",
+        "optimal_recall", "optimal_f1", "optimal_specificity",
+        "optimal_far", "optimal_frr", "optimal_tp", "optimal_tn",
+        "optimal_fp", "optimal_fn"}
+    assert set(out) == base_block | optimal_block, (
+        sorted(base_block | optimal_block - set(out)))
+    assert all(np.isfinite(v) for v in out.values())
+
+    # threshold sweep streamed with the reference's key names (:269-275)
+    sweep_keys = {"threshold_sweep/threshold", "threshold_sweep/accuracy",
+                  "threshold_sweep/precision", "threshold_sweep/recall",
+                  "threshold_sweep/f1"}
+    rows = [json.loads(l) for l in
+            (tmp_path / "m.jsonl").read_text().splitlines()]
+    sweep_rows = [r for r in rows if sweep_keys <= set(r)]
+    assert len(sweep_rows) == cfg.threshold.steps

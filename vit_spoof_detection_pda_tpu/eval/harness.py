@@ -60,7 +60,8 @@ def run_cross_model_eval(records: Sequence[Record], *, output_dir: str,
                          pretrained_paths: Optional[dict] = None,
                          model_names: Optional[Sequence[str]] = None,
                          batch_size: int = 32, img_size: int = 224,
-                         write_reports: bool = True) -> Dict[str, dict]:
+                         write_reports: bool = True, mesh=None,
+                         interpret: bool = False) -> Dict[str, dict]:
     """Evaluate every registry model on `records`; returns
     {model_name: summary_dict}."""
     outp = Path(output_dir)
@@ -76,7 +77,8 @@ def run_cross_model_eval(records: Sequence[Record], *, output_dir: str,
                 checkpoint_path=checkpoint_path,
                 pretrained_path=pretrained_paths.get(name))
             out = run_inference(module, variables, records,
-                                batch_size=batch_size, img_size=img_size)
+                                batch_size=batch_size, img_size=img_size,
+                                mesh=mesh, interpret=interpret)
             # canonical (1=live, P(live)=prob1? no: prob1 is softmax col 1).
             # Registry models emit 2-way logits where col 1's meaning
             # follows the training labels; canonical data labels are

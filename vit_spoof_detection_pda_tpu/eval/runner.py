@@ -10,8 +10,9 @@ shapes).
 
 from __future__ import annotations
 
+import contextlib
 import logging
-from typing import Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +26,7 @@ log = logging.getLogger(__name__)
 
 
 def make_infer_fn(module, *, normalize: bool = True,
-                  input_dtype=jnp.float32):
+                  input_dtype=jnp.float32, mesh=None):
     """One fused program: image batch -> ImageNet-normalize -> model ->
     softmax scores.
 
@@ -35,7 +36,6 @@ def make_infer_fn(module, *, normalize: bool = True,
     bit-comparable with the torch-parity validation; pass bf16 only for
     throughput-oriented serving, see bench.py)."""
 
-    @jax.jit
     def infer(variables, batch):
         if normalize:
             if batch.dtype == jnp.uint8:
@@ -48,33 +48,66 @@ def make_infer_fn(module, *, normalize: bool = True,
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         return {"prob1": probs[:, 1], "pred": jnp.argmax(logits, axis=-1)}
 
-    return infer
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+        from ..parallel.mesh import batch_spec
+        return jax.jit(infer, in_shardings=(
+            None, NamedSharding(mesh, batch_spec())))
+    return jax.jit(infer)
 
 
 def run_inference(module, variables, records: Sequence[Record], *,
                   batch_size: int = 128, img_size: int = 224,
-                  num_workers: int = 8, normalize: bool = True):
+                  num_workers: int = 8, normalize: bool = True,
+                  mesh=None, interpret: bool = False):
     """Returns dict of per-image arrays aligned with `records`:
-    labels (canonical 1=live), prob1 (= softmax column 1), pred."""
+    labels (canonical 1=live), prob1 (= softmax column 1), pred.
+
+    Multi-device: pass a (data,) mesh — or, on a multi-chip TPU backend,
+    one is built automatically over all devices — and batches shard over
+    the data axis with the Pallas attention kernel dispatched through
+    ``attention_sharding`` (GSPMD cannot partition a pallas_call, so the
+    sharded path must be requested at trace time; without this, eval on a
+    mesh would silently fall back to dense attention).  ``interpret=True``
+    exercises the same path on CPU meshes in tests.
+    """
+    if mesh is None and jax.default_backend() == "tpu" \
+            and jax.device_count() > 1:
+        from ..parallel.mesh import make_mesh
+        mesh = make_mesh(data=jax.device_count(), model=1)
+        log.info("eval: auto data-parallel mesh over %d devices",
+                 jax.device_count())
+    if mesh is not None:
+        n_data = int(np.prod(mesh.devices.shape))
+        if batch_size % n_data:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by the "
+                f"{n_data}-device eval mesh")
+
     pipe = DataPipeline(records, batch_size=batch_size, img_size=img_size,
                         resize="exact", num_workers=num_workers,
                         shuffle=False, drop_last=False)
-    infer = make_infer_fn(module, normalize=normalize)
+    infer = make_infer_fn(module, normalize=normalize, mesh=mesh)
 
     n = len(records)
     prob1 = np.zeros(n, np.float32)
     pred = np.zeros(n, np.int32)
     labels = np.asarray([r.label for r in records], np.int32)
 
-    for batch in pipe.batches():
-        imgs = batch["image"]
-        idx = batch["index"]
-        b = imgs.shape[0]
-        if b < batch_size:   # pad tail to the compiled shape
-            padp = np.zeros((batch_size - b,) + imgs.shape[1:], imgs.dtype)
-            imgs = np.concatenate([imgs, padp])
-        out = infer(variables, jnp.asarray(imgs))
-        prob1[idx] = np.asarray(out["prob1"])[:b]
-        pred[idx] = np.asarray(out["pred"])[:b]
+    from ..ops.attention import attention_sharding
+    ctx = (attention_sharding(mesh=mesh, interpret=interpret)
+           if mesh is not None else contextlib.nullcontext())
+    with ctx:
+        for batch in pipe.batches():
+            imgs = batch["image"]
+            idx = batch["index"]
+            b = imgs.shape[0]
+            if b < batch_size:   # pad tail to the compiled shape
+                padp = np.zeros((batch_size - b,) + imgs.shape[1:],
+                                imgs.dtype)
+                imgs = np.concatenate([imgs, padp])
+            out = infer(variables, jnp.asarray(imgs))
+            prob1[idx] = np.asarray(out["prob1"])[:b]
+            pred[idx] = np.asarray(out["pred"])[:b]
 
     return {"labels": labels, "prob1": prob1, "pred": pred}

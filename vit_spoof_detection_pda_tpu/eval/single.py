@@ -30,10 +30,11 @@ def run_single_model_eval(module, variables, records: Sequence[Record], *,
                           output_dir: str, batch_size: int = 128,
                           img_size: int = 224, threshold: float = 0.5,
                           checkpoint_name: str = "",
-                          write_plots: bool = True):
+                          write_plots: bool = True, mesh=None,
+                          interpret: bool = False):
     """Evaluate and write the full artifact set; returns (metrics, paths)."""
     out = run_inference(module, variables, records, batch_size=batch_size,
-                        img_size=img_size)
+                        img_size=img_size, mesh=mesh, interpret=interpret)
     y_true = out["labels"]
     y_prob = out["prob1"]           # P(live)
     y_pred = out["pred"]

@@ -208,6 +208,45 @@ class ViTAntiSpoof(nn.Module):
             feats.astype(jnp.float32), train=train)
 
 
+def fold_normalization(variables, *, mean=None, std=None,
+                       input_scale: float = 255.0):
+    """Fold ToTensor(/255) + ImageNet normalization into the patch-embed
+    GEMM weights, so the model consumes RAW uint8 (or [0,255] float)
+    images with NO separate normalize pass over the full-resolution
+    image (one less HBM sweep; the round-1 perf lever from
+    BENCH_NOTES.md).
+
+    For row i of the patch kernel (channel c = i % 3):
+      y = sum_i ((u_i/s - m_c)/sd_c) k_i + b
+        = sum_i u_i * k_i/(s*sd_c)  +  (b - sum_i (m_c/sd_c) k_i)
+
+    Exact in f32; under the bf16 policy re-rounding the scaled kernel
+    costs ~0.02 absolute on ViT-B logits (same order as the policy's own
+    noise).  Applies to any of the ViT-family models in this module
+    (params with a ``vit/patch_embed`` or top-level ``patch_embed``).
+    """
+    from ..ops.image import IMAGENET_MEAN, IMAGENET_STD
+    mean = jnp.asarray(IMAGENET_MEAN if mean is None else mean, jnp.float32)
+    std = jnp.asarray(IMAGENET_STD if std is None else std, jnp.float32)
+
+    params = dict(variables["params"])
+    inner = dict(params["vit"]) if "vit" in params else params
+    pe = inner["patch_embed"]
+    k = jnp.asarray(pe["kernel"], jnp.float32)          # [p*p*c, D]
+    b = jnp.asarray(pe["bias"], jnp.float32)
+    reps = k.shape[0] // mean.shape[0]                  # c is fastest
+    scale = jnp.tile(1.0 / (input_scale * std), reps)
+    shift = jnp.tile(mean / std, reps)
+    folded = {"kernel": (k * scale[:, None]).astype(pe["kernel"].dtype),
+              "bias": (b - shift @ k).astype(pe["bias"].dtype)}
+    inner["patch_embed"] = folded
+    if "vit" in params:
+        params["vit"] = inner
+    out = dict(variables)
+    out["params"] = params
+    return out
+
+
 class ViTLinearHead(nn.Module):
     """ViT + bare linear head on CLS — the "frozen/base ViT" ablation
     (HF ViTForImageClassification with num_labels=2, random head, no

@@ -95,28 +95,39 @@ def _forward(q, k, v, *, interpret: bool = False):
 
 
 def _attn_qkv_kernel(qkv_ref, o_ref, *, scale: float, valid_len: int,
-                     num_heads: int, head_dim: int):
-    """Input block [1, Tp, 3D] straight from the QKV matmul; head slices
-    are taken INSIDE VMEM (static column slices), so the wrapper does no
-    transposes at all — the [B,H,T,D] relayouts of the generic path cost
-    ~1 ms/layer of pure HBM traffic at ViT-B scale.  Output lands in
-    [1, Tp, D], exactly the layout the proj matmul wants."""
+                     num_heads: int, head_dim: int, block_b: int):
+    """Input block [block_b, Tp, 3D] straight from the QKV matmul; head
+    slices are taken INSIDE VMEM (static column slices), so the wrapper
+    does no transposes at all — the [B,H,T,D] relayouts of the generic
+    path cost ~1 ms/layer of pure HBM traffic at ViT-B scale.  Output
+    lands in [block_b, Tp, D], exactly the layout the proj matmul wants.
+
+    block_b batch items per grid program amortize per-program launch
+    overhead; measured on v5e at B=128: block_b 1 -> 1.57 ms, 2 -> 1.42
+    ms, 4 -> 1.64 ms per layer, so 2 ships (BENCH_NOTES.md round 2)."""
     tp = qkv_ref.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
     mask = col < valid_len
     d = num_heads * head_dim
-    for h in range(num_heads):
-        q = qkv_ref[0, :, h * head_dim:(h + 1) * head_dim]
-        k = qkv_ref[0, :, d + h * head_dim:d + (h + 1) * head_dim]
-        v = qkv_ref[0, :, 2 * d + h * head_dim:2 * d + (h + 1) * head_dim]
-        logits = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        logits = jnp.where(mask, logits, -1e30)
-        weights = jax.nn.softmax(logits, axis=-1)
-        out = jnp.dot(weights.astype(v.dtype), v,
-                      preferred_element_type=jnp.float32)
-        o_ref[0, :, h * head_dim:(h + 1) * head_dim] = out.astype(o_ref.dtype)
+    for bi in range(block_b):
+        for h in range(num_heads):
+            q = qkv_ref[bi, :, h * head_dim:(h + 1) * head_dim]
+            k = qkv_ref[bi, :, d + h * head_dim:d + (h + 1) * head_dim]
+            v = qkv_ref[bi, :,
+                        2 * d + h * head_dim:2 * d + (h + 1) * head_dim]
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            logits = jnp.where(mask, logits, -1e30)
+            weights = jax.nn.softmax(logits, axis=-1)
+            out = jnp.dot(weights.astype(v.dtype), v,
+                          preferred_element_type=jnp.float32)
+            o_ref[bi, :, h * head_dim:(h + 1) * head_dim] = (
+                out.astype(o_ref.dtype))
+
+
+def _block_b_for(b: int) -> int:
+    return 2 if b % 2 == 0 else 1
 
 
 def _forward_qkv(qkv, num_heads: int, *, interpret: bool = False):
@@ -126,15 +137,17 @@ def _forward_qkv(qkv, num_heads: int, *, interpret: bool = False):
     head_dim = d // num_heads
     tp = _round_up(t, 128)
     scale = float(head_dim) ** -0.5
+    block_b = _block_b_for(b)
     qkv = jnp.pad(qkv, ((0, 0), (0, tp - t), (0, 0)))
     kernel = functools.partial(_attn_qkv_kernel, scale=scale, valid_len=t,
-                               num_heads=num_heads, head_dim=head_dim)
+                               num_heads=num_heads, head_dim=head_dim,
+                               block_b=block_b)
     out = pl.pallas_call(
         kernel,
-        grid=(b,),
-        in_specs=[pl.BlockSpec((1, tp, d3), lambda i: (i, 0, 0),
+        grid=(b // block_b,),
+        in_specs=[pl.BlockSpec((block_b, tp, d3), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, tp, d), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((block_b, tp, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, tp, d), qkv.dtype),
         cost_estimate=pl.CostEstimate(
@@ -162,7 +175,8 @@ def fused_attention_qkv(qkv, num_heads: int, interpret: bool = False):
 
 
 def _attn_qkv_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, scale: float,
-                         valid_len: int, num_heads: int, head_dim: int):
+                         valid_len: int, num_heads: int, head_dim: int,
+                         block_b: int):
     """Backward in VMEM: recompute weights per head, then
     dv = w^T g, dw = g v^T, dl = w*(dw - rowsum(dw*w)), dq = dl k * s,
     dk = dl^T q * s.  Padded-query rows carry zero cotangent (g is
@@ -173,37 +187,38 @@ def _attn_qkv_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, scale: float,
     col = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
     mask = col < valid_len
     d = num_heads * head_dim
-    for h in range(num_heads):
-        sl_q = slice(h * head_dim, (h + 1) * head_dim)
-        sl_k = slice(d + h * head_dim, d + (h + 1) * head_dim)
-        sl_v = slice(2 * d + h * head_dim, 2 * d + (h + 1) * head_dim)
-        q = qkv_ref[0, :, sl_q]
-        k = qkv_ref[0, :, sl_k]
-        v = qkv_ref[0, :, sl_v]
-        g = g_ref[0, :, sl_q].astype(jnp.float32)
+    for bi in range(block_b):
+        for h in range(num_heads):
+            sl_q = slice(h * head_dim, (h + 1) * head_dim)
+            sl_k = slice(d + h * head_dim, d + (h + 1) * head_dim)
+            sl_v = slice(2 * d + h * head_dim, 2 * d + (h + 1) * head_dim)
+            q = qkv_ref[bi, :, sl_q]
+            k = qkv_ref[bi, :, sl_k]
+            v = qkv_ref[bi, :, sl_v]
+            g = g_ref[bi, :, sl_q].astype(jnp.float32)
 
-        logits = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        logits = jnp.where(mask, logits, -1e30)
-        w = jax.nn.softmax(logits, axis=-1)                  # [Tp, Tp] f32
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            logits = jnp.where(mask, logits, -1e30)
+            w = jax.nn.softmax(logits, axis=-1)              # [Tp, Tp] f32
 
-        dv = jax.lax.dot_general(                            # w^T @ g
-            w, g, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dw = jax.lax.dot_general(                            # g @ v^T
-            g, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dl = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
-        dq = jnp.dot(dl, k.astype(jnp.float32),
-                     preferred_element_type=jnp.float32) * scale
-        dk = jax.lax.dot_general(                            # dl^T @ q
-            dl, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
+            dv = jax.lax.dot_general(                        # w^T @ g
+                w, g, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dw = jax.lax.dot_general(                        # g @ v^T
+                g, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dl = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
+            dq = jnp.dot(dl, k.astype(jnp.float32),
+                         preferred_element_type=jnp.float32) * scale
+            dk = jax.lax.dot_general(                        # dl^T @ q
+                dl, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
 
-        dqkv_ref[0, :, sl_q] = dq.astype(dqkv_ref.dtype)
-        dqkv_ref[0, :, sl_k] = dk.astype(dqkv_ref.dtype)
-        dqkv_ref[0, :, sl_v] = dv.astype(dqkv_ref.dtype)
+            dqkv_ref[bi, :, sl_q] = dq.astype(dqkv_ref.dtype)
+            dqkv_ref[bi, :, sl_k] = dk.astype(dqkv_ref.dtype)
+            dqkv_ref[bi, :, sl_v] = dv.astype(dqkv_ref.dtype)
 
 
 def _backward_qkv(qkv, g, num_heads: int, *, interpret: bool = False):
@@ -212,19 +227,20 @@ def _backward_qkv(qkv, g, num_heads: int, *, interpret: bool = False):
     head_dim = d // num_heads
     tp = _round_up(t, 128)
     scale = float(head_dim) ** -0.5
+    block_b = _block_b_for(b)
     qkv_p = jnp.pad(qkv, ((0, 0), (0, tp - t), (0, 0)))
     g_p = jnp.pad(g, ((0, 0), (0, tp - t), (0, 0)))
     kernel = functools.partial(_attn_qkv_bwd_kernel, scale=scale,
                                valid_len=t, num_heads=num_heads,
-                               head_dim=head_dim)
+                               head_dim=head_dim, block_b=block_b)
     out = pl.pallas_call(
         kernel,
-        grid=(b,),
-        in_specs=[pl.BlockSpec((1, tp, d3), lambda i: (i, 0, 0),
+        grid=(b // block_b,),
+        in_specs=[pl.BlockSpec((block_b, tp, d3), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, tp, d), lambda i: (i, 0, 0),
+                  pl.BlockSpec((block_b, tp, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, tp, d3), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((block_b, tp, d3), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, tp, d3), qkv.dtype),
         cost_estimate=pl.CostEstimate(

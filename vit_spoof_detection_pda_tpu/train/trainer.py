@@ -92,6 +92,7 @@ class Trainer:
             module, tx, rng, input_shape=(1, size, size, 3),
             variables=variables)
         has_stats = self.state.batch_stats is not None
+        self._eval_loss = jax.jit(loss_fn)   # val loss (reference :387-391)
 
         self.train_step = make_train_step(
             loss_fn, has_batch_stats=has_stats, mesh=self.mesh)
@@ -123,10 +124,11 @@ class Trainer:
             with profile_trace(cfg.telemetry.profile_dir
                                if epoch == 0 else None):
                 train_metrics = self.train_epoch(epoch)
-            val_metrics = self.validate()
+            val_metrics = self.validate(epoch=epoch)
             epoch_summary = {
                 "epoch": epoch,
                 "epoch_time_s": time.time() - t0,
+                "train/epoch": epoch,
                 **{f"train/{k}": v for k, v in train_metrics.items()},
                 **{f"val/{k}": v for k, v in val_metrics.items()},
             }
@@ -197,13 +199,23 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
-    def validate(self):
-        """Eval pass + device-side metrics (reference validate,
-        train_advanced.py:368-472, minus the host sklearn round-trips)."""
+    def validate(self, epoch: Optional[int] = None):
+        """Eval pass + device-side metrics.
+
+        Emits the reference's FULL per-phase W&B block
+        (train_advanced.py:411-427: loss/accuracy/precision/recall/f1/auc/
+        specificity/npv/tp/tn/fp/fn/far/frr/epoch), the complete
+        optimal-threshold block (:449-462) and, through the MetricLogger,
+        the 41-point ``threshold_sweep/*`` series (:267-275) — all from
+        one device-side threshold table instead of host sklearn
+        round-trips.
+        """
         dsize = int(self.mesh.devices.shape[0])
         scores, labels = [], []
+        loss_sum, n_seen = 0.0, 0
         for batch in self.val_batches():
             images = jnp.asarray(batch["image"])
+            lbl = jnp.asarray(batch["label"])
             b = images.shape[0]
             # pad to a multiple of the data axis so the batch shards evenly
             target = -(-b // dsize) * dsize
@@ -213,32 +225,59 @@ class Trainer:
                 images = jnp.concatenate([images, pad])
             out = self.eval_step(self.state.params, self.state.batch_stats,
                                  images)
+            loss_sum += float(self._eval_loss(out["logits"][:b], lbl)) * b
+            n_seen += b
             scores.append(out["score"][:b])
-            labels.append(jnp.asarray(batch["label"]))
+            labels.append(lbl)
         scores = jnp.concatenate(scores)
         labels = jnp.concatenate(labels)
 
         table = dmetrics.threshold_table(scores, labels, jnp.asarray([0.5]))
         out = {
+            "loss": loss_sum / max(n_seen, 1),
             "accuracy": table["accuracy"][0],
             "precision": table["precision"][0],
             "recall": table["recall"][0],
             "f1": table["f1_score"][0],
+            "auc": dmetrics.auc(scores, labels),
             "specificity": table["specificity"][0],
             "npv": table["npv"][0],
-            "far": table["far"][0],
-            "frr": table["frr"][0],
             "tp": table["tp"][0], "tn": table["tn"][0],
             "fp": table["fp"][0], "fn": table["fn"][0],
-            "auc": dmetrics.auc(scores, labels),
+            "far": table["far"][0],
+            "frr": table["frr"][0],
         }
+        if epoch is not None:
+            out["epoch"] = epoch
         if self.config.threshold.optimize:
-            t, f1, _ = dmetrics.optimal_threshold_f1(
-                scores, labels,
-                self.config.threshold.t_min, self.config.threshold.t_max,
-                self.config.threshold.steps)
-            out["optimal_threshold"] = t
-            out["optimal_f1"] = f1
+            cfg_t = self.config.threshold
+            grid = jnp.linspace(cfg_t.t_min, cfg_t.t_max, cfg_t.steps)
+            sweep = dmetrics.threshold_table(scores, labels, grid)
+            sweep = {k: np.asarray(v) for k, v in sweep.items()}
+            # the reference logs every sweep point (:267-275)
+            for i in range(len(grid)):
+                self.logger.log({
+                    "threshold_sweep/threshold": float(sweep["threshold"][i]),
+                    "threshold_sweep/accuracy": float(sweep["accuracy"][i]),
+                    "threshold_sweep/precision": float(sweep["precision"][i]),
+                    "threshold_sweep/recall": float(sweep["recall"][i]),
+                    "threshold_sweep/f1": float(sweep["f1_score"][i]),
+                })
+            bi = int(np.argmax(sweep["f1_score"]))
+            out.update({
+                "optimal_threshold": sweep["threshold"][bi],
+                "optimal_accuracy": sweep["accuracy"][bi],
+                "optimal_precision": sweep["precision"][bi],
+                "optimal_recall": sweep["recall"][bi],
+                "optimal_f1": sweep["f1_score"][bi],
+                "optimal_specificity": sweep["specificity"][bi],
+                "optimal_far": sweep["far"][bi],
+                "optimal_frr": sweep["frr"][bi],
+                "optimal_tp": sweep["tp"][bi],
+                "optimal_tn": sweep["tn"][bi],
+                "optimal_fp": sweep["fp"][bi],
+                "optimal_fn": sweep["fn"][bi],
+            })
         return {k: float(v) for k, v in out.items()}
 
     # ------------------------------------------------------------------
