@@ -42,8 +42,7 @@ def main():
     # consumes raw uint8, no separate normalize pass over the image.
     variables = fold_normalization(variables)
 
-    @jax.jit
-    def infer(params, batch_u8):
+    def infer_fn(params, batch_u8):
         # P(live) as the sigmoid of the logit difference (== softmax col 1)
         logits = module.apply({"params": params}, batch_u8).astype(
             jnp.float32)
@@ -53,6 +52,13 @@ def main():
     batch = jnp.asarray(rng.integers(0, 256, (BATCH, 224, 224, 3),
                                      dtype=np.uint8))
     params = variables["params"]
+
+    # AOT executable cache: the remote compiler costs minutes per
+    # full-model compile and bypasses jax's persistent HLO cache; caching
+    # the serialized executable makes repeat runs start in seconds.
+    from vit_spoof_detection_pda_tpu.utils.aot import cached_compile
+    infer = cached_compile(infer_fn, (params, batch),
+                           key="bench_vit_b16_infer")
 
     # block_until_ready is unreliable on the experimental axon platform —
     # force a host fetch to bound each measurement.
