@@ -142,3 +142,28 @@ def test_benchmark_cli_smoke(tmp_path):
                 "--set", "data.img_size=64"])
     assert out["images_per_second"] > 0
     assert out["batch_size"] == 4
+
+
+def test_reference_quirk_figures_and_publication_style(results_tree,
+                                                       tmp_path):
+    """Fig5/6 replicas (frr-as-APCER quirk, generate_figures.py:158-161)
+    render at publication dpi (rcParams, :36-44); misclassified grids
+    default to the reference's exclusion lists (:14-32)."""
+    from PIL import Image
+    from vit_spoof_detection_pda_tpu.analysis import figures as F
+
+    p = F.figure_apcer_bpcer_reference(
+        str(results_tree), str(tmp_path), model="Custom_ViT_FineTuned")
+    assert p is not None and p.name == "apcer_bpcer_Custom_ViT_FineTuned.png"
+    dpi = Image.open(p).info.get("dpi", (0, 0))
+    assert round(dpi[0]) == 300, dpi
+
+    # quirk: the plotted x data is the frr column, not apcer
+    import pandas as pd
+    df = pd.read_csv(results_tree / "Custom_ViT_FineTuned" /
+                     "threshold_analysis.csv")
+    assert not np.allclose(df["frr"], df["apcer"])   # quirk is observable
+
+    # exclusion defaults come from the reference's publication list
+    assert "FP_score0.8125_513034.png" in F.EXCLUDED_IMAGES[
+        "Custom_ViT_FineTuned"]["false_positives"]

@@ -94,3 +94,37 @@ def test_packed_sampler_never_extrapolates():
     out2 = np.asarray(warp.bilinear_sample_packed(
         jnp.asarray(img), ys - 0.7, xs - 0.7))
     assert out2.min() >= -1e-6 and out2.max() <= 1 + 1e-6
+
+
+def test_shear_rotation_identity_at_zero():
+    """theta = 0 through the 3-shear path is the exact identity."""
+    img = _img(10)
+    out = np.asarray(warp.rotate_3shear(jnp.asarray(img),
+                                        jnp.float32(0.0), 10.0))
+    np.testing.assert_array_equal(out, img)
+
+
+def test_shear_rotation_matches_direct_warp_on_smooth_image():
+    """On a smooth image the 3-shear rotation must agree with the direct
+    bilinear affine warp (different resampling, same transform)."""
+    h = w = 64
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = np.stack([ys / h, xs / w, (ys + xs) / (h + w)], -1)
+    angle = np.float32(np.deg2rad(8.0))
+    m = warp.rotation_matrix(jnp.asarray(angle), (h - 1) / 2, (w - 1) / 2)
+    want = np.asarray(warp.affine_warp(jnp.asarray(img), m))
+    got = np.asarray(warp.rotate_3shear(jnp.asarray(img),
+                                        jnp.asarray(angle), 10.0))
+    interior = (slice(12, -12), slice(12, -12))
+    np.testing.assert_allclose(got[interior], want[interior], atol=0.02)
+    # zero-fill corners match too (both pad with 0 outside the frame)
+    assert got[0, 0].max() == 0.0 and want[0, 0].max() == 0.0
+
+
+def test_affine_fast_path_flip_exact():
+    """Flip through the affine-only fast path is an exact reverse (no
+    resampling, no tap cast)."""
+    img = _img(11)
+    out = A.composed_geometric(jax.random.PRNGKey(3), img, hflip_p=1.0,
+                               rotation=(10.0, 0.0))
+    np.testing.assert_array_equal(np.asarray(out), img[:, ::-1])

@@ -7,9 +7,11 @@ model_comparison.csv):
 
 - augmentation grid            (generate_figures.py Fig2 + 2x2 variant)
 - ROC comparison               (Fig4)
-- APCER/BPCER trade-off + EER  (Fig5/6 — note: the reference reads its
-  `frr` column as APCER and `far` as BPCER, generate_figures.py:158-161;
-  here axes are labeled from the harness's own apcer/bpcer columns)
+- APCER/BPCER trade-off + EER  (Fig5/6 — two renderings: the combined
+  overlay labeled from the harness's own apcer/bpcer columns, and
+  `figure_apcer_bpcer_reference`, a pixel-faithful per-model replica
+  including the reference's frr-as-APCER column quirk,
+  generate_figures.py:158-161)
 - score histograms             (Fig7/8)
 - confusion matrices at EER    (Fig9/10)
 - misclassified grids          (Fig11/12 + 2x2, with exclusion lists)
@@ -24,6 +26,7 @@ and failure-isolated in `generate_all_figures`.
 
 from __future__ import annotations
 
+import functools
 import json
 import logging
 from pathlib import Path
@@ -45,16 +48,54 @@ MODEL_COLORS = {
     "SigNet_F": "#d62728",
 }
 
+# Publication style — the reference's exact rcParams
+# (generate_figures.py:36-44).
+PUBLICATION_RC = {
+    "figure.dpi": 300,
+    "savefig.dpi": 300,
+    "font.family": "serif",
+    "font.size": 10,
+    "axes.labelsize": 11,
+    "axes.titlesize": 12,
+    "xtick.labelsize": 9,
+    "ytick.labelsize": 9,
+    "legend.fontsize": 9,
+}
+
+# Publication-safety image exclusion lists, per model and error type —
+# the reference's GLOBAL IMAGE EXCLUSION LISTS verbatim
+# (generate_figures.py:14-32).
+EXCLUDED_IMAGES = {
+    "Custom_ViT_FineTuned": {
+        "false_positives": {"FP_score0.8125_513034.png"},
+        "false_negatives": set(),
+    },
+    "ResNet50_Pretrained": {
+        "false_positives": {"FP_score0.6770_500049.png",
+                            "FP_score0.6781_548494.png"},
+        "false_negatives": set(),
+    },
+}
+
+
+def _published(fn):
+    """Render a generator under the reference's publication rcParams."""
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with plt.rc_context(PUBLICATION_RC):
+            return fn(*args, **kwargs)
+    return wrapper
+
 
 def _model_dirs(results_dir: Path):
     return sorted(p for p in results_dir.iterdir()
                   if p.is_dir() and p.name != "failed_cases_analysis")
 
 
-def _save(fig, out: Path, name: str):
+def _save(fig, out: Path, name: str, dpi: int = 300):
     out.mkdir(parents=True, exist_ok=True)
     path = out / name
-    fig.savefig(path, dpi=150, bbox_inches="tight")
+    fig.savefig(path, dpi=dpi, bbox_inches="tight")
     plt.close(fig)
     log.info("wrote %s", path)
     return path
@@ -63,6 +104,7 @@ def _save(fig, out: Path, name: str):
 # --------------------------------------------------------------------------
 
 
+@_published
 def figure_augmentation_grid(sample_image: np.ndarray, output_dir: str, *,
                              grid: str = "2x4", seed: int = 0):
     """Original + augmented variants of one image (Fig2 / the 2x2
@@ -90,6 +132,7 @@ def figure_augmentation_grid(sample_image: np.ndarray, output_dir: str, *,
     return _save(fig, Path(output_dir), f"figure_augmentation_{grid}.png")
 
 
+@_published
 def figure_roc_comparison(results_dir: str, output_dir: str):
     """Overlayed ROC curves from each model's roc_curve_data.csv (Fig4)."""
     import pandas as pd
@@ -114,6 +157,7 @@ def figure_roc_comparison(results_dir: str, output_dir: str):
     return _save(fig, Path(output_dir), "figure_roc_comparison.png")
 
 
+@_published
 def figure_apcer_bpcer_tradeoff(results_dir: str, output_dir: str):
     """APCER vs BPCER over the threshold grid with the EER point starred
     (Fig5/6)."""
@@ -143,6 +187,58 @@ def figure_apcer_bpcer_tradeoff(results_dir: str, output_dir: str):
     return _save(fig, Path(output_dir), "figure_apcer_bpcer_tradeoff.png")
 
 
+# Reference Fig5/6 styling: (color, marker, title) per model
+# (generate_figures.py:167-168, 208-209, 181-183, 222-224).
+_QUIRK_STYLE = {
+    "Custom_ViT_FineTuned": ("#2E86AB", "o", "Custom ViT"),
+    "ResNet50_Pretrained": ("#A23B72", "s", "ResNet-50"),
+}
+
+
+@_published
+def figure_apcer_bpcer_reference(results_dir: str, output_dir: str, *,
+                                 model: str = "Custom_ViT_FineTuned"):
+    """Pixel-faithful reproduction of the reference's per-model Fig5/6,
+    INCLUDING its column quirk: the reference plots the ``frr`` column as
+    APCER and ``far`` as BPCER ("corrected" per its own comment,
+    generate_figures.py:158-161) — which, given the harness's 1=spoof
+    convention, is the consistent choice for the figure's axis captions
+    ("Attack Accepted as Genuine").  Same styling: single model, equal
+    aspect, red EER star, fancy shadowed legend."""
+    import pandas as pd
+
+    f = Path(results_dir) / model / "threshold_analysis.csv"
+    if not f.exists():
+        return None
+    df = pd.read_csv(f)
+    apcer, bpcer = df["frr"], df["far"]            # the reference's read
+    color, marker, title = _QUIRK_STYLE.get(
+        model, ("#2E86AB", "o", model.replace("_", " ")))
+    summary = json.load(open(Path(results_dir) / model /
+                             "evaluation_summary.json"))
+    eer, eer_t = summary["eer"], summary["eer_threshold"]
+
+    fig, ax = plt.subplots(figsize=(7, 6))
+    ax.plot(apcer, bpcer, linewidth=2.5, color=color, marker=marker,
+            markersize=4, markevery=1)
+    eer_idx = (df["threshold"] - eer_t).abs().idxmin()
+    ax.scatter([apcer.iloc[eer_idx]], [bpcer.iloc[eer_idx]], color="red",
+               s=150, marker="*", zorder=5,
+               label=f"EER={eer:.4f} (t={eer_t:.4f})")
+    ax.plot([0, 1], [0, 1], "k--", linewidth=1, alpha=0.5)
+    ax.set_xlabel("APCER (Attack Accepted as Genuine)", fontsize=11)
+    ax.set_ylabel("BPCER (Genuine Rejected as Attack)", fontsize=11)
+    ax.set_title(f"{title}: APCER vs BPCER Trade-off", fontsize=12,
+                 fontweight="bold")
+    ax.legend(loc="upper right", frameon=True, fancybox=True, shadow=True)
+    ax.grid(True, alpha=0.3, linestyle="--")
+    ax.set_xlim([0, 1])
+    ax.set_ylim([0, 1])
+    ax.set_aspect("equal")
+    return _save(fig, Path(output_dir), f"apcer_bpcer_{model}.png")
+
+
+@_published
 def figure_score_histograms(results_dir: str, output_dir: str):
     """Per-model live/spoof score histograms (Fig7/8)."""
     import pandas as pd
@@ -173,6 +269,7 @@ def figure_score_histograms(results_dir: str, output_dir: str):
     return _save(fig, Path(output_dir), "figure_score_histograms.png")
 
 
+@_published
 def figure_confusion_matrices(results_dir: str, output_dir: str,
                               threshold_key: str = "eer_point"):
     """Confusion matrices at the EER operating point (Fig9/10)."""
@@ -208,15 +305,19 @@ def figure_confusion_matrices(results_dir: str, output_dir: str,
     return _save(fig, Path(output_dir), "figure_confusion_matrices_eer.png")
 
 
+@_published
 def figure_misclassified_grid(results_dir: str, output_dir: str, *,
                               model: str = "Custom_ViT_FineTuned",
                               kind: str = "false_positives",
                               grid: str = "2x4",
-                              exclude: Sequence[str] = ()):
+                              exclude: Optional[Sequence[str]] = None):
     """Worst misclassified image grid (Fig11/12 + 2x2 variant) with an
-    exclusion list (reference generate_figures.py:14-32 excludes specific
-    images from publication)."""
+    exclusion list; defaults to the reference's publication-safety list
+    for the model/kind (generate_figures.py:14-32, filter_excluded)."""
     from PIL import Image
+
+    if exclude is None:
+        exclude = EXCLUDED_IMAGES.get(model, {}).get(kind, set())
 
     fdir = (Path(results_dir) / "failed_cases_analysis" / model / kind)
     if not fdir.is_dir():
@@ -245,6 +346,7 @@ def figure_misclassified_grid(results_dir: str, output_dir: str, *,
                  f"figure_misclassified_{kind}_{grid}.png")
 
 
+@_published
 def figure_finetuning_impact(results_dir: str, output_dir: str):
     """Fine-tuned vs frozen ViT AUC bars with improvement annotation
     (FigA; the reference reports +35.5% AUC, README.md:179)."""
@@ -279,6 +381,7 @@ def figure_finetuning_impact(results_dir: str, output_dir: str):
     return _save(fig, Path(output_dir), "figure_finetuning_impact.png")
 
 
+@_published
 def figure_threshold_table(results_dir: str, output_dir: str, *,
                            model: str = "Custom_ViT_FineTuned",
                            highlight_above: float = 0.85):
@@ -311,6 +414,7 @@ def figure_threshold_table(results_dir: str, output_dir: str, *,
                  f"figure_threshold_table_{model}.png")
 
 
+@_published
 def figure_violin(results_dir: str, output_dir: str):
     """Violin plots of score distributions (FigC / violin_plot.py)."""
     import pandas as pd
@@ -346,6 +450,7 @@ def figure_violin(results_dir: str, output_dir: str):
     return _save(fig, Path(output_dir), "figure_violin.png")
 
 
+@_published
 def figure_overlaid_histograms(results_dir: str, output_dir: str):
     """Overlaid live/spoof histograms annotated with Cohen's d and a
     LOW-SEPARATION warning when |d| < 0.5 (FigD)."""
@@ -396,6 +501,10 @@ def generate_all_figures(results_dir: str, output_dir: str, *,
             results_dir, output_dir)),
         ("apcer_bpcer", lambda: figure_apcer_bpcer_tradeoff(
             results_dir, output_dir)),
+        ("apcer_bpcer_vit_ref", lambda: figure_apcer_bpcer_reference(
+            results_dir, output_dir, model="Custom_ViT_FineTuned")),
+        ("apcer_bpcer_resnet_ref", lambda: figure_apcer_bpcer_reference(
+            results_dir, output_dir, model="ResNet50_Pretrained")),
         ("score_histograms", lambda: figure_score_histograms(
             results_dir, output_dir)),
         ("confusion_matrices", lambda: figure_confusion_matrices(

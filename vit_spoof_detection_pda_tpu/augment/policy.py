@@ -40,6 +40,12 @@ Chain = List[Callable]   # each fn: (key, img[H,W,C] in [0,1]) -> img
 # distributionally equivalent to the reference's interleaved order, and
 # noise added post-warp stays white (arguably more correct than warping
 # previously-added noise).
+#
+# ColorJitter order: the tiers use order="fixed"
+# (brightness->contrast->saturation->hue) — modern Kornia K.ColorJitter's
+# documented deterministic order, which the reference's unpinned kornia
+# dependency resolves to; the torchvision train-time chain keeps the
+# per-sample random order.  Fixed order is also ~3x cheaper on TPU.
 
 
 def heavy_chain() -> Chain:
@@ -47,7 +53,8 @@ def heavy_chain() -> Chain:
         lambda k, im: A.composed_geometric(
             k, im, hflip_p=0.5, rotation=(20.0, 0.7),
             perspective=(0.2, 0.4), elastic=(1.0, 32.0, 63, 0.3)),
-        lambda k, im: A.color_jitter(k, im, 0.4, 0.4, 0.4, 0.2, p=0.8),
+        lambda k, im: A.color_jitter(k, im, 0.4, 0.4, 0.4, 0.2, p=0.8,
+                             order="fixed"),
         lambda k, im: A.gaussian_blur(k, im, 5, (0.1, 2.0), p=0.5),
         lambda k, im: A.gaussian_noise(k, im, std=0.05, p=0.3),
         lambda k, im: A.random_sharpness(k, im, 2.0, p=0.3),
@@ -59,7 +66,8 @@ def medium_chain() -> Chain:
         lambda k, im: A.composed_geometric(
             k, im, hflip_p=0.5, rotation=(15.0, 0.6),
             perspective=(0.15, 0.3)),
-        lambda k, im: A.color_jitter(k, im, 0.3, 0.3, 0.3, 0.1, p=0.7),
+        lambda k, im: A.color_jitter(k, im, 0.3, 0.3, 0.3, 0.1, p=0.7,
+                             order="fixed"),
         lambda k, im: A.gaussian_blur(k, im, 3, (0.1, 1.5), p=0.4),
         lambda k, im: A.gaussian_noise(k, im, std=0.03, p=0.2),
     ]
@@ -69,7 +77,8 @@ def light_chain() -> Chain:
     return [
         lambda k, im: A.composed_geometric(
             k, im, hflip_p=0.5, rotation=(10.0, 0.5)),
-        lambda k, im: A.color_jitter(k, im, 0.2, 0.2, 0.2, 0.05, p=0.5),
+        lambda k, im: A.color_jitter(k, im, 0.2, 0.2, 0.2, 0.05, p=0.5,
+                             order="fixed"),
         lambda k, im: A.gaussian_blur(k, im, 3, (0.1, 1.0), p=0.3),
     ]
 

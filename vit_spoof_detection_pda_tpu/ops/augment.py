@@ -185,10 +185,20 @@ def adjust_hue(img, delta):
 
 
 def color_jitter(key, img, brightness: float = 0.0, contrast: float = 0.0,
-                 saturation: float = 0.0, hue: float = 0.0, p: float = 1.0):
-    """torchvision/Kornia ColorJitter: per-sample factors
-    b,c,s ~ U[max(0,1-x), 1+x], hue ~ U[-h, h], applied in a RANDOM
-    per-sample order (torchvision permutes the four ops)."""
+                 saturation: float = 0.0, hue: float = 0.0, p: float = 1.0,
+                 order: str = "random"):
+    """ColorJitter: per-sample factors b,c,s ~ U[max(0,1-x), 1+x],
+    hue ~ U[-h, h].
+
+    ``order="random"`` permutes the four ops per sample (torchvision
+    ColorJitter / Kornia ColorJiggle — the train transform's semantics,
+    train_advanced.py:171).  ``order="fixed"`` applies
+    brightness->contrast->saturation->hue deterministically — modern
+    Kornia ``K.ColorJitter``'s documented behavior, i.e. the offline
+    tiers' semantics (augment_data.py:63-83) — and is ~3x cheaper on
+    TPU: under vmap a random-order switch evaluates every branch at
+    every step (16 op evaluations, 4 of them the expensive HSV hue
+    round-trip) while the fixed chain evaluates each op once."""
 
     def jitter(k, im):
         kb, kc, ks, kh, korder = jax.random.split(k, 5)
@@ -206,10 +216,14 @@ def color_jitter(key, img, brightness: float = 0.0, contrast: float = 0.0,
             lambda im_: adjust_saturation(im_, fs),
             lambda im_: adjust_hue(im_, fh),
         ]
-        order = jax.random.permutation(korder, 4)
+        if order == "fixed":
+            for fn in branches:
+                im = fn(im)
+            return im
+        perm = jax.random.permutation(korder, 4)
 
         def body(i, im_):
-            return jax.lax.switch(order[i], branches, im_)
+            return jax.lax.switch(perm[i], branches, im_)
 
         return jax.lax.fori_loop(0, 4, body, im)
 
@@ -349,9 +363,29 @@ def composed_geometric(key, img, *,
     Distribution semantics match the sequential version; interpolation
     differs slightly (single resample = less compounded blur — strictly
     higher fidelity than Kornia's repeated resampling).
+
+    AFFINE-ONLY FAST PATH: when neither perspective nor elastic is
+    requested (the train-time chain and the light tier), the map is
+    flip+rotation — expressible as a Paeth 3-shear whose gather-free
+    masked-roll resamples run ~13x faster than the packed gather on TPU
+    (254 -> 19 ms/128-batch, round-2 measurement; warp.rotate_3shear).
     """
     h, w = img.shape[0], img.shape[1]
     kf, kr_gate, kr, kp_gate, kp, ke_gate, ke = jax.random.split(key, 7)
+
+    if perspective is None and elastic is None:
+        out = img
+        if hflip_p > 0.0:
+            do_flip = jax.random.bernoulli(kf, hflip_p)
+            out = jnp.where(do_flip, out[:, ::-1, :], out)
+        if rotation is not None:
+            degrees, p = rotation
+            angle = jax.random.uniform(kr, (), minval=-degrees,
+                                       maxval=degrees)
+            angle = angle * jax.random.bernoulli(kr_gate, p)
+            out = warp.rotate_3shear(out, jnp.deg2rad(angle), degrees)
+        return out
+
     ys, xs = warp._dest_grid(h, w)
 
     # elastic displacement first (it was the LAST image-space warp, so

@@ -90,6 +90,73 @@ def bilinear_sample_packed(img, ys, xs, *, tap_dtype=None, fill: float = 0.0):
     return jnp.where(valid, out, fill)
 
 
+def _resample_rows_roll(img, shifts, kmax: int):
+    """1-D fractional resample along x with a per-ROW shift, gather-free:
+    ``out[y, x] = in[y, x + shifts[y]]`` built from masked STATIC rolls.
+
+    TPU gathers are the most expensive primitive in the augmentation
+    stack (254 ms per 128x224 warp); a bounded family of static rolls +
+    per-row select compiles to pure vector ops (the whole 3-shear
+    rotation lands at ~19 ms/batch, round-2 measurement).  ``kmax`` is a
+    static bound with |shifts| <= kmax; out-of-frame sources fill 0.
+    """
+    h, w, _ = img.shape
+    i0 = jnp.floor(shifts).astype(jnp.int32)            # [h]
+    f = shifts - i0                                     # [h]
+    acc = jnp.zeros_like(img)
+    for k in range(-kmax, kmax + 2):
+        sel = ((i0 == k).astype(img.dtype) * (1 - f)
+               + (i0 == k - 1).astype(img.dtype) * f)   # [h]
+        acc = acc + sel[:, None, None] * jnp.roll(img, -k, axis=1)
+    src = jnp.arange(w, dtype=shifts.dtype)[None, :] + shifts[:, None]
+    valid = ((src >= 0.0) & (src <= w - 1))[..., None]
+    return jnp.where(valid, acc, 0.0)
+
+
+def _resample_cols_roll(img, shifts, kmax: int):
+    """As :func:`_resample_rows_roll` but along y with a per-COLUMN shift:
+    ``out[y, x] = in[y + shifts[x], x]``."""
+    h, w, _ = img.shape
+    i0 = jnp.floor(shifts).astype(jnp.int32)            # [w]
+    f = shifts - i0                                     # [w]
+    acc = jnp.zeros_like(img)
+    for k in range(-kmax, kmax + 2):
+        sel = ((i0 == k).astype(img.dtype) * (1 - f)
+               + (i0 == k - 1).astype(img.dtype) * f)   # [w]
+        acc = acc + sel[None, :, None] * jnp.roll(img, -k, axis=0)
+    src = jnp.arange(h, dtype=shifts.dtype)[:, None] + shifts[None, :]
+    valid = ((src >= 0.0) & (src <= h - 1))[..., None]
+    return jnp.where(valid, acc, 0.0)
+
+
+def rotate_3shear(img, theta, max_degrees: float):
+    """Rotation about the image center via the Paeth 3-shear
+    decomposition R(t) = ShX(-tan t/2) . ShY(sin t) . ShX(-tan t/2),
+    each shear a gather-free masked-roll resample.
+
+    ``max_degrees`` is the STATIC bound on |theta| (in degrees) that
+    sizes the roll families.  Quality: three chained linear interps
+    instead of one bilinear sample — the classic scanline rotation
+    (Paeth '86), visually equivalent for small angles; zero fill outside
+    the frame like grid_sample(padding_mode='zeros').
+    """
+    import math as _math
+
+    h, w = img.shape[0], img.shape[1]
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    rad = _math.radians(max_degrees)
+    kx = int(_math.ceil(_math.tan(rad / 2.0) * max(cy, 1.0))) + 1
+    ky = int(_math.ceil(_math.sin(rad) * max(cx, 1.0))) + 1
+
+    a = -jnp.tan(theta / 2.0)
+    b = jnp.sin(theta)
+    ys = jnp.arange(h, dtype=jnp.float32) - cy
+    xs = jnp.arange(w, dtype=jnp.float32) - cx
+    out = _resample_rows_roll(img, a * ys, kx)
+    out = _resample_cols_roll(out, b * xs, ky)
+    return _resample_rows_roll(out, a * ys, kx)
+
+
 def _dest_grid(h, w, dtype=jnp.float32):
     ys = jax.lax.broadcasted_iota(dtype, (h, w), 0)
     xs = jax.lax.broadcasted_iota(dtype, (h, w), 1)
