@@ -238,3 +238,41 @@ def test_validate_emits_reference_wandb_key_set(tmp_path):
             (tmp_path / "m.jsonl").read_text().splitlines()]
     sweep_rows = [r for r in rows if sweep_keys <= set(r)]
     assert len(sweep_rows) == cfg.threshold.steps
+
+
+def test_bayes_sweep_beats_random_on_smooth_objective():
+    """The GP-EI searcher must find a better optimum than pure random
+    sampling with the same budget on a smooth objective (the reference's
+    wandb sweep is method: bayes, train_advanced.py:699)."""
+    from vit_spoof_detection_pda_tpu.train.sweep import run_sweep
+
+    def objective(cfg):
+        # peak at lr=2e-4, wd=0.03; categorical bonus for focal
+        lr = math.log(cfg.optim.learning_rate / 2e-4)
+        wd = math.log(cfg.optim.weight_decay / 0.03)
+        bonus = 0.1 if cfg.loss.loss_type == "focal" else 0.0
+        return {"optimal_f1": float(-(lr ** 2) - (wd ** 2) + bonus)}
+
+    import math
+    base = Config()
+    bayes = run_sweep(base, objective, count=16, seed=7, method="bayes",
+                      n_init=4)
+    rand = run_sweep(base, objective, count=16, seed=7,
+                     method="random_exploit", explore_fraction=1.0)
+    assert bayes[0].metric >= rand[0].metric
+    assert len(bayes) == 16
+    assert bayes == sorted(bayes, key=lambda r: r.metric, reverse=True)
+
+
+def test_sweep_encoding_handles_categoricals():
+    from vit_spoof_detection_pda_tpu.train.sweep import (DEFAULT_SPACE,
+                                                         _encode)
+    o = {"optim.learning_rate": 1e-4, "data.batch_size": 128,
+         "optim.weight_decay": 0.05, "model.dropout": 0.1,
+         "loss.loss_type": "weighted_ce", "loss.focal_alpha": 0.25,
+         "loss.focal_gamma": 2.0}
+    x = _encode(DEFAULT_SPACE, o)
+    # 5 scalar dims + one-hot(2) for loss_type
+    assert x.shape == (8,)
+    assert set(x[np.isin(x, [0.0, 1.0])]) <= {0.0, 1.0}
+    assert np.all((x >= 0) & (x <= 1))

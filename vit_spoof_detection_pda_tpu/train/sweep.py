@@ -6,10 +6,14 @@ batch_size in {96,128,160}, wd log-U[0.01, 0.1], dropout {0,.1,.2},
 loss type {focal, weighted_ce}, focal alpha {.15,.25,.35}, gamma
 {1.5,2,2.5}; the simple variant runs 10 on val/auc (simple/train.py:490-531).
 
-Built-in searcher: random exploration with exploit-around-best refinement
-(a light stand-in for Bayes that needs no external service).  When wandb
-IS installed, `run_wandb_sweep` drives the identical space through a real
-wandb Bayesian sweep.
+Built-in searcher: a real Bayesian optimizer — Gaussian-process surrogate
+(RBF kernel on the encoded space: normalized log/linear for continuous,
+ordinal for numeric choices, one-hot for categorical) with Expected
+Improvement acquisition — needing no external service
+(``method="bayes"``, the default, matching the reference's wandb
+``method: bayes``).  ``method="random_exploit"`` keeps the round-1
+random+perturb searcher.  When wandb IS installed, `run_wandb_sweep`
+drives the identical space through a real wandb Bayesian sweep.
 """
 
 from __future__ import annotations
@@ -19,6 +23,8 @@ import math
 import random
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional
+
+import numpy as np
 
 from ..config import Config
 
@@ -69,25 +75,104 @@ class SweepResult:
     all_metrics: dict = field(default_factory=dict)
 
 
+# --------------------------------------------------------------------------
+# GP-EI Bayesian searcher (pure numpy; trial counts are ~12 so the O(n^3)
+# GP solve is trivial)
+# --------------------------------------------------------------------------
+
+
+def _encode(space, overrides) -> np.ndarray:
+    parts = []
+    for k, spec in space.items():
+        v = overrides[k]
+        kind = spec[0]
+        if kind == "log_uniform":
+            lo, hi = math.log(spec[1]), math.log(spec[2])
+            parts.append([(math.log(v) - lo) / (hi - lo)])
+        elif kind == "uniform":
+            lo, hi = spec[1], spec[2]
+            parts.append([(v - lo) / (hi - lo)])
+        else:
+            opts = spec[1]
+            if any(isinstance(o, str) for o in opts):
+                row = [0.0] * len(opts)
+                row[opts.index(v)] = 1.0
+                parts.append(row)
+            else:
+                i = opts.index(v)
+                parts.append([i / max(len(opts) - 1, 1)])
+    return np.concatenate(parts)
+
+
+def _gp_ei(x_seen: np.ndarray, y_seen: np.ndarray, x_cand: np.ndarray,
+           length_scale: float = 0.35, noise: float = 1e-4) -> np.ndarray:
+    """Expected Improvement of candidates under an RBF-kernel GP fit to
+    (x_seen, y_seen) (maximization; y standardized internally)."""
+    from scipy.special import erf
+
+    mu_y, sd_y = float(np.mean(y_seen)), float(np.std(y_seen)) or 1.0
+    y = (y_seen - mu_y) / sd_y
+
+    def k(a, b):
+        d2 = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+        return np.exp(-0.5 * d2 / length_scale ** 2)
+
+    kxx = k(x_seen, x_seen) + noise * np.eye(len(x_seen))
+    kxc = k(x_seen, x_cand)
+    sol = np.linalg.solve(kxx, np.column_stack([y, kxc]))
+    alpha, v = sol[:, 0], sol[:, 1:]
+    mean = kxc.T @ alpha
+    var = np.clip(1.0 - np.sum(kxc * v, axis=0), 1e-12, None)
+    sd = np.sqrt(var)
+    best = y.max()
+    z = (mean - best) / sd
+    phi = np.exp(-0.5 * z ** 2) / math.sqrt(2 * math.pi)
+    cdf = 0.5 * (1.0 + erf(z / math.sqrt(2)))
+    return sd * (z * cdf + phi)
+
+
 def run_sweep(base_config: Config,
               train_fn: Callable[[Config], Dict[str, float]],
               *, metric: str = "optimal_f1", count: int = 12,
               space: Optional[dict] = None, seed: int = 0,
+              method: str = "bayes", n_init: int = 4,
+              n_candidates: int = 512,
               explore_fraction: float = 0.5) -> List[SweepResult]:
-    """Run `count` trials; first `explore_fraction` random, rest perturb
-    the incumbent best (exploit).  Returns results sorted best-first."""
+    """Run `count` trials maximizing `metric`; returns results sorted
+    best-first.
+
+    method="bayes" (default): `n_init` random trials, then GP-EI picks
+    each next point from `n_candidates` random candidates — the same
+    shape as the reference's wandb Bayesian sweep, self-contained.
+    method="random_exploit": random exploration then perturb-the-best.
+    """
     space = space or DEFAULT_SPACE
     rng = random.Random(seed)
     results: List[SweepResult] = []
-    n_explore = max(1, int(count * explore_fraction))
+
+    def propose(i):
+        if method == "random_exploit":
+            n_explore = max(1, int(count * explore_fraction))
+            if i < n_explore or not results:
+                return {k: _sample(v, rng) for k, v in space.items()}
+            best = max(results, key=lambda r: r.metric)
+            return {k: _perturb(space[k], best.overrides[k], rng)
+                    for k in space}
+        if i < n_init or len(results) < 2:
+            return {k: _sample(v, rng) for k, v in space.items()}
+        finite = [r for r in results if math.isfinite(r.metric)]
+        if len(finite) < 2:
+            return {k: _sample(v, rng) for k, v in space.items()}
+        x_seen = np.stack([_encode(space, r.overrides) for r in finite])
+        y_seen = np.asarray([r.metric for r in finite])
+        cands = [{k: _sample(v, rng) for k, v in space.items()}
+                 for _ in range(n_candidates)]
+        x_cand = np.stack([_encode(space, c) for c in cands])
+        ei = _gp_ei(x_seen, y_seen, x_cand)
+        return cands[int(np.argmax(ei))]
 
     for i in range(count):
-        if i < n_explore or not results:
-            overrides = {k: _sample(v, rng) for k, v in space.items()}
-        else:
-            best = max(results, key=lambda r: r.metric)
-            overrides = {k: _perturb(space[k], best.overrides[k], rng)
-                         for k in space}
+        overrides = propose(i)
         cfg = base_config.with_overrides(overrides)
         metrics = train_fn(cfg)
         score = float(metrics.get(metric, float("-inf")))
