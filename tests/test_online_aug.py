@@ -90,7 +90,7 @@ def test_online_weighted_ce_uses_expanded_counts(tmp_path):
         "augment.spoof_augmentations": 2,
         "data.batch_size": 4, "data.img_size": 16, "data.num_workers": 2,
     })
-    _, _, _, counts = _make_online_data(cfg)
+    _, _, _, counts, _ = _make_online_data(cfg)
     # seed-42 stratified split of 16 imgs -> 7 live + 6 spoof raw;
     # expanded: live x(1+8)=63, spoof x(1+2)=18 — NOT the raw 7/6
     spoof_total, live_total = counts
@@ -112,7 +112,7 @@ def test_online_respects_train_aug_disabled(tmp_path):
         "data.batch_size": 2, "data.img_size": 16, "data.num_workers": 2,
         "train_aug.enabled": False,
     })
-    train_batches, _, _, _ = _make_online_data(cfg)
+    train_batches, _, _, _, preps = _make_online_data(cfg)
     # 'orig' batches must be UNaugmented: two epochs yield identical
     # pixel content for the same records when train_aug is off
     def orig_images(epoch):

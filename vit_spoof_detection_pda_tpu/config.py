@@ -205,6 +205,12 @@ class TrainAugConfig(_Base):
     random_erase_prob: float = 0.25
     # simple/train.py:164-175 variant: jitter 0.3 / rotation 15
     enabled: bool = True
+    # dtype the on-device chain computes in.  bfloat16 (default) halves
+    # the augmentation's VPU/HBM traffic; images are uint8-sourced and
+    # the model consumes bf16 anyway, so the only loss is sub-quantum
+    # rounding during intermediate aug math.  Set "float32" for exact
+    # torchvision-float parity.
+    aug_dtype: str = "bfloat16"
 
 
 @dataclass(frozen=True)

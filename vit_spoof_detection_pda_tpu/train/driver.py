@@ -34,23 +34,38 @@ from .trainer import Trainer
 log = logging.getLogger(__name__)
 
 
+def _aug_dtype(cfg: Config):
+    return (jnp.float32 if cfg.train_aug.aug_dtype == "float32"
+            else jnp.bfloat16)
+
+
+def make_prep_fn(cfg: Config, chain):
+    """uint8 [B,S,S,3] -> augmented ImageNet-normalized float32 — meant
+    to run INSIDE the compiled train step (Trainer batch_prep), fusing
+    augmentation with forward/backward.  The chain computes in
+    ``train_aug.aug_dtype`` (bf16 default: half the aug HBM/VPU traffic,
+    BENCH_NOTES.md round 2); normalization and the output stay f32."""
+    dtype = _aug_dtype(cfg)
+
+    def prep(key, batch_u8):
+        x = I.to_float(batch_u8).astype(dtype)
+        x = A.apply_chain(key, x, chain)
+        return I.normalize(x.astype(jnp.float32))
+
+    return prep
+
+
 def make_train_aug_fn(cfg: Config):
     """One compiled program: uint8 [B,256,256,3] -> augmented normalized
-    float32 [B,224,224,3]."""
+    float32 [B,224,224,3].  (Standalone variant of the fused
+    ``make_prep_fn`` path, kept for direct library use.)"""
     ta = cfg.train_aug
     chain = train_time_chain(
         resize_to=ta.resize_to, crop_size=ta.crop_size,
         hflip_prob=ta.hflip_prob, color_jitter=ta.color_jitter,
         rotation_deg=ta.rotation_deg,
         random_erase_prob=ta.random_erase_prob)
-
-    @jax.jit
-    def run(key, batch_u8):
-        x = I.to_float(batch_u8)
-        x = A.apply_chain(key, x, chain)
-        return I.normalize(x).astype(jnp.float32)
-
-    return run
+    return jax.jit(make_prep_fn(cfg, chain))
 
 
 def make_eval_prep_fn():
@@ -66,7 +81,6 @@ def _make_online_data(cfg: Config):
     groups -> per-batch on-device augment+normalize (train/online.py)."""
     from ..augment.policy import CHAINS
     from ..data.manifest import scan_raw
-    from ..ops.augment import apply_chain
     from .online import OnlineAugmentedData
 
     records = scan_raw(cfg.augment.input_dir)
@@ -93,7 +107,8 @@ def _make_online_data(cfg: Config):
     ta = cfg.train_aug
     # originals get the train-time aug (sans crop: inputs are already
     # img_size) unless train_aug is disabled; severity copies get their
-    # tier chain — one aug pass per batch either way
+    # tier chain — one aug pass per batch either way, fused INTO the
+    # compiled train step (Trainer batch_prep; one program per group)
     orig_chain = (train_time_chain(
         crop_size=None, hflip_prob=ta.hflip_prob,
         color_jitter=ta.color_jitter, rotation_deg=ta.rotation_deg,
@@ -102,32 +117,18 @@ def _make_online_data(cfg: Config):
     chains = {"orig": orig_chain}
     for g in ("heavy", "medium", "light"):
         chains[g] = CHAINS[g]()
-
-    augfns = {}
-    for g, chain in chains.items():
-        def make(chain):
-            @jax.jit
-            def run(key, u8):
-                x = I.to_float(u8)
-                x = apply_chain(key, x, chain)
-                return I.normalize(x).astype(jnp.float32)
-            return run
-        augfns[g] = make(chain)
-
-    base_key = jax.random.PRNGKey(cfg.seed + 2)
+    preps = {g: make_prep_fn(cfg, chain) for g, chain in chains.items()}
 
     def train_batches(epoch):
-        ekey = jax.random.fold_in(base_key, epoch)
-        for i, (g, batch) in enumerate(data.batches(epoch)):
-            img = augfns[g](jax.random.fold_in(ekey, i),
-                            jnp.asarray(batch["image"]))
-            yield {"image": img, "label": batch["label"]}
+        for g, batch in data.batches(epoch):
+            yield {"image": batch["image"], "label": batch["label"],
+                   "group": g}
 
-    return train_batches, val_recs, data.steps_per_epoch, counts
+    return train_batches, val_recs, data.steps_per_epoch, counts, preps
 
 
 def _run_training(cfg: Config, train_batches, val_recs, steps, counts,
-                  mesh, max_steps_per_epoch):
+                  mesh, max_steps_per_epoch, batch_prep=None):
     """Shared tail: val pipeline, model build, checkpoints, Trainer."""
     val_pipe = DataPipeline(
         val_recs, batch_size=cfg.data.eval_batch_size,
@@ -175,7 +176,7 @@ def _run_training(cfg: Config, train_batches, val_recs, steps, counts,
         steps_per_epoch=steps,
         class_counts=counts,
         variables=variables,
-        mesh=mesh, checkpoints=ckpt)
+        mesh=mesh, checkpoints=ckpt, batch_prep=batch_prep)
     best = trainer.fit()
     log.info("training done: best %s", best)
     return best, trainer
@@ -185,9 +186,10 @@ def train_from_config(cfg: Config, *, mesh=None, records=None,
                       max_steps_per_epoch: Optional[int] = None):
     """Run the full training lifecycle; returns the best-metrics dict."""
     if cfg.augment.online:
-        train_batches, val_recs, steps, counts = _make_online_data(cfg)
+        (train_batches, val_recs, steps, counts,
+         preps) = _make_online_data(cfg)
         return _run_training(cfg, train_batches, val_recs, steps, counts,
-                             mesh, max_steps_per_epoch)
+                             mesh, max_steps_per_epoch, batch_prep=preps)
     if records is None:
         records = scan_augmented(cfg.data.data_root)
     if not records:
@@ -211,16 +213,21 @@ def train_from_config(cfg: Config, *, mesh=None, records=None,
         prefetch_depth=cfg.data.prefetch_depth,
         shuffle=True, drop_last=cfg.data.drop_last_train, seed=cfg.seed)
 
-    aug_fn = make_train_aug_fn(cfg)
-    base_key = jax.random.PRNGKey(cfg.seed + 1)
+    if aug_on:
+        ta = cfg.train_aug
+        chain = train_time_chain(
+            resize_to=ta.resize_to, crop_size=ta.crop_size,
+            hflip_prob=ta.hflip_prob, color_jitter=ta.color_jitter,
+            rotation_deg=ta.rotation_deg,
+            random_erase_prob=ta.random_erase_prob)
+    else:
+        chain = []
+    prep = make_prep_fn(cfg, chain)   # fused into the train step
 
     def train_batches(epoch):
-        ekey = jax.random.fold_in(base_key, epoch)
-        for i, b in enumerate(train_pipe.batches(epoch)):
-            img = aug_fn(jax.random.fold_in(ekey, i),
-                         jnp.asarray(b["image"]))
-            yield {"image": img, "label": b["label"]}
+        for b in train_pipe.batches(epoch):
+            yield {"image": b["image"], "label": b["label"]}
 
     return _run_training(cfg, train_batches, val_recs,
                          train_pipe.steps_per_epoch, counts, mesh,
-                         max_steps_per_epoch)
+                         max_steps_per_epoch, batch_prep=prep)

@@ -24,17 +24,27 @@ from ..parallel.mesh import batch_spec
 
 
 def make_train_step(loss_fn: Callable, *, has_batch_stats: bool = False,
-                    mesh: Optional[Mesh] = None, donate: bool = True):
+                    mesh: Optional[Mesh] = None, donate: bool = True,
+                    batch_prep: Optional[Callable] = None):
     """Build the compiled train step.
 
     loss_fn(logits, labels) -> scalar.  The model is called through
     ``state.apply_fn`` with dropout rng threaded per-step (fold_in on the
     step counter keeps the key stream deterministic and resumable).
+
+    ``batch_prep(rng, images) -> images`` runs INSIDE the compiled step
+    (on-device augmentation + normalization fused with forward/backward:
+    one program per step instead of two, no f32 image round-trip through
+    HBM between them — the final ~10 img/s of the online-training
+    target, BENCH_NOTES.md round 2).  Its rng is decorrelated from the
+    dropout stream but equally deterministic/resumable.
     """
 
     def step(state, batch):
         images, labels = batch["image"], batch["label"]
         rng = jax.random.fold_in(state.rng, state.step)
+        if batch_prep is not None:
+            images = batch_prep(jax.random.fold_in(rng, 104729), images)
 
         def loss_of(params):
             variables = {"params": params}

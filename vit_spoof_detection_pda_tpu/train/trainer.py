@@ -46,7 +46,8 @@ class Trainer:
                  variables=None,
                  mesh=None,
                  logger: Optional[MetricLogger] = None,
-                 checkpoints: Optional[CheckpointManager] = None):
+                 checkpoints: Optional[CheckpointManager] = None,
+                 batch_prep=None):
         self.config = config
         self.module = module
         self.train_batches = train_batches
@@ -94,8 +95,17 @@ class Trainer:
         has_stats = self.state.batch_stats is not None
         self._eval_loss = jax.jit(loss_fn)   # val loss (reference :387-391)
 
-        self.train_step = make_train_step(
-            loss_fn, has_batch_stats=has_stats, mesh=self.mesh)
+        # batch_prep: on-device augmentation fused INTO the compiled step
+        # (callable, or {group_tag: callable} for the online severity
+        # groups — batches then carry a "group" key selecting their step)
+        preps = (batch_prep if isinstance(batch_prep, dict)
+                 else {None: batch_prep})
+        self.train_steps = {
+            tag: make_train_step(loss_fn, has_batch_stats=has_stats,
+                                 mesh=self.mesh, batch_prep=prep)
+            for tag, prep in preps.items()}
+        self.train_step = self.train_steps.get(
+            None) or next(iter(self.train_steps.values()))
         self.eval_step = make_eval_step(
             module.apply, has_batch_stats=has_stats, mesh=self.mesh)
 
@@ -167,8 +177,11 @@ class Trainer:
         pending = None
         timer = StepTimer()
         for i, batch in enumerate(self.train_batches(epoch)):
+            batch = dict(batch)
+            group = batch.pop("group", None)
             batch = self._device_batch(batch)
-            self.state, metrics = self.train_step(self.state, batch)
+            step_fn = self.train_steps.get(group, self.train_step)
+            self.state, metrics = step_fn(self.state, batch)
             rate = timer.tick()
             # fetch the *previous* step's metrics: keeps the device queue
             # busy (no same-step sync, unlike the reference's `.item()`
@@ -285,7 +298,9 @@ class Trainer:
     def _device_batch(self, batch):
         img = batch["image"]
         if not isinstance(img, jax.Array):
-            img = np.asarray(img, np.float32)
+            img = np.asarray(img)
+            if img.dtype != np.uint8:   # raw u8 stays u8 for fused prep
+                img = img.astype(np.float32, copy=False)
         lbl = batch["label"]
         if not isinstance(lbl, jax.Array):
             lbl = np.asarray(lbl, np.int32)
