@@ -1,20 +1,30 @@
-"""int8 serving path for the flagship ViT.
+"""int8 serving path for the flagship ViT — EXPERIMENTAL, measured
+SLOWER than bf16 on this workload; bf16 is the serving default.
 
-v5e's MXU runs int8 at ~2x the bf16 rate, and inference-time PAD serving
-is this framework's headline workload (BASELINE.md: >10x the reference's
-184 FPS).  This module provides a pure-functional inference forward with:
+Why it stays demoted (round-1 and round-2 measurements, BENCH_NOTES.md):
 
-- per-output-channel symmetric int8 weights (offline, `quantize_vit_params`),
-- dynamic per-token symmetric int8 activations (on the fly, one max+scale
-  per row — fused by XLA into the adjacent elementwise work),
-- fp32 accumulation (int32 matmul -> rescale), LayerNorm/softmax/attention
-  in bf16 via the Pallas fused-attention kernel.
+- end-to-end int8 serving: 96 ms/batch (1,330 img/s) vs 51 ms bf16 —
+  the standalone XLA quantize/dequantize passes cost more than the int8
+  MXU rate saves on this dispatch/bandwidth-bound model;
+- XLA-level dynamic per-tensor quant at the MLP GEMM shape: 0.98 ms vs
+  0.87 ms plain bf16->f32 dot;
+- a Pallas kernel with the dynamic per-row quantization FUSED in VMEM
+  (no quant pass touches HBM; experiments/exp_r2_pallas_int8.py):
+  1.01 ms vs 0.59 ms for XLA's plain bf16 dot — the bf16 MXU path
+  already runs at ~202 TFLOP/s (~peak) at these shapes, and the Mosaic
+  int8 dot does not realize the 2x int8 rate that would be needed
+  to pay for the in-kernel quantization.
 
-This is a SERVING mode: training and metric-parity evaluation use the
-float path; quantization is opt-in (`models.build_model(..., quantize=...)`
-is intentionally not wired — callers choose explicitly via this module).
-The reference has no quantization story at all (its deployment path is
-torch fp16 autocast, additional_analysis.py:263-277).
+The module remains an opt-in capability and the place to iterate if a
+future toolchain exposes the full int8 MXU rate.  It has NO registry
+surface; training and metric-parity evaluation always use the float
+path.  The reference has no quantization story at all (its deployment
+path is torch fp16 autocast, additional_analysis.py:263-277).
+
+Implementation: per-output-channel symmetric int8 weights (offline,
+`quantize_vit_params`), dynamic per-token symmetric int8 activations,
+fp32 accumulation (int32 matmul -> rescale), LayerNorm/softmax/attention
+in bf16 via the Pallas fused-attention kernel.
 """
 
 from __future__ import annotations
