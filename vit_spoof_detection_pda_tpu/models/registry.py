@@ -56,7 +56,7 @@ def build_vit_from_config(model_cfg, dtype=jnp.float32) -> ViTAntiSpoof:
         depth=model_cfg.depth, num_heads=model_cfg.num_heads,
         mlp_ratio=model_cfg.mlp_ratio, hidden=model_cfg.head_hidden,
         num_classes=model_cfg.num_classes, dropout=model_cfg.dropout,
-        dtype=dtype)
+        dtype=dtype, gelu=getattr(model_cfg, "gelu", "erf"))
 
 
 def _build_vit_linear(dtype=jnp.float32, **kw):

@@ -13,7 +13,10 @@ with ``num_classes=0`` (pooled CLS features) plus the custom MLP head
 - **bf16 compute policy** (`dtype`), float32 params and final logits —
   the TPU equivalent of the reference's CUDA AMP (train_advanced.py:326).
 - Static shapes everywhere: 224x224 -> 196 patches + CLS = 197 tokens.
-- Exact (erf) GELU to match torch `nn.GELU` / timm numerics.
+- Exact (erf) GELU by default to match torch `nn.GELU` / timm numerics;
+  `gelu="tanh"` is the serving fast path (erf costs ~12 ms/batch of VPU
+  transcendentals across the 12 MLPs at B=128 — 2574 vs 3193 img/s —
+  while differing by ~one bf16 ulp at activation magnitudes).
 
 Sequence length is 197, so attention is a dense [B, H, 197, 197] einsum —
 flash/blockwise attention buys nothing at this size (SURVEY.md §2.7), but
@@ -88,12 +91,18 @@ class Attention(nn.Module):
 class MlpBlock(nn.Module):
     hidden_dim: int
     dtype: Dtype = jnp.float32
+    gelu: str = "erf"
 
     @nn.compact
     def __call__(self, x):
         d = x.shape[-1]
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)   # torch nn.GELU default = erf
+        # "erf" = torch nn.GELU default (parity paths).  "tanh" = the
+        # standard serving approximation: max |diff| ~5e-4 (one bf16 ulp
+        # at activation magnitudes), but erf costs ~1 ms of VPU
+        # transcendentals per [128,197,3072] pass on v5e — 12 ms/batch
+        # across the ViT, 2574 -> 3193 img/s (BENCH_NOTES.md round 2).
+        x = nn.gelu(x, approximate=(self.gelu == "tanh"))
         x = nn.Dense(d, dtype=self.dtype, name="fc2")(x)
         return x
 
@@ -105,6 +114,7 @@ class EncoderBlock(nn.Module):
     mlp_ratio: float = 4.0
     norm_eps: float = 1e-6          # timm default; HF ViT uses 1e-12
     dtype: Dtype = jnp.float32
+    gelu: str = "erf"
 
     @nn.compact
     def __call__(self, x):
@@ -113,7 +123,7 @@ class EncoderBlock(nn.Module):
         x = x + Attention(self.num_heads, dtype=self.dtype, name="attn")(y)
         y = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm2")(x)
         x = x + MlpBlock(int(d * self.mlp_ratio), dtype=self.dtype,
-                         name="mlp")(y)
+                         gelu=self.gelu, name="mlp")(y)
         return x
 
 
@@ -129,6 +139,7 @@ class ViT(nn.Module):
     pool: str = "token"              # "token" (timm default) | "mean"
     norm_eps: float = 1e-6           # timm 1e-6; HF ViT 1e-12
     dtype: Dtype = jnp.float32
+    gelu: str = "erf"                # "tanh": serving fast path
 
     @nn.compact
     def __call__(self, x):
@@ -155,7 +166,8 @@ class ViT(nn.Module):
 
         for i in range(self.depth):
             x = EncoderBlock(self.num_heads, self.mlp_ratio, self.norm_eps,
-                             dtype=self.dtype, name=f"block{i}")(x)
+                             dtype=self.dtype, gelu=self.gelu,
+                             name=f"block{i}")(x)
         x = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm")(x)
         if self.pool == "token":
             return x[:, 0]
@@ -197,12 +209,13 @@ class ViTAntiSpoof(nn.Module):
     dtype: Dtype = jnp.float32
 
     norm_eps: float = 1e-6
+    gelu: str = "erf"                # "tanh": serving fast path
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         feats = ViT(self.patch_size, self.embed_dim, self.depth,
                     self.num_heads, self.mlp_ratio, norm_eps=self.norm_eps,
-                    dtype=self.dtype, name="vit")(x)
+                    dtype=self.dtype, gelu=self.gelu, name="vit")(x)
         return AntiSpoofHead(self.hidden, self.num_classes, self.dropout,
                              dtype=self.dtype, name="head")(
             feats.astype(jnp.float32), train=train)
