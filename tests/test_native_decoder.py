@@ -81,14 +81,21 @@ def test_native_faster_than_pil(lib, tmp_path):
         return np.asarray(im)
 
     native_decode(str(jpg), 224)    # warm cache
+    pil()
     n = 20
-    t0 = time.perf_counter()
-    for _ in range(n):
-        native_decode(str(jpg), 224)
-    t_native = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for _ in range(n):
-        pil()
-    t_pil = time.perf_counter() - t0
+
+    def best_of(fn, rounds=3):
+        # min-of-rounds: robust to transient system load (this test
+        # flaked once while a TPU measurement saturated the host)
+        best = float("inf")
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_native = best_of(lambda: native_decode(str(jpg), 224))
+    t_pil = best_of(pil)
     # DCT prescale should beat full decode + resize comfortably
     assert t_native < t_pil, (t_native, t_pil)
