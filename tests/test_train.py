@@ -276,3 +276,23 @@ def test_sweep_encoding_handles_categoricals():
     assert x.shape == (8,)
     assert set(x[np.isin(x, [0.0, 1.0])]) <= {0.0, 1.0}
     assert np.all((x >= 0) & (x <= 1))
+
+
+def test_trainer_unknown_group_tag_raises(tmp_path):
+    """A batch tagged with a group absent from batch_prep must fail
+    loudly, not silently train through another group's augmentation."""
+    images, labels = _synthetic(64, seed=4)
+    cfg = Config().with_overrides({
+        "data.img_size": 16, "optim.num_epochs": 1,
+        "telemetry.jsonl_path": str(tmp_path / "m.jsonl"),
+    })
+
+    def train_batches(epoch):
+        yield {"image": images[:32], "label": labels[:32],
+               "group": "mystery"}
+
+    trainer = Trainer(cfg, TinyNet(), train_batches=train_batches,
+                      val_batches=lambda: iter(()), steps_per_epoch=1,
+                      batch_prep={"orig": None})
+    with pytest.raises(KeyError, match="mystery"):
+        trainer.train_epoch(0)

@@ -87,6 +87,11 @@ def _published(fn):
     return wrapper
 
 
+
+def _load_json(path: Path):
+    with open(path) as f:
+        return json.load(f)
+
 def _model_dirs(results_dir: Path):
     return sorted(p for p in results_dir.iterdir()
                   if p.is_dir() and p.name != "failed_cases_analysis")
@@ -144,7 +149,7 @@ def figure_roc_comparison(results_dir: str, output_dir: str):
         if not f.exists():
             continue
         df = pd.read_csv(f)
-        summary = json.load(open(mdir / "evaluation_summary.json"))
+        summary = _load_json(mdir / "evaluation_summary.json")
         ax.plot(df["fpr"], df["tpr"], lw=2,
                 color=MODEL_COLORS.get(mdir.name),
                 label=f"{mdir.name} (AUC = {summary['roc_auc']:.4f})")
@@ -173,7 +178,7 @@ def figure_apcer_bpcer_tradeoff(results_dir: str, output_dir: str):
         color = MODEL_COLORS.get(mdir.name)
         ax.plot(df["apcer"], df["bpcer"], "o-", lw=1.5, ms=4, color=color,
                 label=mdir.name)
-        summary = json.load(open(mdir / "evaluation_summary.json"))
+        summary = _load_json(mdir / "evaluation_summary.json")
         eer = summary["eer"]
         ax.plot([eer], [summary["operating_points"]["eer_point"]["bpcer"]],
                 "*", ms=16, color=color)
@@ -210,12 +215,14 @@ def figure_apcer_bpcer_reference(results_dir: str, output_dir: str, *,
     f = Path(results_dir) / model / "threshold_analysis.csv"
     if not f.exists():
         return None
+    sjson = Path(results_dir) / model / "evaluation_summary.json"
+    if not sjson.exists():
+        return None   # tolerate partial results trees like the csv guard
     df = pd.read_csv(f)
     apcer, bpcer = df["frr"], df["far"]            # the reference's read
     color, marker, title = _QUIRK_STYLE.get(
         model, ("#2E86AB", "o", model.replace("_", " ")))
-    summary = json.load(open(Path(results_dir) / model /
-                             "evaluation_summary.json"))
+    summary = _load_json(sjson)
     eer, eer_t = summary["eer"], summary["eer_threshold"]
 
     fig, ax = plt.subplots(figsize=(7, 6))
@@ -284,7 +291,7 @@ def figure_confusion_matrices(results_dir: str, output_dir: str,
     fig, axes = plt.subplots(rows, cols, figsize=(5 * cols, 4.5 * rows),
                              squeeze=False)
     for ax, mdir in zip(axes.ravel(), dirs):
-        s = json.load(open(mdir / "evaluation_summary.json"))
+        s = _load_json(mdir / "evaluation_summary.json")
         m = s["operating_points"][threshold_key]
         cm = np.array([[m["tn"], m["fp"]], [m["fn"], m["tp"]]])
         im = ax.imshow(cm, cmap="Blues")
@@ -458,7 +465,7 @@ def figure_overlaid_histograms(results_dir: str, output_dir: str):
 
     results = Path(results_dir)
     dist_json = results / "score_distribution_analysis.json"
-    stats = json.load(open(dist_json)) if dist_json.exists() else {}
+    stats = _load_json(dist_json) if dist_json.exists() else {}
     dirs = [d for d in _model_dirs(results)
             if (d / "score_distributions.csv").exists()]
     if not dirs:

@@ -78,11 +78,13 @@ def run_inference(module, variables, records: Sequence[Record], *,
         log.info("eval: auto data-parallel mesh over %d devices",
                  jax.device_count())
     if mesh is not None:
-        n_data = int(np.prod(mesh.devices.shape))
+        from ..parallel.mesh import DATA_AXIS
+        n_data = dict(zip(mesh.axis_names,
+                          mesh.devices.shape)).get(DATA_AXIS, 1)
         if batch_size % n_data:
             raise ValueError(
                 f"batch_size {batch_size} not divisible by the "
-                f"{n_data}-device eval mesh")
+                f"{n_data}-way data axis of the eval mesh")
 
     pipe = DataPipeline(records, batch_size=batch_size, img_size=img_size,
                         resize="exact", num_workers=num_workers,

@@ -35,8 +35,14 @@ log = logging.getLogger(__name__)
 MISSING = "<missing>"
 
 
-class _tolerant:
+import threading
+
+
+class _tolerant(threading.local):
     flag = False
+
+
+_tolerant = _tolerant()
 
 
 def _np(x) -> np.ndarray:
@@ -100,12 +106,31 @@ def convert_partial(converter: Callable, sd: Mapping, init_variables,
     finally:
         _tolerant.flag = False
     variables, missing = _merge_missing(converted, init_variables)
+    n_total = len(_leaves(converted))
+    if missing and len(missing) >= n_total:
+        # NOTHING matched: this is the wrong checkpoint format (e.g. an
+        # HF-layout dict fed to the timm converter), not a partial load —
+        # silently returning 100% init weights would let an eval run
+        # write garbage artifacts as if the checkpoint loaded.
+        raise KeyError(
+            f"state dict matched none of the {n_total} expected tensors "
+            "— wrong checkpoint format for this converter")
     if missing:
-        log.warning("partial weight load: %d tensors missing from state "
-                    "dict kept their init values: %s", len(missing),
+        log.warning("partial weight load: %d/%d tensors missing from "
+                    "state dict kept their init values: %s", len(missing),
+                    n_total,
                     ", ".join(missing[:8]) + ("..." if len(missing) > 8
                                               else ""))
     return variables, missing
+
+
+def _leaves(tree):
+    if isinstance(tree, dict):
+        out = []
+        for v in tree.values():
+            out += _leaves(v)
+        return out
+    return [tree]
 
 
 def _merge_missing(converted, init, path=""):

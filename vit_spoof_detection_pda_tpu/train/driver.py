@@ -55,17 +55,23 @@ def make_prep_fn(cfg: Config, chain):
     return prep
 
 
+def _train_chain(cfg: Config, *, crop: bool = True):
+    """The torchvision train-time chain from TrainAugConfig — single
+    source of truth for every path that builds it."""
+    ta = cfg.train_aug
+    return train_time_chain(
+        resize_to=ta.resize_to,
+        crop_size=ta.crop_size if crop else None,
+        hflip_prob=ta.hflip_prob, color_jitter=ta.color_jitter,
+        rotation_deg=ta.rotation_deg,
+        random_erase_prob=ta.random_erase_prob)
+
+
 def make_train_aug_fn(cfg: Config):
     """One compiled program: uint8 [B,256,256,3] -> augmented normalized
     float32 [B,224,224,3].  (Standalone variant of the fused
     ``make_prep_fn`` path, kept for direct library use.)"""
-    ta = cfg.train_aug
-    chain = train_time_chain(
-        resize_to=ta.resize_to, crop_size=ta.crop_size,
-        hflip_prob=ta.hflip_prob, color_jitter=ta.color_jitter,
-        rotation_deg=ta.rotation_deg,
-        random_erase_prob=ta.random_erase_prob)
-    return jax.jit(make_prep_fn(cfg, chain))
+    return jax.jit(make_prep_fn(cfg, _train_chain(cfg)))
 
 
 def make_eval_prep_fn():
@@ -109,11 +115,7 @@ def _make_online_data(cfg: Config):
     # img_size) unless train_aug is disabled; severity copies get their
     # tier chain — one aug pass per batch either way, fused INTO the
     # compiled train step (Trainer batch_prep; one program per group)
-    orig_chain = (train_time_chain(
-        crop_size=None, hflip_prob=ta.hflip_prob,
-        color_jitter=ta.color_jitter, rotation_deg=ta.rotation_deg,
-        random_erase_prob=ta.random_erase_prob)
-        if ta.enabled else [])
+    orig_chain = _train_chain(cfg, crop=False) if ta.enabled else []
     chains = {"orig": orig_chain}
     for g in ("heavy", "medium", "light"):
         chains[g] = CHAINS[g]()
@@ -213,15 +215,7 @@ def train_from_config(cfg: Config, *, mesh=None, records=None,
         prefetch_depth=cfg.data.prefetch_depth,
         shuffle=True, drop_last=cfg.data.drop_last_train, seed=cfg.seed)
 
-    if aug_on:
-        ta = cfg.train_aug
-        chain = train_time_chain(
-            resize_to=ta.resize_to, crop_size=ta.crop_size,
-            hflip_prob=ta.hflip_prob, color_jitter=ta.color_jitter,
-            rotation_deg=ta.rotation_deg,
-            random_erase_prob=ta.random_erase_prob)
-    else:
-        chain = []
+    chain = _train_chain(cfg) if aug_on else []
     prep = make_prep_fn(cfg, chain)   # fused into the train step
 
     def train_batches(epoch):

@@ -180,7 +180,15 @@ class Trainer:
             batch = dict(batch)
             group = batch.pop("group", None)
             batch = self._device_batch(batch)
-            step_fn = self.train_steps.get(group, self.train_step)
+            try:
+                # an unknown tag must fail loudly — silently training a
+                # batch through another group's augmentation chain would
+                # corrupt the run with plausible-looking metrics
+                step_fn = self.train_steps[group]
+            except KeyError:
+                raise KeyError(
+                    f"batch tagged group={group!r} but batch_prep only "
+                    f"defines {sorted(map(str, self.train_steps))}")
             self.state, metrics = step_fn(self.state, batch)
             rate = timer.tick()
             # fetch the *previous* step's metrics: keeps the device queue
@@ -224,8 +232,8 @@ class Trainer:
         round-trips.
         """
         dsize = int(self.mesh.devices.shape[0])
-        scores, labels = [], []
-        loss_sum, n_seen = 0.0, 0
+        scores, labels, losses = [], [], []
+        n_seen = 0
         for batch in self.val_batches():
             images = jnp.asarray(batch["image"])
             lbl = jnp.asarray(batch["label"])
@@ -238,7 +246,10 @@ class Trainer:
                 images = jnp.concatenate([images, pad])
             out = self.eval_step(self.state.params, self.state.batch_stats,
                                  images)
-            loss_sum += float(self._eval_loss(out["logits"][:b], lbl)) * b
+            # loss stays ON DEVICE until after the loop (a float() here
+            # would sync the queue every batch — the reference's .item()
+            # pattern this module exists to avoid)
+            losses.append(self._eval_loss(out["logits"][:b], lbl) * b)
             n_seen += b
             scores.append(out["score"][:b])
             labels.append(lbl)
@@ -247,7 +258,7 @@ class Trainer:
 
         table = dmetrics.threshold_table(scores, labels, jnp.asarray([0.5]))
         out = {
-            "loss": loss_sum / max(n_seen, 1),
+            "loss": float(sum(losses)) / max(n_seen, 1),
             "accuracy": table["accuracy"][0],
             "precision": table["precision"][0],
             "recall": table["recall"][0],

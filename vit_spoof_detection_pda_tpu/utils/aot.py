@@ -14,10 +14,10 @@ Usage::
     infer = cached_compile(fn, (params, batch), key="vit_b16_infer")
     out = infer(params, batch)
 
-The cache key mixes the caller's name with the jax version, backend,
-device kind and the argument shape/dtype signature; a stale or
-incompatible entry deserializes unsuccessfully and falls back to a fresh
-compile transparently.
+The cache key mixes the caller's name with a hash of the LOWERED
+PROGRAM (so code changes can never reuse a stale executable) and the
+jax version / backend / device kind; an incompatible entry deserializes
+unsuccessfully and falls back to a fresh compile transparently.
 """
 
 from __future__ import annotations
@@ -31,18 +31,27 @@ import jax
 
 log = logging.getLogger(__name__)
 
-DEFAULT_CACHE_DIR = os.environ.get("PAD_AOT_CACHE", "/tmp/pad_aot_cache")
+# per-user cache location: a predictable world-writable /tmp path would
+# let another local user plant a malicious pickle under a guessable name
+DEFAULT_CACHE_DIR = os.environ.get(
+    "PAD_AOT_CACHE", os.path.join(os.path.expanduser("~"), ".cache",
+                                  "pad_aot"))
 
 
-def _signature(args) -> str:
-    leaves = jax.tree.leaves(args)
-    parts = [f"{getattr(x, 'shape', ())}/{getattr(x, 'dtype', type(x))}"
-             for x in leaves]
+def _signature(lowered) -> str:
+    """Cache key from the LOWERED PROGRAM plus the compile environment.
+
+    Hashing the StableHLO text means any code change (model edit, kernel
+    change, different constants) produces a new entry — a key built only
+    from arg shapes would silently reuse a stale executable after a code
+    change and benchmark the wrong program."""
     dev = jax.devices()[0]
-    raw = "|".join([jax.__version__, jax.default_backend(),
-                    getattr(dev, "device_kind", "?"),
-                    str(jax.device_count())] + parts)
-    return hashlib.sha256(raw.encode()).hexdigest()[:16]
+    h = hashlib.sha256()
+    h.update(lowered.as_text().encode())
+    h.update("|".join([jax.__version__, jax.default_backend(),
+                       getattr(dev, "device_kind", "?"),
+                       str(jax.device_count())]).encode())
+    return h.hexdigest()[:16]
 
 
 class _Resilient:
@@ -75,14 +84,14 @@ def cached_compile(fn, example_args: tuple, *, key: str,
 
     cache_dir = cache_dir or DEFAULT_CACHE_DIR
     os.makedirs(cache_dir, exist_ok=True)
-    path = os.path.join(cache_dir,
-                        f"{key}-{_signature(example_args)}.jaxexec")
 
     # Always TRACE (cheap, local) — tracing runs dispatch-time logic such
     # as ops.attention's pallas_calls accounting, which callers assert on;
-    # only the expensive backend compile is skipped on a cache hit.
+    # only the expensive backend compile is skipped on a cache hit.  The
+    # lowered program is also the cache key.
     lowered = jax.jit(fn, static_argnums=static_argnums).lower(
         *example_args)
+    path = os.path.join(cache_dir, f"{key}-{_signature(lowered)}.jaxexec")
 
     if os.path.exists(path):
         try:
