@@ -1,0 +1,80 @@
+"""Serving fast path (models/fastserve.py + fused_attention_block): must
+reproduce the flax module forward."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vit_spoof_detection_pda_tpu.models.fastserve import serving_forward
+from vit_spoof_detection_pda_tpu.models.vit import (ViTAntiSpoof,
+                                                    fold_normalization)
+from vit_spoof_detection_pda_tpu.ops import attention as att
+from vit_spoof_detection_pda_tpu.ops import image as I
+
+
+def test_fused_attention_block_matches_composed():
+    """LN+qkv+attention+proj+residual kernel == the step-by-step jnp
+    composition."""
+    rng = np.random.default_rng(0)
+    b, t, d, heads = 2, 33, 64, 4
+    x = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+    lns = jnp.asarray(rng.standard_normal(d), jnp.float32) * 0.1 + 1.0
+    lnb = jnp.asarray(rng.standard_normal(d), jnp.float32) * 0.1
+    wqkv = jnp.asarray(rng.standard_normal((d, 3 * d)) * 0.05, jnp.float32)
+    bqkv = jnp.asarray(rng.standard_normal(3 * d) * 0.05, jnp.float32)
+    wproj = jnp.asarray(rng.standard_normal((d, d)) * 0.05, jnp.float32)
+    bproj = jnp.asarray(rng.standard_normal(d) * 0.05, jnp.float32)
+
+    got = np.asarray(att.fused_attention_block(
+        x, lns, lnb, wqkv, bqkv, wproj, bproj, heads, interpret=True))
+
+    x32 = np.asarray(x, np.float64)
+    mu = x32.mean(-1, keepdims=True)
+    var = ((x32 - mu) ** 2).mean(-1, keepdims=True)
+    xn = (x32 - mu) / np.sqrt(var + 1e-6) * np.asarray(lns) + np.asarray(lnb)
+    qkv = xn @ np.asarray(wqkv) + np.asarray(bqkv)
+    dh = d // heads
+    outs = np.zeros((b, t, d))
+    for h in range(heads):
+        q = qkv[:, :, h * dh:(h + 1) * dh]
+        k = qkv[:, :, d + h * dh:d + (h + 1) * dh]
+        v = qkv[:, :, 2 * d + h * dh:2 * d + (h + 1) * dh]
+        logits = (q @ k.transpose(0, 2, 1)) * dh ** -0.5
+        w = np.exp(logits - logits.max(-1, keepdims=True))
+        w = w / w.sum(-1, keepdims=True)
+        outs[:, :, h * dh:(h + 1) * dh] = w @ v
+    want = x32 + outs @ np.asarray(wproj) + np.asarray(bproj)
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
+def test_serving_forward_matches_module():
+    """serving_forward == ViTAntiSpoof(gelu='tanh') forward on folded
+    params + raw uint8 input (f32 for a tight bound)."""
+    m = ViTAntiSpoof(patch_size=16, embed_dim=64, depth=2, num_heads=2,
+                     hidden=16, gelu="tanh")
+    variables = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    folded = fold_normalization(variables)
+    u8 = jnp.asarray(np.random.default_rng(1).integers(
+        0, 256, (4, 32, 32, 3), dtype=np.uint8))
+
+    logits = m.apply(folded, u8.astype(jnp.float32))
+    want = np.asarray(jax.nn.sigmoid(logits[:, 1] - logits[:, 0]))
+    got = np.asarray(serving_forward(
+        folded["params"], u8, num_heads=2, depth=2, dtype=jnp.float32,
+        interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
+def test_serving_forward_scores_in_range():
+    m = ViTAntiSpoof(patch_size=16, embed_dim=64, depth=1, num_heads=2,
+                     hidden=16)
+    variables = m.init(jax.random.PRNGKey(2), jnp.zeros((1, 32, 32, 3)))
+    folded = fold_normalization(variables)
+    u8 = jnp.asarray(np.random.default_rng(3).integers(
+        0, 256, (2, 32, 32, 3), dtype=np.uint8))
+    s = np.asarray(serving_forward(folded["params"], u8, num_heads=2,
+                                   depth=1, dtype=jnp.bfloat16,
+                                   interpret=True), np.float32)
+    assert np.all((s >= 0) & (s <= 1))

@@ -265,6 +265,104 @@ fused_attention_qkv.defvjp(_qkv_fwd, _qkv_bwd)
 
 
 # --------------------------------------------------------------------------
+# Whole-attention-block kernel (serving): LN1 + QKV GEMM + attention +
+# proj + residual in ONE program, weights VMEM-resident
+# --------------------------------------------------------------------------
+
+
+def _attn_block_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
+                       wproj_ref, bproj_ref, o_ref, *, scale: float,
+                       valid_len: int, num_heads: int, head_dim: int,
+                       block_b: int, eps: float):
+    """o = x + proj(attention(LN(x) @ Wqkv + bqkv)) for a [block_b, Tp, D]
+    residual-stream block.
+
+    Fusing the whole pre-LN attention sub-layer keeps the [Tp, 3D] QKV
+    activations and the attention output entirely in VMEM — per ViT-B
+    layer that deletes ~250 MB of HBM traffic (write+read of qkv at
+    B=128) plus the standalone LN pass.  Weights ride constant-index
+    BlockSpecs, so the pipeline fetches them once, not per program.
+    Serving-only: no VJP (training uses the fused_attention_qkv pair)."""
+    tp = x_ref.shape[1]
+    d = num_heads * head_dim
+    col = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
+    mask = col < valid_len
+    for bi in range(block_b):
+        x = x_ref[bi].astype(jnp.float32)                    # [Tp, D]
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+        xn = (x - mu) * jax.lax.rsqrt(var + eps)
+        xn = (xn * lns_ref[0].astype(jnp.float32)
+              + lnb_ref[0].astype(jnp.float32)).astype(x_ref.dtype)
+        qkv = jax.lax.dot_general(
+            xn, wqkv_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        qkv = (qkv + bqkv_ref[0].astype(jnp.float32)).astype(x_ref.dtype)
+        attn_out = jnp.zeros((tp, d), jnp.float32)
+        for h in range(num_heads):
+            q = qkv[:, h * head_dim:(h + 1) * head_dim]
+            k = qkv[:, d + h * head_dim:d + (h + 1) * head_dim]
+            v = qkv[:, 2 * d + h * head_dim:2 * d + (h + 1) * head_dim]
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            logits = jnp.where(mask, logits, -1e30)
+            w = jax.nn.softmax(logits, axis=-1)
+            out = jnp.dot(w.astype(v.dtype), v,
+                          preferred_element_type=jnp.float32)
+            attn_out = jax.lax.dynamic_update_slice(
+                attn_out, out, (0, h * head_dim))
+        proj = jax.lax.dot_general(
+            attn_out.astype(x_ref.dtype), wproj_ref[...],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[bi] = (x + proj + bproj_ref[0].astype(jnp.float32)
+                     ).astype(o_ref.dtype)
+
+
+def fused_attention_block(x, ln_scale, ln_bias, w_qkv, b_qkv, w_proj,
+                          b_proj, num_heads: int, *, eps: float = 1e-6,
+                          interpret: bool = False):
+    """x: [B, T, D] residual stream -> x + proj(attn(LN(x))) (serving)."""
+    b, t, d = x.shape
+    head_dim = d // num_heads
+    tp = _round_up(t, 128)
+    scale = float(head_dim) ** -0.5
+    block_b = _block_b_for(b)
+    xp = jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
+    row = lambda a: jnp.asarray(a).reshape(1, -1)            # noqa: E731
+    kernel = functools.partial(
+        _attn_block_kernel, scale=scale, valid_len=t, num_heads=num_heads,
+        head_dim=head_dim, block_b=block_b, eps=eps)
+    const = lambda i: (0, 0)                                 # noqa: E731
+    out = pl.pallas_call(
+        kernel,
+        grid=(b // block_b,),
+        in_specs=[
+            pl.BlockSpec((block_b, tp, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 3 * d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_b, tp, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, tp, d), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * tp * d * (3 * d + d)
+            + 4 * b * num_heads * tp * tp * head_dim,
+            bytes_accessed=2 * b * tp * d * x.dtype.itemsize,
+            transcendentals=b * num_heads * tp * tp),
+        interpret=interpret,
+    )(xp, row(ln_scale), row(ln_bias), w_qkv, row(b_qkv), w_proj,
+      row(b_proj))
+    return out[:, :t, :]
+
+
+# --------------------------------------------------------------------------
 # Dispatch: how models pick an attention implementation
 # --------------------------------------------------------------------------
 
