@@ -54,10 +54,12 @@ def main():
     variables = fold_normalization(variables)
 
     def infer_fn(params, batch_u8):
-        # P(live) as the sigmoid of the logit difference (== softmax col 1)
-        logits = module.apply({"params": params}, batch_u8).astype(
-            jnp.float32)
-        return jax.nn.sigmoid(logits[:, 1] - logits[:, 0])
+        # pure-functional serving forward: whole pre-LN attention
+        # sub-layers run as single Pallas programs with VMEM-resident
+        # weights (models/fastserve.py; parity-tested vs module.apply)
+        from vit_spoof_detection_pda_tpu.models.fastserve import (
+            serving_forward)
+        return serving_forward(params, batch_u8)
 
     rng = np.random.default_rng(0)
     batch = jnp.asarray(rng.integers(0, 256, (BATCH, 224, 224, 3),

@@ -47,3 +47,12 @@ t = timed(mod_infer, folded["params"], batch)
 print(f"module path: {t*1e3:.2f} ms  {B/t:.0f} img/s", flush=True)
 t = timed(fast_infer, folded["params"], batch)
 print(f"fastserve:   {t*1e3:.2f} ms  {B/t:.0f} img/s", flush=True)
+
+# --- fuse_mlp variant ---
+@jax.jit
+def fast_infer_nomlp(p, u8):
+    return serving_forward(p, u8, fuse_mlp=False)
+
+t = timed(fast_infer_nomlp, folded["params"], batch)
+print(f"fastserve fuse_mlp=False: {t*1e3:.2f} ms  {B/t:.0f} img/s",
+      flush=True)

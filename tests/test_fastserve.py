@@ -78,3 +78,44 @@ def test_serving_forward_scores_in_range():
                                    depth=1, dtype=jnp.bfloat16,
                                    interpret=True), np.float32)
     assert np.all((s >= 0) & (s <= 1))
+
+
+def test_fused_mlp_block_matches_composed():
+    rng = np.random.default_rng(5)
+    b, t, d, hid = 2, 33, 64, 256
+    x = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+    lns = jnp.asarray(rng.standard_normal(d) * 0.1 + 1.0, jnp.float32)
+    lnb = jnp.asarray(rng.standard_normal(d) * 0.1, jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((d, hid)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal(hid) * 0.05, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((hid, d)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal(d) * 0.05, jnp.float32)
+
+    got = np.asarray(att.fused_mlp_block(x, lns, lnb, w1, b1, w2, b2,
+                                         interpret=True))
+    x32 = np.asarray(x, np.float64)
+    mu = x32.mean(-1, keepdims=True)
+    var = ((x32 - mu) ** 2).mean(-1, keepdims=True)
+    xn = (x32 - mu) / np.sqrt(var + 1e-6) * np.asarray(lns) + np.asarray(lnb)
+    import jax.nn as jnn
+    hdn = np.asarray(jnn.gelu(jnp.asarray(xn @ np.asarray(w1)
+                                          + np.asarray(b1)),
+                              approximate=True))
+    want = x32 + hdn @ np.asarray(w2) + np.asarray(b2)
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
+def test_serving_forward_fuse_mlp_paths_agree():
+    m = ViTAntiSpoof(patch_size=16, embed_dim=64, depth=2, num_heads=2,
+                     hidden=16, gelu="tanh")
+    variables = m.init(jax.random.PRNGKey(4), jnp.zeros((1, 32, 32, 3)))
+    folded = fold_normalization(variables)
+    u8 = jnp.asarray(np.random.default_rng(6).integers(
+        0, 256, (4, 32, 32, 3), dtype=np.uint8))
+    a = np.asarray(serving_forward(folded["params"], u8, num_heads=2,
+                                   depth=2, dtype=jnp.float32,
+                                   fuse_mlp=True, interpret=True))
+    bfs = np.asarray(serving_forward(folded["params"], u8, num_heads=2,
+                                     depth=2, dtype=jnp.float32,
+                                     fuse_mlp=False, interpret=True))
+    np.testing.assert_allclose(a, bfs, atol=2e-5, rtol=1e-5)

@@ -22,7 +22,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import fused_attention_block
+from ..ops.attention import fused_attention_block, fused_mlp_block
 
 
 def _layernorm(x, p, eps):
@@ -37,7 +37,7 @@ def _layernorm(x, p, eps):
 def serving_forward(params, batch, *, num_heads: int = 12,
                     patch_size: int = 16, depth: int = 12,
                     norm_eps: float = 1e-6, dtype=jnp.bfloat16,
-                    interpret: bool = False):
+                    fuse_mlp: bool = True, interpret: bool = False):
     """uint8/raw-float [B, H, W, 3] -> P(live) scores [B].
 
     ``params``: ViTAntiSpoof param tree (apply
@@ -72,16 +72,23 @@ def serving_forward(params, batch, *, num_heads: int = 12,
             blk["attn"]["proj"]["kernel"].astype(dtype),
             blk["attn"]["proj"]["bias"],
             num_heads, eps=norm_eps, interpret=interpret)
-        y = _layernorm(x, blk["norm2"], norm_eps)
         mlp = blk["mlp"]
-        hdn = (jnp.dot(y, mlp["fc1"]["kernel"].astype(dtype),
-                       preferred_element_type=jnp.float32)
-               + mlp["fc1"]["bias"].astype(jnp.float32)).astype(dtype)
-        hdn = jax.nn.gelu(hdn, approximate=True)
-        out = (jnp.dot(hdn, mlp["fc2"]["kernel"].astype(dtype),
-                       preferred_element_type=jnp.float32)
-               + mlp["fc2"]["bias"].astype(jnp.float32)).astype(dtype)
-        x = x + out
+        if fuse_mlp:
+            x = fused_mlp_block(
+                x, blk["norm2"]["scale"], blk["norm2"]["bias"],
+                mlp["fc1"]["kernel"].astype(dtype), mlp["fc1"]["bias"],
+                mlp["fc2"]["kernel"].astype(dtype), mlp["fc2"]["bias"],
+                eps=norm_eps, interpret=interpret)
+        else:
+            y = _layernorm(x, blk["norm2"], norm_eps)
+            hdn = (jnp.dot(y, mlp["fc1"]["kernel"].astype(dtype),
+                           preferred_element_type=jnp.float32)
+                   + mlp["fc1"]["bias"].astype(jnp.float32)).astype(dtype)
+            hdn = jax.nn.gelu(hdn, approximate=True)
+            out = (jnp.dot(hdn, mlp["fc2"]["kernel"].astype(dtype),
+                           preferred_element_type=jnp.float32)
+                   + mlp["fc2"]["bias"].astype(jnp.float32)).astype(dtype)
+            x = x + out
 
     x = _layernorm(x, vit["norm"], norm_eps)[:, 0]
 

@@ -298,7 +298,7 @@ def _attn_block_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
             xn, wqkv_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         qkv = (qkv + bqkv_ref[0].astype(jnp.float32)).astype(x_ref.dtype)
-        attn_out = jnp.zeros((tp, d), jnp.float32)
+        heads_out = []
         for h in range(num_heads):
             q = qkv[:, h * head_dim:(h + 1) * head_dim]
             k = qkv[:, d + h * head_dim:d + (h + 1) * head_dim]
@@ -308,10 +308,10 @@ def _attn_block_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
                 preferred_element_type=jnp.float32) * scale
             logits = jnp.where(mask, logits, -1e30)
             w = jax.nn.softmax(logits, axis=-1)
-            out = jnp.dot(w.astype(v.dtype), v,
-                          preferred_element_type=jnp.float32)
-            attn_out = jax.lax.dynamic_update_slice(
-                attn_out, out, (0, h * head_dim))
+            heads_out.append(jnp.dot(w.astype(v.dtype), v,
+                                     preferred_element_type=jnp.float32))
+        # static concat (Mosaic has no dynamic_update_slice lowering)
+        attn_out = jnp.concatenate(heads_out, axis=1)
         proj = jax.lax.dot_general(
             attn_out.astype(x_ref.dtype), wproj_ref[...],
             (((1,), (0,)), ((), ())),
@@ -359,6 +359,80 @@ def fused_attention_block(x, ln_scale, ln_bias, w_qkv, b_qkv, w_proj,
         interpret=interpret,
     )(xp, row(ln_scale), row(ln_bias), w_qkv, row(b_qkv), w_proj,
       row(b_proj))
+    return out[:, :t, :]
+
+
+# --------------------------------------------------------------------------
+# Whole-MLP-block kernel (serving): LN2 + fc1 + GELU + fc2 + residual
+# --------------------------------------------------------------------------
+
+
+def _mlp_block_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
+                      b2_ref, o_ref, *, eps: float, n_chunks: int):
+    """o = x + fc2(gelu_tanh(fc1(LN(x)))) for one [1, Tp, D] block.
+
+    The [Tp, hidden] activation never reaches HBM (at ViT-B/B=128 the
+    fc1->fc2 round-trip is ~300 MB/layer).  The hidden dim is processed
+    in ``n_chunks`` column-chunks of fc1 (row-chunks of fc2) so VMEM
+    holds the resident weights (9.4 MB) plus only a chunk of activations.
+    Serving-only; tanh GELU (the serving numerics)."""
+    hidden = w1_ref.shape[1]
+    chunk = hidden // n_chunks
+    x = x_ref[0].astype(jnp.float32)                          # [Tp, D]
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+    xn = (x - mu) * jax.lax.rsqrt(var + eps)
+    xn = (xn * lns_ref[0].astype(jnp.float32)
+          + lnb_ref[0].astype(jnp.float32)).astype(x_ref.dtype)
+    acc = x + b2_ref[0].astype(jnp.float32)
+    for c in range(n_chunks):
+        sl = slice(c * chunk, (c + 1) * chunk)
+        h = jax.lax.dot_general(
+            xn, w1_ref[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        h = jax.nn.gelu(h + b1_ref[0, sl].astype(jnp.float32),
+                        approximate=True).astype(x_ref.dtype)
+        acc = acc + jax.lax.dot_general(
+            h, w2_ref[sl, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def fused_mlp_block(x, ln_scale, ln_bias, w_fc1, b_fc1, w_fc2, b_fc2, *,
+                    eps: float = 1e-6, n_chunks: int = 2,
+                    interpret: bool = False):
+    """x: [B, T, D] residual stream -> x + MLP(LN(x)) (serving)."""
+    b, t, d = x.shape
+    tp = _round_up(t, 128)
+    xp = jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
+    row = lambda a: jnp.asarray(a).reshape(1, -1)            # noqa: E731
+    const = lambda i: (0, 0)                                 # noqa: E731
+    hidden = w_fc1.shape[1]
+    kernel = functools.partial(_mlp_block_kernel, eps=eps,
+                               n_chunks=n_chunks)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, tp, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, hidden), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hidden), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tp, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, tp, d), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * tp * d * hidden,
+            bytes_accessed=2 * b * tp * d * x.dtype.itemsize,
+            transcendentals=b * tp * hidden),
+        interpret=interpret,
+    )(xp, row(ln_scale), row(ln_bias), w_fc1, row(b_fc1), w_fc2,
+      row(b_fc2))
     return out[:, :t, :]
 
 
