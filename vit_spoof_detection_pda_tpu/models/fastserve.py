@@ -8,6 +8,12 @@ Composition per layer (identical math to models/vit.py, serving dtypes):
   x <- fused_attention_block(x)          # Pallas, no qkv/attn HBM trip
   x <- x + fc2(gelu_tanh(fc1(LN2(x))))   # XLA (bf16 GEMMs run ~peak)
 
+``fuse_mlp=True`` swaps the MLP half-layer for
+``ops.attention.fused_mlp_block`` — measured SLOWER on v5e (36.2 vs
+33.3 ms/batch: XLA's MLP GEMMs already run at ~202 TFLOP/s and the
+kernel's per-program overhead + hidden-dim chunking cost more than the
+saved activation round-trip), so it stays opt-in for future hardware.
+
 Use with :func:`models.vit.fold_normalization`-transformed variables and
 raw uint8 input for the fastest path (bench.py).  A parity test pins the
 output to the module forward within bf16 tolerance
@@ -37,7 +43,7 @@ def _layernorm(x, p, eps):
 def serving_forward(params, batch, *, num_heads: int = 12,
                     patch_size: int = 16, depth: int = 12,
                     norm_eps: float = 1e-6, dtype=jnp.bfloat16,
-                    fuse_mlp: bool = True, interpret: bool = False):
+                    fuse_mlp: bool = False, interpret: bool = False):
     """uint8/raw-float [B, H, W, 3] -> P(live) scores [B].
 
     ``params``: ViTAntiSpoof param tree (apply
