@@ -72,11 +72,29 @@ def benchmark_single_image(module, variables, records: Sequence[Record], *,
 
 
 def benchmark_throughput(module, variables, *, batch_size: int = 128,
-                         img_size: int = 224, iters: int = 20) -> dict:
-    """Compiled steady-state img/s with on-device preprocessing."""
+                         img_size: int = 224, iters: int = 20,
+                         fastserve: bool = False) -> dict:
+    """Compiled steady-state img/s with on-device preprocessing.
+
+    ``fastserve=True`` times the bf16 serving fast path instead
+    (models/fastserve.py: folded normalization + fused attention-block
+    Pallas kernels + tanh GELU — the bench.py configuration); only valid
+    for the flagship ViT layout."""
+    import jax
     import jax.numpy as jnp
 
-    infer = make_infer_fn(module)
+    if fastserve:
+        from ..models.fastserve import serving_forward
+        from ..models.vit import fold_normalization
+        folded = fold_normalization(variables)
+
+        @jax.jit
+        def _fast(v, batch_u8):
+            return {"prob1": serving_forward(v["params"], batch_u8)}
+
+        infer, variables = _fast, folded
+    else:
+        infer = make_infer_fn(module)
     rng = np.random.default_rng(0)
     batch = jnp.asarray(rng.integers(
         0, 256, (batch_size, img_size, img_size, 3), dtype=np.uint8))

@@ -20,6 +20,10 @@ def main(argv=None):
     parser.add_argument("--batch-size", type=int, default=128)
     parser.add_argument("--iters", type=int, default=20)
     parser.add_argument("--model", default="Custom_ViT_FineTuned")
+    parser.add_argument("--fastserve", action="store_true",
+                        help="time the bf16 serving fast path (fused "
+                             "attention-block kernels, tanh GELU, folded "
+                             "normalization) — flagship ViT only")
     args = parser.parse_args(argv)
     setup_logging()
     cfg = resolve_config(args)
@@ -30,7 +34,8 @@ def main(argv=None):
     out = benchmark_throughput(module, variables,
                                batch_size=args.batch_size,
                                img_size=cfg.data.img_size,
-                               iters=args.iters)
+                               iters=args.iters,
+                               fastserve=args.fastserve)
     print(json.dumps(out))
     return out
 
