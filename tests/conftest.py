@@ -16,6 +16,8 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# a set axon relay var makes CPU-only jax hang at first dispatch
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 
 import jax
 
