@@ -48,11 +48,13 @@ print(f"module path: {t*1e3:.2f} ms  {B/t:.0f} img/s", flush=True)
 t = timed(fast_infer, folded["params"], batch)
 print(f"fastserve:   {t*1e3:.2f} ms  {B/t:.0f} img/s", flush=True)
 
-# --- fuse_mlp variant ---
+# --- fuse_mlp variant (flat M-tiled MLP kernel) ---
 @jax.jit
-def fast_infer_nomlp(p, u8):
-    return serving_forward(p, u8, fuse_mlp=False)
+def fast_infer_mlp(p, u8):
+    return serving_forward(p, u8, fuse_mlp=True)
 
-t = timed(fast_infer_nomlp, folded["params"], batch)
-print(f"fastserve fuse_mlp=False: {t*1e3:.2f} ms  {B/t:.0f} img/s",
+c = np.asarray(fast_infer_mlp(folded["params"], batch))
+print("fuse_mlp score max diff vs module:", np.abs(a - c).max(), flush=True)
+t = timed(fast_infer_mlp, folded["params"], batch)
+print(f"fastserve fuse_mlp=True (flat): {t*1e3:.2f} ms  {B/t:.0f} img/s",
       flush=True)

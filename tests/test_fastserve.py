@@ -119,3 +119,49 @@ def test_serving_forward_fuse_mlp_paths_agree():
                                      depth=2, dtype=jnp.float32,
                                      fuse_mlp=False, interpret=True))
     np.testing.assert_allclose(a, bfs, atol=2e-5, rtol=1e-5)
+
+
+def test_fused_mlp_block_multi_tile_grid():
+    """rows > m_tile exercises the flat kernel's multi-program grid and
+    tail padding (rows=330, m_tile=128 -> grid 3 with 54 pad rows)."""
+    rng = np.random.default_rng(7)
+    b, t, d, hid = 10, 33, 64, 128
+    x = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+    lns = jnp.asarray(rng.standard_normal(d) * 0.1 + 1.0, jnp.float32)
+    lnb = jnp.asarray(rng.standard_normal(d) * 0.1, jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((d, hid)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal(hid) * 0.05, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((hid, d)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal(d) * 0.05, jnp.float32)
+
+    got = np.asarray(att.fused_mlp_block(x, lns, lnb, w1, b1, w2, b2,
+                                         m_tile=128, interpret=True))
+    want = np.asarray(att.fused_mlp_block(x, lns, lnb, w1, b1, w2, b2,
+                                          m_tile=512, interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+    assert got.shape == (b, t, d)
+
+
+def test_serving_forward_sharded_matches_single():
+    """shard_map DP serving == single-device serving on the virtual mesh."""
+    from vit_spoof_detection_pda_tpu.models.fastserve import (
+        serving_forward_sharded)
+    from vit_spoof_detection_pda_tpu.parallel.mesh import make_mesh
+
+    if jax.device_count() < 4:
+        pytest.skip("needs >=4 virtual devices")
+    m = ViTAntiSpoof(patch_size=16, embed_dim=64, depth=2, num_heads=2,
+                     hidden=16, gelu="tanh")
+    variables = m.init(jax.random.PRNGKey(8), jnp.zeros((1, 32, 32, 3)))
+    folded = fold_normalization(variables)
+    u8 = jnp.asarray(np.random.default_rng(9).integers(
+        0, 256, (8, 32, 32, 3), dtype=np.uint8))
+    mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    kw = dict(num_heads=2, depth=2, dtype=jnp.float32, interpret=True)
+    got = np.asarray(serving_forward_sharded(folded["params"], u8, mesh,
+                                             **kw))
+    want = np.asarray(serving_forward(folded["params"], u8, **kw))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+    with pytest.raises(ValueError):
+        serving_forward_sharded(folded["params"], u8[:6], mesh, **kw)

@@ -5,14 +5,16 @@ sub-layer running as ONE Pallas program per layer
 proj + residual, weights VMEM-resident).
 
 Composition per layer (identical math to models/vit.py, serving dtypes):
-  x <- fused_attention_block(x)          # Pallas, no qkv/attn HBM trip
-  x <- x + fc2(gelu_tanh(fc1(LN2(x))))   # XLA (bf16 GEMMs run ~peak)
+  x <- fused_attention_block(x)   # Pallas, no qkv/attn HBM trip
+  x <- fused_mlp_block(x)         # Pallas, flat M-tiled over [B*T, D]
 
-``fuse_mlp=True`` swaps the MLP half-layer for
-``ops.attention.fused_mlp_block`` — measured SLOWER on v5e (36.2 vs
-33.3 ms/batch: XLA's MLP GEMMs already run at ~202 TFLOP/s and the
-kernel's per-program overhead + hidden-dim chunking cost more than the
-saved activation round-trip), so it stays opt-in for future hardware.
+``fuse_mlp=True`` (the default) runs the MLP half-layer as
+``ops.attention.fused_mlp_block``: LN2+fc1+gelu+fc2+residual tiled over
+the FLATTENED row space, so neither the [rows, hidden] activation nor
+the 197->256 sequence padding ever exist (32.3 vs 33.2 ms/batch and a
+smaller score drift than the XLA path, exp_r2_fastserve.py).
+``fuse_mlp=False`` keeps the MLP in XLA (bf16 GEMMs at ~175 TFLOP/s,
+within 3% — the fallback if a future shape change upsets VMEM).
 
 Use with :func:`models.vit.fold_normalization`-transformed variables and
 raw uint8 input for the fastest path (bench.py).  A parity test pins the
@@ -21,6 +23,12 @@ output to the module forward within bf16 tolerance
 
 Serving-only: no gradients (training uses the flax module with the
 fused_attention_qkv fwd/bwd kernel pair).
+
+Multi-chip: GSPMD cannot partition a ``pallas_call``, so
+:func:`serving_forward_sharded` wraps the whole forward in
+``jax.shard_map`` over a mesh's data axis (weights replicated, batch
+sharded) — each chip runs the identical single-chip program and no
+collectives are needed for pure data-parallel inference.
 """
 
 from __future__ import annotations
@@ -43,7 +51,7 @@ def _layernorm(x, p, eps):
 def serving_forward(params, batch, *, num_heads: int = 12,
                     patch_size: int = 16, depth: int = 12,
                     norm_eps: float = 1e-6, dtype=jnp.bfloat16,
-                    fuse_mlp: bool = False, interpret: bool = False):
+                    fuse_mlp: bool = True, interpret: bool = False):
     """uint8/raw-float [B, H, W, 3] -> P(live) scores [B].
 
     ``params``: ViTAntiSpoof param tree (apply
@@ -108,3 +116,27 @@ def serving_forward(params, batch, *, num_heads: int = 12,
                       preferred_element_type=jnp.float32)
               + head["fc2"]["bias"])
     return jax.nn.sigmoid(logits[:, 1] - logits[:, 0])
+
+
+def serving_forward_sharded(params, batch, mesh, **kwargs):
+    """Data-parallel :func:`serving_forward` over ``mesh``'s data axis.
+
+    Each device runs the single-chip fused-kernel program on its batch
+    shard (params replicated); GSPMD cannot partition ``pallas_call``,
+    so the whole forward rides ``jax.shard_map``.  The global batch must
+    split evenly over the data axis into per-device shards of even size
+    (the attention kernel's block_b=2 batch blocking).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS
+
+    ndata = dict(zip(mesh.axis_names, mesh.devices.shape))[DATA_AXIS]
+    if batch.shape[0] % ndata:
+        raise ValueError(
+            f"batch {batch.shape[0]} not divisible by data axis {ndata}")
+    f = jax.shard_map(
+        lambda p, b: serving_forward(p, b, **kwargs),
+        mesh=mesh, in_specs=(P(), P(DATA_AXIS)), out_specs=P(DATA_AXIS),
+        check_vma=False)
+    return f(params, batch)
