@@ -121,6 +121,13 @@ class ModelConfig(_Base):
     # "erf" = torch nn.GELU parity (reference numerics); "tanh" = serving
     # fast path, ~1 bf16 ulp apart, +24% inference throughput
     gelu: str = "erf"
+    # Fused-block training forward (models/fasttrain.py): each pre-LN
+    # attention sub-layer runs as ONE Pallas program in the train step's
+    # forward with a recompute-free custom-VJP backward.  Measured
+    # break-even on v5e (129.4 vs 130.2 ms/step: the forward's -6 ms is
+    # returned by the hand-written backward losing XLA's autodiff
+    # schedule — BENCH_NOTES.md round 3), so it stays opt-in.
+    fused_train_forward: bool = False
 
 
 @dataclass(frozen=True)

@@ -11,6 +11,10 @@
                 ResNet50.
 `registry.py` — declarative model registry driving the cross-model
                 harness (reference evaluate_all_models.py:458-463).
+`fastserve.py`— bf16 serving fast path: whole pre-LN sub-layers as
+                single Pallas programs (the bench.py headline).
+`fasttrain.py`— the same fused attention-block kernel as the TRAIN-step
+                forward (custom VJP, recompute-free backward).
 """
 
 from .registry import MODEL_REGISTRY, build_model  # noqa: F401

@@ -1,0 +1,395 @@
+"""Fused-block TRAINING forward for the flagship ViT.
+
+The serving path (models/fastserve.py) runs each pre-LN attention
+sub-layer as one Pallas program; training couldn't use it because the
+kernel had no VJP.  This module closes that gap with a custom-VJP
+attention block whose forward is the same fused kernel EXTENDED to also
+emit the ``qkv`` projection and the attention output — exactly the
+residuals the XLA autodiff path would have stored anyway — so the
+backward needs **no recomputation**:
+
+  forward:  one Pallas program per layer
+            (LN1 + QKV GEMM + attention + proj + residual,
+             weights VMEM-resident; extra outputs qkv, attn_out)
+  backward: plain XLA GEMMs for the weight/LN grads plus the existing
+            Pallas attention backward (ops.attention._backward_qkv) —
+            byte-for-byte the same backward work as the module path.
+
+The functional forward (:func:`train_forward`) mirrors
+``ViTAntiSpoof.__call__`` over the same param tree (models/vit.py), with
+head dropout driven by an explicit rng.  :func:`make_apply` wraps it in
+a ``module.apply``-compatible callable so ``TrainState.apply_fn`` /
+``make_train_step`` need no changes.
+
+Measured verdict (v5e, B=128, erf, BENCH_NOTES.md round 3): the fused
+forward IS faster (44.1 vs 50.1 ms) but the full step is break-even
+(129.4 vs 130.2 ms) — a hand-written backward loses exactly the ~6 ms
+XLA's autodiff scheduler wins on the module path.  The capability ships
+OPT-IN (`model.fused_train_forward`) as the integration point for any
+future backward-kernel work; the module path stays the default.
+
+Dispatch: the fused path engages on a single-device TPU backend or
+under ``ops.attention.attention_sharding(interpret=True)`` (CPU tests);
+anywhere else ``make_apply`` returns ``module.apply`` unchanged, so
+multi-device meshes keep the shard_map dispatch inside the module.
+
+Gradient parity vs ``module.apply`` is pinned by
+tests/test_fasttrain.py (exact-ish at f32, bf16-tolerance under the
+serving policy).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.attention import _backward_qkv, _block_b_for, _round_up
+
+
+# --------------------------------------------------------------------------
+# Fused attention block with residual outputs (training forward kernel)
+# --------------------------------------------------------------------------
+
+
+def _attn_block_train_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
+                             wproj_ref, bproj_ref, o_ref, qkv_ref,
+                             attn_ref, xh_ref, *, scale: float,
+                             valid_len: int, num_heads: int,
+                             head_dim: int, block_b: int, eps: float):
+    """Serving attention-block kernel (ops/attention.py
+    ``_attn_block_kernel``) with three extra outputs: the [Tp, 3D] QKV
+    projection, the [Tp, D] pre-proj attention output, and the LN
+    pre-affine normalization xhat — the autodiff residuals.  Emitting
+    them costs the HBM writes the unfused path's op outputs cost anyway,
+    so the fusion win is kept; they stay PADDED so the backward never
+    re-pads."""
+    tp = x_ref.shape[1]
+    d = num_heads * head_dim
+    col = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
+    mask = col < valid_len
+    for bi in range(block_b):
+        x = x_ref[bi].astype(jnp.float32)                    # [Tp, D]
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+        xh = (x - mu) * jax.lax.rsqrt(var + eps)
+        xh_ref[bi] = xh.astype(xh_ref.dtype)
+        xn = (xh * lns_ref[0].astype(jnp.float32)
+              + lnb_ref[0].astype(jnp.float32)).astype(x_ref.dtype)
+        qkv = jax.lax.dot_general(
+            xn, wqkv_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        qkv = (qkv + bqkv_ref[0].astype(jnp.float32)).astype(x_ref.dtype)
+        qkv_ref[bi] = qkv
+        heads_out = []
+        for h in range(num_heads):
+            q = qkv[:, h * head_dim:(h + 1) * head_dim]
+            k = qkv[:, d + h * head_dim:d + (h + 1) * head_dim]
+            v = qkv[:, 2 * d + h * head_dim:2 * d + (h + 1) * head_dim]
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            logits = jnp.where(mask, logits, -1e30)
+            w = jax.nn.softmax(logits, axis=-1)
+            heads_out.append(jnp.dot(w.astype(v.dtype), v,
+                                     preferred_element_type=jnp.float32))
+        attn_out = jnp.concatenate(heads_out, axis=1).astype(x_ref.dtype)
+        attn_ref[bi] = attn_out
+        proj = jax.lax.dot_general(
+            attn_out, wproj_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[bi] = (x + proj + bproj_ref[0].astype(jnp.float32)
+                     ).astype(o_ref.dtype)
+
+
+def _attn_block_fwd_pallas(x, lns, lnb, wqkv, bqkv, wproj, bproj,
+                           num_heads: int, eps: float, interpret: bool):
+    b, t, d = x.shape
+    head_dim = d // num_heads
+    tp = _round_up(t, 128)
+    scale = float(head_dim) ** -0.5
+    block_b = _block_b_for(b)
+    xp = jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
+    row = lambda a: jnp.asarray(a).reshape(1, -1)            # noqa: E731
+    const = lambda i: (0, 0)                                 # noqa: E731
+    kernel = functools.partial(
+        _attn_block_train_kernel, scale=scale, valid_len=t,
+        num_heads=num_heads, head_dim=head_dim, block_b=block_b, eps=eps)
+    blk = lambda w: pl.BlockSpec((block_b, tp, w), lambda i: (i, 0, 0),  # noqa: E731
+                                 memory_space=pltpu.VMEM)
+    o, qkv, attn, xh = pl.pallas_call(
+        kernel,
+        grid=(b // block_b,),
+        in_specs=[
+            blk(d),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 3 * d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(blk(d), blk(3 * d), blk(d), blk(d)),
+        out_shape=(jax.ShapeDtypeStruct((b, tp, d), x.dtype),
+                   jax.ShapeDtypeStruct((b, tp, 3 * d), x.dtype),
+                   jax.ShapeDtypeStruct((b, tp, d), x.dtype),
+                   jax.ShapeDtypeStruct((b, tp, d), x.dtype)),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * tp * d * 4 * d
+            + 4 * b * num_heads * tp * tp * head_dim,
+            bytes_accessed=9 * b * tp * d * x.dtype.itemsize,
+            transcendentals=b * num_heads * tp * tp),
+        interpret=interpret,
+    )(xp, row(lns), row(lnb), wqkv, row(bqkv), wproj, row(bproj))
+    return o[:, :t], qkv, attn, xh
+
+
+def _ln_forward(x, scale, bias, eps):
+    """f32 LayerNorm returning (normalized-and-affine, xhat, inv_std)."""
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean((x32 - mu) ** 2, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xh = (x32 - mu) * inv
+    return (xh * scale.astype(jnp.float32)
+            + bias.astype(jnp.float32)), xh, inv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def attn_block_train(x, lns, lnb, wqkv, bqkv, wproj, bproj,
+                     num_heads: int, eps: float, interpret: bool):
+    """x + proj(attention(LN1(x) @ Wqkv + b)) with fused Pallas forward
+    and recompute-free backward.  Weight args are the COMPUTE dtype
+    (cast outside); LN params stay f32."""
+    o, _, _, _ = _attn_block_fwd_pallas(x, lns, lnb, wqkv, bqkv, wproj,
+                                        bproj, num_heads, eps, interpret)
+    return o
+
+
+def _abt_fwd(x, lns, lnb, wqkv, bqkv, wproj, bproj, num_heads, eps,
+             interpret):
+    o, qkv, attn, xh = _attn_block_fwd_pallas(
+        x, lns, lnb, wqkv, bqkv, wproj, bproj, num_heads, eps, interpret)
+    return o, (x, qkv, attn, xh, lns, lnb, wqkv, wproj)
+
+
+def _abt_bwd(num_heads, eps, interpret, res, g):
+    """Recompute-free backward over the kernel's PADDED residuals.
+
+    Zero-padded cotangent rows stay zero through every product below
+    (the Pallas attention backward gives dqkv = 0 on zero-g rows), so
+    all padded-operand GEMMs contribute nothing spurious; only dxn/xh
+    are sliced back for the row-local LayerNorm backward."""
+    x, qkv, attn, xh, lns, lnb, wqkv, wproj = res
+    b, t, d = x.shape
+    tp = qkv.shape[1]
+    g32 = g.astype(jnp.float32)
+    g_p = jnp.pad(g, ((0, 0), (0, tp - t), (0, 0)))
+    # weight-grad dots run over the PADDED row space: pad rows are zero
+    # on the cotangent side, so they add nothing — and +30% zero-row GEMM
+    # FLOPs measured FASTER than slicing first (slices materialize;
+    # 129.4 vs 132.2 ms/step, BENCH_NOTES.md round 3)
+
+    # proj GEMM grads (same dots XLA's autodiff would emit)
+    dbproj = jnp.sum(g32, axis=(0, 1))
+    dwproj = jax.lax.dot_general(
+        attn.reshape(-1, d), g_p.reshape(-1, d), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(wproj.dtype)
+    dattn = jax.lax.dot_general(
+        g_p, wproj, (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+
+    # attention core: existing Pallas VMEM backward (recomputes softmax
+    # from qkv in-kernel; ops/attention.py::_attn_qkv_bwd_kernel),
+    # operating on the already-padded residuals
+    dqkv = _backward_qkv(qkv, dattn, num_heads, interpret=interpret,
+                         valid_len=t)                        # padded
+
+    # QKV GEMM grads; xn rebuilt elementwise from the stored xhat
+    xh32_p = xh.astype(jnp.float32)
+    xn = (xh32_p * lns.astype(jnp.float32)
+          + lnb.astype(jnp.float32)).astype(x.dtype)
+    dq2 = dqkv.reshape(-1, 3 * d)
+    dwqkv = jax.lax.dot_general(
+        xn.reshape(-1, d), dq2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(wqkv.dtype)
+    dbqkv = jnp.sum(dq2.astype(jnp.float32), axis=0)
+    dxn = jax.lax.dot_general(
+        dqkv, wqkv, (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # [B,Tp,D] f32
+
+    # LayerNorm backward (row-local, unpadded; inv_std recomputed from x
+    # in one fused reduction pass — no stored f32 tensor needed)
+    dxn = dxn[:, :t]
+    xh32 = xh32_p[:, :t]
+    x32 = x.astype(jnp.float32)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    dlns = jnp.sum((dxn * xh32).reshape(-1, d), axis=0)
+    dlnb = jnp.sum(dxn.reshape(-1, d), axis=0)
+    dxh = dxn * lns.astype(jnp.float32)
+    dx_ln = inv * (dxh - jnp.mean(dxh, axis=-1, keepdims=True)
+                   - xh32 * jnp.mean(dxh * xh32, axis=-1, keepdims=True))
+    dx = (g32 + dx_ln).astype(x.dtype)
+    return (dx, dlns.astype(lns.dtype), dlnb.astype(lnb.dtype), dwqkv,
+            dbqkv.astype(jnp.float32), dwproj, dbproj.astype(jnp.float32))
+
+
+attn_block_train.defvjp(_abt_fwd, _abt_bwd)
+
+
+# --------------------------------------------------------------------------
+# Functional ViTAntiSpoof forward over the module's param tree
+# --------------------------------------------------------------------------
+
+
+def _xla_attn_block(x, lns, lnb, wqkv, bqkv, wproj, bproj, num_heads,
+                    eps):
+    """XLA fallback with identical math (autodiff handles the VJP)."""
+    from ..ops.attention import fused_attention_qkv
+    xn, _, _ = _ln_forward(x, lns, lnb, eps)
+    xn = xn.astype(x.dtype)
+    qkv = (jax.lax.dot_general(
+        xn, wqkv, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+        + bqkv.astype(jnp.float32)).astype(x.dtype)
+    from ..ops.attention import _context, _qkv_dense_reference
+    if _context["interpret"] or jax.default_backend() == "tpu":
+        attn = fused_attention_qkv(qkv, num_heads, _context["interpret"])
+    else:
+        attn = _qkv_dense_reference(qkv, num_heads)
+    proj = (jax.lax.dot_general(
+        attn, wproj, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+        + bproj.astype(jnp.float32))
+    return (x.astype(jnp.float32) + proj).astype(x.dtype)
+
+
+def _dropout(rng, x, rate, train):
+    if not train or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+def train_forward(params, batch, *, rng=None, train: bool = False,
+                  num_heads: int = 12, patch_size: int = 16,
+                  depth: int = 12, norm_eps: float = 1e-6,
+                  dtype=jnp.bfloat16, gelu: str = "erf",
+                  dropout: float = 0.1, use_pallas_block: bool = True,
+                  interpret: bool = False):
+    """ViTAntiSpoof forward as a pure function -> f32 logits [B, 2].
+
+    Same math as ``ViTAntiSpoof.__call__`` (models/vit.py) over the same
+    param tree; attention sub-layers run through
+    :func:`attn_block_train`.  Differentiable end-to-end.
+    """
+    vit = params["vit"]
+    b, h, w, c = batch.shape
+    p = patch_size
+    gh, gw = h // p, w // p
+
+    x = batch.astype(dtype)
+    x = x.reshape(b, gh, p, gw, p, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, p * p * c)
+    pe = vit["patch_embed"]
+    x = (jnp.dot(x, pe["kernel"].astype(dtype),
+                 preferred_element_type=jnp.float32)
+         + pe["bias"].astype(jnp.float32)).astype(dtype)
+
+    cls = jnp.broadcast_to(vit["cls_token"].astype(dtype),
+                           (b, 1, x.shape[-1]))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + vit["pos_embed"].astype(dtype)
+
+    approx = gelu == "tanh"
+    for i in range(depth):
+        blk = vit[f"block{i}"]
+        args = (blk["norm1"]["scale"], blk["norm1"]["bias"],
+                blk["attn"]["qkv"]["kernel"].astype(dtype),
+                blk["attn"]["qkv"]["bias"],
+                blk["attn"]["proj"]["kernel"].astype(dtype),
+                blk["attn"]["proj"]["bias"])
+        if use_pallas_block:
+            x = attn_block_train(x, *args, num_heads, norm_eps, interpret)
+        else:
+            x = _xla_attn_block(x, *args, num_heads, norm_eps)
+        mlp = blk["mlp"]
+        yn, _, _ = _ln_forward(x, blk["norm2"]["scale"],
+                               blk["norm2"]["bias"], norm_eps)
+        yn = yn.astype(dtype)
+        hdn = (jnp.dot(yn, mlp["fc1"]["kernel"].astype(dtype),
+                       preferred_element_type=jnp.float32)
+               + mlp["fc1"]["bias"].astype(jnp.float32)).astype(dtype)
+        hdn = jax.nn.gelu(hdn, approximate=approx)
+        out = (jnp.dot(hdn, mlp["fc2"]["kernel"].astype(dtype),
+                       preferred_element_type=jnp.float32)
+               + mlp["fc2"]["bias"].astype(jnp.float32))
+        x = (x.astype(jnp.float32) + out).astype(dtype)
+
+    feats, _, _ = _ln_forward(x, vit["norm"]["scale"], vit["norm"]["bias"],
+                              norm_eps)
+    feats = feats[:, 0]                                      # CLS, f32
+
+    head = params["head"]
+    if train and rng is not None:
+        rng1, rng2 = jax.random.split(rng)
+    else:
+        rng1 = rng2 = None
+    f, _, _ = _ln_forward(feats, head["norm"]["scale"],
+                          head["norm"]["bias"], 1e-5)
+    f = _dropout(rng1, f.astype(dtype), dropout, train and rng is not None)
+    f = (jnp.dot(f, head["fc1"]["kernel"].astype(dtype),
+                 preferred_element_type=jnp.float32)
+         + head["fc1"]["bias"].astype(jnp.float32))
+    f = jax.nn.gelu(f, approximate=False)                    # head keeps erf
+    f = _dropout(rng2, f.astype(dtype), dropout, train and rng is not None)
+    logits = (jnp.dot(f, head["fc2"]["kernel"].astype(jnp.float32),
+                      preferred_element_type=jnp.float32)
+              + head["fc2"]["bias"])
+    return logits
+
+
+def fast_apply_available(module, mesh=None) -> bool:
+    """Fused-block training applies to a single-device TPU (or interpret
+    tests); multi-device meshes keep the module path (its attention
+    dispatch shard_maps the Pallas kernel; GSPMD can't split a
+    pallas_call)."""
+    from .vit import ViTAntiSpoof
+    from ..ops.attention import _context
+    if not isinstance(module, ViTAntiSpoof):
+        return False
+    if module.dtype not in (jnp.bfloat16, jnp.float32):
+        return False
+    if mesh is not None and mesh.devices.size > 1:
+        return False
+    if _context["interpret"]:
+        return True
+    return (jax.default_backend() == "tpu"
+            and jax.device_count() == 1)
+
+
+def make_apply(module):
+    """``module.apply``-compatible wrapper over :func:`train_forward`
+    for a ``ViTAntiSpoof`` instance (drop-in for TrainState.apply_fn)."""
+    from ..ops.attention import _context
+
+    def apply_fn(variables, batch, *, train: bool = False, rngs=None,
+                 mutable=None):
+        assert mutable is None or mutable == [], (
+            "fast apply has no mutable collections")
+        rng = (rngs or {}).get("dropout")
+        out = train_forward(
+            variables["params"], batch, rng=rng, train=train,
+            num_heads=module.num_heads, patch_size=module.patch_size,
+            depth=module.depth, norm_eps=module.norm_eps,
+            dtype=module.dtype, gelu=module.gelu,
+            dropout=module.dropout, interpret=_context["interpret"])
+        _context["pallas_calls"] += 1
+        return out
+
+    return apply_fn

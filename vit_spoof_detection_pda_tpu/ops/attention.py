@@ -221,15 +221,25 @@ def _attn_qkv_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, scale: float,
             dqkv_ref[bi, :, sl_v] = dv.astype(dqkv_ref.dtype)
 
 
-def _backward_qkv(qkv, g, num_heads: int, *, interpret: bool = False):
+def _backward_qkv(qkv, g, num_heads: int, *, interpret: bool = False,
+                  valid_len: int | None = None):
+    """dqkv for the fused attention.  ``valid_len`` marks ``qkv``/``g``
+    as ALREADY padded to a tile multiple with ``valid_len`` real tokens
+    (the fasttrain forward kernel emits padded qkv, so the pad copy here
+    would be pure waste); the returned dqkv is then padded to match."""
     b, t, d3 = qkv.shape
     d = d3 // 3
     head_dim = d // num_heads
-    tp = _round_up(t, 128)
+    prepadded = valid_len is not None
+    if prepadded:
+        tp, t = t, valid_len
+        qkv_p, g_p = qkv, g
+    else:
+        tp = _round_up(t, 128)
+        qkv_p = jnp.pad(qkv, ((0, 0), (0, tp - t), (0, 0)))
+        g_p = jnp.pad(g, ((0, 0), (0, tp - t), (0, 0)))
     scale = float(head_dim) ** -0.5
     block_b = _block_b_for(b)
-    qkv_p = jnp.pad(qkv, ((0, 0), (0, tp - t), (0, 0)))
-    g_p = jnp.pad(g, ((0, 0), (0, tp - t), (0, 0)))
     kernel = functools.partial(_attn_qkv_bwd_kernel, scale=scale,
                                valid_len=t, num_heads=num_heads,
                                head_dim=head_dim, block_b=block_b)
@@ -249,7 +259,7 @@ def _backward_qkv(qkv, g, num_heads: int, *, interpret: bool = False):
             transcendentals=b * num_heads * tp * tp),
         interpret=interpret,
     )(qkv_p, g_p)
-    return out[:, :t, :]
+    return out if prepadded else out[:, :t, :]
 
 
 def _qkv_fwd(qkv, num_heads, interpret):

@@ -92,6 +92,13 @@ class Trainer:
         self.state = create_train_state(
             module, tx, rng, input_shape=(1, size, size, 3),
             variables=variables)
+        if getattr(config.model, "fused_train_forward", False):
+            from ..models.fasttrain import fast_apply_available, make_apply
+            if fast_apply_available(module, self.mesh):
+                # train-step forward through the fused attention-block
+                # Pallas kernel (models/fasttrain.py); eval keeps
+                # module.apply
+                self.state = self.state.replace(apply_fn=make_apply(module))
         has_stats = self.state.batch_stats is not None
         self._eval_loss = jax.jit(loss_fn)   # val loss (reference :387-391)
 
