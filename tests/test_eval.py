@@ -219,3 +219,55 @@ def test_run_inference_on_mesh_takes_pallas_path(tmp_path):
     with pytest.raises(ValueError, match="not divisible"):
         run_inference(mod, variables, records, batch_size=6, img_size=32,
                       mesh=mesh, interpret=True)
+
+
+def test_run_inference_fastserve_matches_module(tmp_path):
+    """fastserve=True (the bench.py serving path) must reproduce the
+    module path's scores within serving-numerics tolerance and reject
+    non-ViT modules."""
+    import jax
+    from vit_spoof_detection_pda_tpu.models.vit import ViTAntiSpoof
+
+    make_subject_tree(tmp_path, subjects=2, per_class=2, size=32)
+    records = scan_test(str(tmp_path))
+    m = ViTAntiSpoof(patch_size=16, embed_dim=64, depth=2, num_heads=2,
+                     hidden=16, gelu="tanh")
+    variables = m.init(jax.random.PRNGKey(0),
+                       jnp.zeros((1, 32, 32, 3)))
+
+    base = run_inference(m, variables, records, batch_size=4, img_size=32)
+    fast = run_inference(m, variables, records, batch_size=4, img_size=32,
+                         interpret=True, fastserve=True)
+    np.testing.assert_allclose(fast["prob1"], base["prob1"], atol=2e-2)
+    # preds agree wherever the score is not knife-edge at the threshold
+    decided = np.abs(base["prob1"] - 0.5) > 2e-2
+    assert (fast["pred"][decided] == base["pred"][decided]).all()
+
+    with pytest.raises(TypeError):
+        run_inference(BrightnessNet(), variables, records, batch_size=4,
+                      img_size=32, fastserve=True)
+
+
+def test_cross_model_eval_fastserve_flag(tmp_path, monkeypatch):
+    """fastserve=True applies to the ViT-antispoof registry entry and
+    leaves other models on the standard path (no failures)."""
+    import jax
+    from vit_spoof_detection_pda_tpu.eval import harness
+    from vit_spoof_detection_pda_tpu.models.vit import ViTAntiSpoof
+
+    small = ViTAntiSpoof(patch_size=16, embed_dim=64, depth=1,
+                         num_heads=2, hidden=16, gelu="tanh")
+    sv = small.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+
+    def fake_build(name, **kwargs):
+        return small, sv
+
+    monkeypatch.setattr(harness, "build_model", fake_build)
+    make_subject_tree(tmp_path / "d", subjects=2, per_class=2, size=32)
+    records = scan_test(str(tmp_path / "d"))
+    res = run_cross_model_eval(
+        records, output_dir=str(tmp_path / "out"),
+        model_names=["Custom_ViT_FineTuned"], batch_size=4, img_size=32,
+        interpret=True, fastserve=True)
+    assert "Custom_ViT_FineTuned" in res
+    assert np.isfinite(res["Custom_ViT_FineTuned"]["roc_auc"])

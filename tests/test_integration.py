@@ -117,3 +117,19 @@ def test_test_cli_loads_orbax_checkpoint(workspace):
     ])
     assert 0.0 <= metrics["accuracy"] <= 1.0
     assert any((workspace / "test_out").glob("test_metrics_*.csv"))
+
+
+def test_export_cli_roundtrip(workspace):
+    """Orbax checkpoint from the train CLI -> reference-format .pth via
+    the export CLI -> torch strict-loadable state dict keyed like the
+    published checkpoint (vit.* + classifier.*)."""
+    torch = pytest.importorskip("torch")
+    from vit_spoof_detection_pda_tpu.cli.export import main
+    out = workspace / "exported.pth"
+    main([str(workspace / "ckpts"), str(out)])
+    obj = torch.load(str(out), map_location="cpu", weights_only=False)
+    sd = obj["model_state_dict"]
+    assert "vit.patch_embed.proj.weight" in sd
+    assert "classifier.5.bias" in sd
+    assert sd["classifier.5.bias"].shape == (2,)
+    assert obj["epoch"] > 0

@@ -9,6 +9,7 @@ COMMANDS = {
     "evaluate-all": "vit_spoof_detection_pda_tpu.cli.evaluate_all",
     "analyze": "vit_spoof_detection_pda_tpu.cli.analyze",
     "benchmark": "vit_spoof_detection_pda_tpu.cli.benchmark",
+    "export": "vit_spoof_detection_pda_tpu.cli.export",
 }
 
 

@@ -18,6 +18,9 @@ def main(argv=None):
                         help="fine-tuned ViT checkpoint (.pth etc.)")
     parser.add_argument("--models", nargs="*", default=None,
                         help="subset of registry models")
+    parser.add_argument("--fastserve", action="store_true",
+                        help="score ViT-antispoof models through the "
+                        "fused-kernel bf16 serving path")
     args = parser.parse_args(argv)
     setup_logging()
     cfg = resolve_config(args)
@@ -27,7 +30,7 @@ def main(argv=None):
         records, output_dir=cfg.eval.output_dir,
         checkpoint_path=args.checkpoint or cfg.eval.checkpoint_path,
         model_names=args.models, batch_size=cfg.eval.batch_size,
-        img_size=cfg.data.img_size)
+        img_size=cfg.data.img_size, fastserve=args.fastserve)
     for name, s in results.items():
         print(f"{name}: AUC={s['roc_auc']:.4f} EER={s['eer']:.4f}")
     return results

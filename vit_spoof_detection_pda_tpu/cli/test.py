@@ -20,6 +20,9 @@ def main(argv=None):
     parser.add_argument("--checkpoint", default=None,
                         help="torch .pth / safetensors / orbax checkpoint")
     parser.add_argument("--no-plots", action="store_true")
+    parser.add_argument("--fastserve", action="store_true",
+                        help="score through the fused-kernel bf16 serving "
+                        "path (bench.py numerics; ~1e-2 score drift)")
     args = parser.parse_args(argv)
     setup_logging()
     cfg = resolve_config(args)
@@ -45,7 +48,8 @@ def main(argv=None):
         module, variables, records,
         output_dir=cfg.eval.output_dir,
         batch_size=cfg.eval.batch_size, img_size=cfg.data.img_size,
-        checkpoint_name=str(ckpt), write_plots=not args.no_plots)
+        checkpoint_name=str(ckpt), write_plots=not args.no_plots,
+        fastserve=args.fastserve)
     print({k: round(v, 4) if isinstance(v, float) else v
            for k, v in metrics.items()})
     return metrics

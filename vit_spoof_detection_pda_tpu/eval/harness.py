@@ -61,9 +61,14 @@ def run_cross_model_eval(records: Sequence[Record], *, output_dir: str,
                          model_names: Optional[Sequence[str]] = None,
                          batch_size: int = 32, img_size: int = 224,
                          write_reports: bool = True, mesh=None,
-                         interpret: bool = False) -> Dict[str, dict]:
+                         interpret: bool = False,
+                         fastserve: bool = False) -> Dict[str, dict]:
     """Evaluate every registry model on `records`; returns
-    {model_name: summary_dict}."""
+    {model_name: summary_dict}.
+
+    ``fastserve=True`` scores ViT-antispoof-family models through the
+    fused-kernel serving path (bf16 throughput mode, eval/runner.py);
+    other registry models keep the standard path."""
     outp = Path(output_dir)
     outp.mkdir(parents=True, exist_ok=True)
     pretrained_paths = pretrained_paths or {}
@@ -76,9 +81,12 @@ def run_cross_model_eval(records: Sequence[Record], *, output_dir: str,
                 name,
                 checkpoint_path=checkpoint_path,
                 pretrained_path=pretrained_paths.get(name))
+            from ..models.vit import ViTAntiSpoof
+            fs = fastserve and isinstance(module, ViTAntiSpoof)
             out = run_inference(module, variables, records,
                                 batch_size=batch_size, img_size=img_size,
-                                mesh=mesh, interpret=interpret)
+                                mesh=mesh, interpret=interpret,
+                                fastserve=fs)
             # canonical (1=live, P(live)=prob1? no: prob1 is softmax col 1).
             # Registry models emit 2-way logits where col 1's meaning
             # follows the training labels; canonical data labels are

@@ -56,12 +56,49 @@ def make_infer_fn(module, *, normalize: bool = True,
     return jax.jit(infer)
 
 
+def make_fastserve_infer(module, variables, *, mesh=None,
+                         interpret: bool = False):
+    """Throughput eval: the bench.py serving path (models/fastserve.py —
+    whole pre-LN sub-layers as single Pallas programs, bf16, tanh GELU,
+    normalization folded into the patch-embed GEMM, raw uint8 input).
+
+    Returns (jitted infer(batch_u8) -> {prob1, pred}, folded_params).
+    Scores are P(live) = sigmoid(l1-l0) = softmax column 1, identical to
+    the module path's convention; numerics are the SERVING policy (~1e-2
+    score drift vs the f32 eval default — opt-in for that reason)."""
+    from ..models.fastserve import (serving_forward,
+                                    serving_forward_sharded)
+    from ..models.vit import ViTAntiSpoof, fold_normalization
+    if not isinstance(module, ViTAntiSpoof):
+        raise TypeError("fastserve eval supports ViTAntiSpoof only; "
+                        f"got {type(module).__name__}")
+    params = fold_normalization(variables)["params"]
+    kwargs = dict(num_heads=module.num_heads, patch_size=module.patch_size,
+                  depth=module.depth, norm_eps=module.norm_eps,
+                  dtype=jnp.bfloat16, interpret=interpret)
+
+    def infer(params, batch):
+        if mesh is not None and mesh.devices.size > 1:
+            score = serving_forward_sharded(params, batch, mesh, **kwargs)
+        else:
+            score = serving_forward(params, batch, **kwargs)
+        score = score.astype(jnp.float32)
+        return {"prob1": score, "pred": (score > 0.5).astype(jnp.int32)}
+
+    return jax.jit(infer), params
+
+
 def run_inference(module, variables, records: Sequence[Record], *,
                   batch_size: int = 128, img_size: int = 224,
                   num_workers: int = 8, normalize: bool = True,
-                  mesh=None, interpret: bool = False):
+                  mesh=None, interpret: bool = False,
+                  fastserve: bool = False):
     """Returns dict of per-image arrays aligned with `records`:
     labels (canonical 1=live), prob1 (= softmax column 1), pred.
+
+    ``fastserve=True`` scores through the bench.py serving path
+    (ViTAntiSpoof only; bf16 fused-kernel numerics — ~1e-2 score drift
+    vs the f32 default, so it is opt-in throughput mode).
 
     Multi-device: pass a (data,) mesh — or, on a multi-chip TPU backend,
     one is built automatically over all devices — and batches shard over
@@ -89,7 +126,11 @@ def run_inference(module, variables, records: Sequence[Record], *,
     pipe = DataPipeline(records, batch_size=batch_size, img_size=img_size,
                         resize="exact", num_workers=num_workers,
                         shuffle=False, drop_last=False)
-    infer = make_infer_fn(module, normalize=normalize, mesh=mesh)
+    if fastserve:
+        infer, variables = make_fastserve_infer(
+            module, variables, mesh=mesh, interpret=interpret)
+    else:
+        infer = make_infer_fn(module, normalize=normalize, mesh=mesh)
 
     n = len(records)
     prob1 = np.zeros(n, np.float32)

@@ -31,10 +31,15 @@ def run_single_model_eval(module, variables, records: Sequence[Record], *,
                           img_size: int = 224, threshold: float = 0.5,
                           checkpoint_name: str = "",
                           write_plots: bool = True, mesh=None,
-                          interpret: bool = False):
-    """Evaluate and write the full artifact set; returns (metrics, paths)."""
+                          interpret: bool = False,
+                          fastserve: bool = False):
+    """Evaluate and write the full artifact set; returns (metrics, paths).
+
+    ``fastserve=True``: score through the bench.py fused-kernel serving
+    path (opt-in bf16 throughput mode, eval/runner.py)."""
     out = run_inference(module, variables, records, batch_size=batch_size,
-                        img_size=img_size, mesh=mesh, interpret=interpret)
+                        img_size=img_size, mesh=mesh, interpret=interpret,
+                        fastserve=fastserve)
     y_true = out["labels"]
     y_prob = out["prob1"]           # P(live)
     y_pred = out["pred"]

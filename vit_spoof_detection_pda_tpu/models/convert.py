@@ -319,3 +319,79 @@ def load_torch_checkpoint(path: str) -> dict:
     if isinstance(obj, dict) and "model_state_dict" in obj:
         return obj["model_state_dict"]
     return obj
+
+
+# --------------------------------------------------------------------------
+# Export: framework params -> reference-format torch checkpoints
+# --------------------------------------------------------------------------
+
+
+def vit_backbone_to_timm(params, prefix: str = "", patch_size: int = 16,
+                         channels: int = 3) -> dict:
+    """Inverse of :func:`vit_backbone_from_timm`: ViT params -> flat
+    timm-named numpy state dict (``{prefix}patch_embed.proj.weight`` etc.).
+    """
+    def lin(p):
+        return {"weight": _np(p["kernel"]).T, "bias": _np(p["bias"])}
+
+    def ln(p):
+        return {"weight": _np(p["scale"]), "bias": _np(p["bias"])}
+
+    sd = {}
+    k = _np(params["patch_embed"]["kernel"])             # [p*p*c, D]
+    d = k.shape[1]
+    sd[f"{prefix}patch_embed.proj.weight"] = k.reshape(
+        patch_size, patch_size, channels, d).transpose(3, 2, 0, 1)
+    sd[f"{prefix}patch_embed.proj.bias"] = _np(params["patch_embed"]["bias"])
+    sd[f"{prefix}cls_token"] = _np(params["cls_token"])
+    sd[f"{prefix}pos_embed"] = _np(params["pos_embed"])
+    for key, val in ln(params["norm"]).items():
+        sd[f"{prefix}norm.{key}"] = val
+    i = 0
+    while f"block{i}" in params:
+        blk = params[f"block{i}"]
+        flat = {
+            f"blocks.{i}.norm1": ln(blk["norm1"]),
+            f"blocks.{i}.attn.qkv": lin(blk["attn"]["qkv"]),
+            f"blocks.{i}.attn.proj": lin(blk["attn"]["proj"]),
+            f"blocks.{i}.norm2": ln(blk["norm2"]),
+            f"blocks.{i}.mlp.fc1": lin(blk["mlp"]["fc1"]),
+            f"blocks.{i}.mlp.fc2": lin(blk["mlp"]["fc2"]),
+        }
+        for mod, parts in flat.items():
+            for key, val in parts.items():
+                sd[f"{prefix}{mod}.{key}"] = val
+        i += 1
+    return sd
+
+
+def antispoof_to_torch(variables) -> dict:
+    """Inverse of :func:`antispoof_from_torch`: ViTAntiSpoof variables ->
+    the published checkpoint's key set (``vit.<timm>`` backbone + head as
+    nn.Sequential ``classifier.{0,2,5}``, train_advanced.py:193-200) so a
+    user can hand a TPU-trained model back to the reference stack."""
+    params = variables["params"] if "params" in variables else variables
+    sd = vit_backbone_to_timm(params["vit"], prefix="vit.")
+    head = params["head"]
+    sd["classifier.0.weight"] = _np(head["norm"]["scale"])
+    sd["classifier.0.bias"] = _np(head["norm"]["bias"])
+    sd["classifier.2.weight"] = _np(head["fc1"]["kernel"]).T
+    sd["classifier.2.bias"] = _np(head["fc1"]["bias"])
+    sd["classifier.5.weight"] = _np(head["fc2"]["kernel"]).T
+    sd["classifier.5.bias"] = _np(head["fc2"]["bias"])
+    return sd
+
+
+def save_torch_checkpoint(path: str, variables, *, epoch: int = 0,
+                          metrics: dict | None = None,
+                          config: dict | None = None) -> None:
+    """Write a reference-format ``.pth`` (the dict layout of
+    train_advanced.py:475-489: epoch + model_state_dict + metrics +
+    config) loadable by the reference's ``load_checkpoint``
+    (test.py:167-188) and by :func:`load_torch_checkpoint`."""
+    import torch
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v.astype(np.float32)))
+          for k, v in antispoof_to_torch(variables).items()}
+    torch.save({"epoch": epoch, "model_state_dict": sd,
+                "metrics": metrics or {}, "config": config or {}}, path)
