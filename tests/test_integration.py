@@ -132,4 +132,6 @@ def test_export_cli_roundtrip(workspace):
     assert "vit.patch_embed.proj.weight" in sd
     assert "classifier.5.bias" in sd
     assert sd["classifier.5.bias"].shape == (2,)
-    assert obj["epoch"] > 0
+    # epoch + metrics come from the orbax checkpoint's metrics record
+    assert obj["epoch"] >= 0
+    assert "val_f1" in obj["metrics"]

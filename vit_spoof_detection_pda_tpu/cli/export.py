@@ -27,24 +27,29 @@ def main(argv=None):
 
     # the registry's strict=False fallback (missing file -> random init +
     # warning) is the reference harness's behavior, but exporting a
-    # random-init model because of a typo'd path must not happen
+    # partially- or fully-random model because of a typo'd or truncated
+    # checkpoint must not happen: this path is STRICT end to end
     if not os.path.exists(args.checkpoint):
         parser.error(f"checkpoint not found: {args.checkpoint}")
 
-    step = 0
+    epoch, metrics = 0, {}
     if os.path.isdir(args.checkpoint):
-        from ..utils.checkpoint import load_params_from_dir
-        variables, step = load_params_from_dir(args.checkpoint)
+        from ..utils.checkpoint import (load_metrics_from_dir,
+                                        load_params_from_dir)
+        variables, _ = load_params_from_dir(args.checkpoint)
+        metrics = load_metrics_from_dir(args.checkpoint)
+        epoch = int(metrics.get("epoch", 0))
     else:
-        from ..models.registry import build_model
-        _, variables = build_model("Custom_ViT_FineTuned",
-                                   checkpoint_path=args.checkpoint,
-                                   dropout=cfg.model.dropout)
-    convert.save_torch_checkpoint(
-        args.output, variables, epoch=int(step),
+        # direct strict conversion (raises on any missing tensor) —
+        # deliberately NOT the registry's tolerant load
+        sd = convert.load_torch_checkpoint(args.checkpoint)
+        variables = convert.antispoof_from_torch(sd)
+        epoch = 0
+    sd_out = convert.save_torch_checkpoint(
+        args.output, variables, epoch=epoch, metrics=metrics,
         config={"model_name": cfg.model.name})
-    n = len(convert.antispoof_to_torch(variables))
-    print(f"exported {n} tensors (step {step}) -> {args.output}")
+    print(f"exported {len(sd_out)} tensors (epoch {epoch}) "
+          f"-> {args.output}")
     return args.output
 
 

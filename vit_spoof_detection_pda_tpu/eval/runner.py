@@ -72,6 +72,11 @@ def make_fastserve_infer(module, variables, *, mesh=None,
     if not isinstance(module, ViTAntiSpoof):
         raise TypeError("fastserve eval supports ViTAntiSpoof only; "
                         f"got {type(module).__name__}")
+    if not interpret and jax.default_backend() != "tpu":
+        raise RuntimeError(
+            "fastserve eval runs Pallas TPU kernels; on the "
+            f"'{jax.default_backend()}' backend use the standard path "
+            "(fastserve=False) or pass interpret=True (tests)")
     params = fold_normalization(variables)["params"]
     kwargs = dict(num_heads=module.num_heads, patch_size=module.patch_size,
                   depth=module.depth, norm_eps=module.norm_eps,

@@ -384,14 +384,16 @@ def antispoof_to_torch(variables) -> dict:
 
 def save_torch_checkpoint(path: str, variables, *, epoch: int = 0,
                           metrics: dict | None = None,
-                          config: dict | None = None) -> None:
+                          config: dict | None = None) -> dict:
     """Write a reference-format ``.pth`` (the dict layout of
     train_advanced.py:475-489: epoch + model_state_dict + metrics +
     config) loadable by the reference's ``load_checkpoint``
-    (test.py:167-188) and by :func:`load_torch_checkpoint`."""
+    (test.py:167-188) and by :func:`load_torch_checkpoint`.  Returns the
+    exported state dict."""
     import torch
 
     sd = {k: torch.from_numpy(np.ascontiguousarray(v.astype(np.float32)))
           for k, v in antispoof_to_torch(variables).items()}
     torch.save({"epoch": epoch, "model_state_dict": sd,
                 "metrics": metrics or {}, "config": config or {}}, path)
+    return sd

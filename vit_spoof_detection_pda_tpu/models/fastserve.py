@@ -39,6 +39,28 @@ import jax.numpy as jnp
 from ..ops.attention import fused_attention_block, fused_mlp_block
 
 
+def embed_patches(vit, batch, *, dtype, patch_size: int):
+    """Shared ViT stem: patchify-as-GEMM + cls token + pos embed.
+
+    Used by both the serving forward here and the fused-block training
+    forward (models/fasttrain.py) so the two functional paths cannot
+    drift."""
+    b, h, w, c = batch.shape
+    p = patch_size
+    gh, gw = h // p, w // p
+    x = batch.astype(dtype)
+    x = x.reshape(b, gh, p, gw, p, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, p * p * c)
+    pe = vit["patch_embed"]
+    x = (jnp.dot(x, pe["kernel"].astype(dtype),
+                 preferred_element_type=jnp.float32)
+         + pe["bias"].astype(jnp.float32)).astype(dtype)
+    cls = jnp.broadcast_to(vit["cls_token"].astype(dtype),
+                           (b, 1, x.shape[-1]))
+    x = jnp.concatenate([cls, x], axis=1)
+    return x + vit["pos_embed"].astype(dtype)
+
+
 def _layernorm(x, p, eps):
     x32 = x.astype(jnp.float32)
     mu = jnp.mean(x32, axis=-1, keepdims=True)
@@ -60,22 +82,7 @@ def serving_forward(params, batch, *, num_heads: int = 12,
     bf16 resolution.
     """
     vit = params["vit"]
-    b, h, w, c = batch.shape
-    p = patch_size
-    gh, gw = h // p, w // p
-
-    x = batch.astype(dtype)
-    x = x.reshape(b, gh, p, gw, p, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, p * p * c)
-    pe = vit["patch_embed"]
-    x = (jnp.dot(x, pe["kernel"].astype(dtype),
-                 preferred_element_type=jnp.float32)
-         + pe["bias"].astype(jnp.float32)).astype(dtype)
-
-    cls = jnp.broadcast_to(vit["cls_token"].astype(dtype),
-                           (b, 1, x.shape[-1]))
-    x = jnp.concatenate([cls, x], axis=1)
-    x = x + vit["pos_embed"].astype(dtype)
+    x = embed_patches(vit, batch, dtype=dtype, patch_size=patch_size)
 
     for i in range(depth):
         blk = vit[f"block{i}"]

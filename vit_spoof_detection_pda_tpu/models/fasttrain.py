@@ -148,14 +148,13 @@ def _attn_block_fwd_pallas(x, lns, lnb, wqkv, bqkv, wproj, bproj,
 
 
 def _ln_forward(x, scale, bias, eps):
-    """f32 LayerNorm returning (normalized-and-affine, xhat, inv_std)."""
+    """f32 LayerNorm (normalized + affine); backward-pass statistics are
+    recomputed where needed (_abt_bwd) rather than threaded from here."""
     x32 = x.astype(jnp.float32)
     mu = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.mean((x32 - mu) ** 2, axis=-1, keepdims=True)
-    inv = jax.lax.rsqrt(var + eps)
-    xh = (x32 - mu) * inv
-    return (xh * scale.astype(jnp.float32)
-            + bias.astype(jnp.float32)), xh, inv
+    xh = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    return xh * scale.astype(jnp.float32) + bias.astype(jnp.float32)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
@@ -250,7 +249,7 @@ def _xla_attn_block(x, lns, lnb, wqkv, bqkv, wproj, bproj, num_heads,
                     eps):
     """XLA fallback with identical math (autodiff handles the VJP)."""
     from ..ops.attention import fused_attention_qkv
-    xn, _, _ = _ln_forward(x, lns, lnb, eps)
+    xn = _ln_forward(x, lns, lnb, eps)
     xn = xn.astype(x.dtype)
     qkv = (jax.lax.dot_general(
         xn, wqkv, (((2,), (0,)), ((), ())),
@@ -288,23 +287,9 @@ def train_forward(params, batch, *, rng=None, train: bool = False,
     param tree; attention sub-layers run through
     :func:`attn_block_train`.  Differentiable end-to-end.
     """
+    from .fastserve import embed_patches
     vit = params["vit"]
-    b, h, w, c = batch.shape
-    p = patch_size
-    gh, gw = h // p, w // p
-
-    x = batch.astype(dtype)
-    x = x.reshape(b, gh, p, gw, p, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, p * p * c)
-    pe = vit["patch_embed"]
-    x = (jnp.dot(x, pe["kernel"].astype(dtype),
-                 preferred_element_type=jnp.float32)
-         + pe["bias"].astype(jnp.float32)).astype(dtype)
-
-    cls = jnp.broadcast_to(vit["cls_token"].astype(dtype),
-                           (b, 1, x.shape[-1]))
-    x = jnp.concatenate([cls, x], axis=1)
-    x = x + vit["pos_embed"].astype(dtype)
+    x = embed_patches(vit, batch, dtype=dtype, patch_size=patch_size)
 
     approx = gelu == "tanh"
     for i in range(depth):
@@ -319,8 +304,8 @@ def train_forward(params, batch, *, rng=None, train: bool = False,
         else:
             x = _xla_attn_block(x, *args, num_heads, norm_eps)
         mlp = blk["mlp"]
-        yn, _, _ = _ln_forward(x, blk["norm2"]["scale"],
-                               blk["norm2"]["bias"], norm_eps)
+        yn = _ln_forward(x, blk["norm2"]["scale"],
+                         blk["norm2"]["bias"], norm_eps)
         yn = yn.astype(dtype)
         hdn = (jnp.dot(yn, mlp["fc1"]["kernel"].astype(dtype),
                        preferred_element_type=jnp.float32)
@@ -331,17 +316,23 @@ def train_forward(params, batch, *, rng=None, train: bool = False,
                + mlp["fc2"]["bias"].astype(jnp.float32))
         x = (x.astype(jnp.float32) + out).astype(dtype)
 
-    feats, _, _ = _ln_forward(x, vit["norm"]["scale"], vit["norm"]["bias"],
-                              norm_eps)
+    feats = _ln_forward(x, vit["norm"]["scale"], vit["norm"]["bias"],
+                        norm_eps)
     feats = feats[:, 0]                                      # CLS, f32
 
     head = params["head"]
+    if train and rng is None and dropout > 0.0:
+        # the module path fails loudly here too (flax: "Need PRNG for
+        # dropout") — silently training with dropout off must not happen
+        raise ValueError(
+            "train=True with dropout>0 requires a dropout rng "
+            "(pass rngs={'dropout': key} through apply)")
     if train and rng is not None:
         rng1, rng2 = jax.random.split(rng)
     else:
         rng1 = rng2 = None
-    f, _, _ = _ln_forward(feats, head["norm"]["scale"],
-                          head["norm"]["bias"], 1e-5)
+    f = _ln_forward(feats, head["norm"]["scale"],
+                    head["norm"]["bias"], 1e-5)
     f = _dropout(rng1, f.astype(dtype), dropout, train and rng is not None)
     f = (jnp.dot(f, head["fc1"]["kernel"].astype(dtype),
                  preferred_element_type=jnp.float32)

@@ -145,3 +145,22 @@ def _state_tree(state) -> dict:
 
 def _py(v) -> Any:
     return v.item() if hasattr(v, "item") else v
+
+
+def load_metrics_from_dir(directory: str, step: Optional[int] = None) -> dict:
+    """Read the metrics JSON composite saved alongside a checkpoint
+    (epoch, val_f1, ... from Trainer saves) without a state template."""
+    directory = os.path.abspath(directory)
+    mgr = ocp.CheckpointManager(
+        directory,
+        options=ocp.CheckpointManagerOptions(enable_async_checkpointing=False))
+    try:
+        if step is None:
+            step = mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {directory}")
+        out = mgr.restore(
+            step, args=ocp.args.Composite(metrics=ocp.args.JsonRestore()))
+        return dict(out["metrics"] or {})
+    finally:
+        mgr.close()
