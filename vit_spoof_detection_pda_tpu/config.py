@@ -93,6 +93,12 @@ class DataConfig(_Base):
     num_workers: int = 8                       # host decode threads
     prefetch_depth: int = 4                    # double-buffered device puts
     drop_last_train: bool = True
+    # Pre-decoded uint8 shard cache (data/shards.py): decode the train
+    # store ONCE into memmapped .npy shards here; subsequent epochs (and
+    # runs) read memory instead of re-decoding ~115k JPEGs per epoch.
+    # None = decode per epoch through the threaded pipeline (reference
+    # behavior, train_advanced.py:554-573).
+    shard_cache: Optional[str] = None
     # Label convention: canonical internal convention is 1 = live
     # (train/test stack, test.py:117); the cross-model harness view flips to
     # 0 = live / 1 = spoof (evaluate_all_models.py:38-42) via an adapter.

@@ -1,0 +1,148 @@
+"""Pre-decoded uint8 shard store: decode the training set ONCE, feed
+every epoch from memory-mapped arrays.
+
+The reference re-decodes all ~115k JPEGs every epoch through 28
+DataLoader workers (train_advanced.py:554-573).  The TPU-native
+equivalent named in SURVEY.md §2.1 ("manifest builder emitting index
+files / ArrayRecord-style shards"): a one-time decode pass writes
+``images-NNNNN.npy`` shards (uint8, the pipeline's resize applied) plus
+a ``shards.json`` index; epochs then gather shuffled batches straight
+from the memmaps — no JPEG decode, no worker pool, I/O bounded by page
+cache instead of CPU.
+
+Layout of ``<dir>/shards.json``::
+
+    {"img_size": 256, "resize": "shorter", "n": 115125,
+     "labels": [...], "paths": [...], "shards": [{"file": ..., "n": ...}]}
+
+``ShardStore.build`` is idempotent: an existing store matching the
+record list (count + first/last path + size) is reused, not rebuilt.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from .manifest import Record
+from .loader import decode_image
+
+log = logging.getLogger(__name__)
+
+MANIFEST = "shards.json"
+
+
+class ShardStore:
+    def __init__(self, directory: str):
+        self.dir = Path(directory)
+        with open(self.dir / MANIFEST) as f:
+            self.meta = json.load(f)
+        self.labels = np.asarray(self.meta["labels"], np.int32)
+        self._mm = None     # lazy memmaps (fork-safety: open per process)
+        self._starts = np.cumsum(
+            [0] + [s["n"] for s in self.meta["shards"]])
+
+    # -- construction -------------------------------------------------------
+
+    @staticmethod
+    def _fingerprint(records, img_size, resize):
+        return {"n": len(records), "img_size": img_size, "resize": resize,
+                "first": records[0].path if records else "",
+                "last": records[-1].path if records else ""}
+
+    @classmethod
+    def build(cls, records: Sequence[Record], directory: str, *,
+              img_size: int, resize: str = "shorter",
+              shard_size: int = 2048, num_workers: int = 8) -> "ShardStore":
+        """Decode `records` into shards under `directory` (reused if an
+        up-to-date store already exists)."""
+        records = list(records)
+        d = Path(directory)
+        fp = cls._fingerprint(records, img_size, resize)
+        if (d / MANIFEST).exists():
+            try:
+                store = cls(str(d))
+                if all(store.meta.get(k) == v for k, v in fp.items()):
+                    log.info("shard store up to date: %s (%d images)",
+                             d, len(store))
+                    return store
+            except Exception:   # noqa: BLE001 — corrupt store: rebuild
+                pass
+            log.info("shard store stale — rebuilding %s", d)
+        d.mkdir(parents=True, exist_ok=True)
+
+        shards = []
+        with ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
+            for si in range(0, len(records), shard_size):
+                chunk = records[si:si + shard_size]
+                name = f"images-{si // shard_size:05d}.npy"
+                arr = np.lib.format.open_memmap(
+                    d / name, mode="w+", dtype=np.uint8,
+                    shape=(len(chunk), img_size, img_size, 3))
+                for j, img in enumerate(pool.map(
+                        lambda r: decode_image(r.path, img_size, resize),
+                        chunk)):
+                    arr[j] = img
+                arr.flush()
+                del arr
+                shards.append({"file": name, "n": len(chunk)})
+        meta = {**fp, "shards": shards,
+                "labels": [int(r.label) for r in records],
+                "paths": [r.path for r in records]}
+        with open(d / MANIFEST, "w") as f:
+            json.dump(meta, f)
+        log.info("shard store built: %s (%d images, %d shards)", d,
+                 len(records), len(shards))
+        return cls(str(d))
+
+    # -- access -------------------------------------------------------------
+
+    def __len__(self) -> int:
+        return int(self.meta["n"])
+
+    def _maps(self):
+        if self._mm is None:
+            self._mm = [np.load(self.dir / s["file"], mmap_mode="r")
+                        for s in self.meta["shards"]]
+        return self._mm
+
+    def gather(self, indices: np.ndarray) -> np.ndarray:
+        """uint8 [len(indices), S, S, 3] in the given order."""
+        maps = self._maps()
+        out = np.empty((len(indices),) + maps[0].shape[1:], np.uint8)
+        shard_of = np.searchsorted(self._starts, indices, "right") - 1
+        for si in np.unique(shard_of):
+            sel = np.nonzero(shard_of == si)[0]
+            out[sel] = maps[si][indices[sel] - self._starts[si]]
+        return out
+
+    @property
+    def img_size(self) -> int:
+        return int(self.meta["img_size"])
+
+    def steps_per_epoch(self, batch_size: int,
+                        drop_last: bool = True) -> int:
+        n = len(self)
+        return n // batch_size if drop_last else -(-n // batch_size)
+
+    def batches(self, batch_size: int, *, epoch: int = 0,
+                shuffle: bool = True, seed: int = 42,
+                drop_last: bool = True) -> Iterator[dict]:
+        """Yield {"image": uint8 [B,S,S,3], "label": int32 [B],
+        "index": int64 [B]} — the DataPipeline batch contract, served
+        from the memmaps (same seeded per-epoch shuffle semantics)."""
+        order = np.arange(len(self))
+        if shuffle:
+            np.random.default_rng(seed + epoch).shuffle(order)
+        limit = (len(order) // batch_size) * batch_size if drop_last \
+            else len(order)
+        for i in range(0, limit, batch_size):
+            idx = order[i:i + batch_size]
+            yield {"image": self.gather(idx), "label": self.labels[idx],
+                   "index": idx.astype(np.int64)}

@@ -145,6 +145,13 @@ def run_inference(module, variables, records: Sequence[Record], *,
     from ..ops.attention import attention_sharding
     ctx = (attention_sharding(mesh=mesh, interpret=interpret)
            if mesh is not None else contextlib.nullcontext())
+
+    def collect(pending):
+        out, idx, b = pending
+        prob1[idx] = np.asarray(out["prob1"])[:b]
+        pred[idx] = np.asarray(out["pred"])[:b]
+
+    pending = None
     with ctx:
         for batch in pipe.batches():
             imgs = batch["image"]
@@ -155,7 +162,13 @@ def run_inference(module, variables, records: Sequence[Record], *,
                                 imgs.dtype)
                 imgs = np.concatenate([imgs, padp])
             out = infer(variables, jnp.asarray(imgs))
-            prob1[idx] = np.asarray(out["prob1"])[:b]
-            pred[idx] = np.asarray(out["pred"])[:b]
+            # fetch the PREVIOUS batch's results: the device queue keeps
+            # a batch in flight while the host decodes/uploads the next
+            # (the reference syncs every batch, test.py:205-218)
+            if pending is not None:
+                collect(pending)
+            pending = (out, idx, b)
+        if pending is not None:
+            collect(pending)
 
     return {"labels": labels, "prob1": prob1, "pred": pred}

@@ -207,21 +207,40 @@ def train_from_config(cfg: Config, *, mesh=None, records=None,
         records, cfg.data.train_split, cfg.data.split_seed)
 
     aug_on = cfg.train_aug.enabled
-    train_pipe = DataPipeline(
-        train_recs, batch_size=cfg.data.batch_size,
-        img_size=cfg.train_aug.resize_to if aug_on else cfg.data.img_size,
-        resize="shorter" if aug_on else "exact",
-        num_workers=cfg.data.num_workers,
-        prefetch_depth=cfg.data.prefetch_depth,
-        shuffle=True, drop_last=cfg.data.drop_last_train, seed=cfg.seed)
+    size = cfg.train_aug.resize_to if aug_on else cfg.data.img_size
+    resize = "shorter" if aug_on else "exact"
+
+    if cfg.data.shard_cache:
+        # decode once into the memmapped shard store; epochs gather from
+        # memory (data/shards.py — the SURVEY §2.1 shard equivalent)
+        from ..data.shards import ShardStore
+        store = ShardStore.build(
+            train_recs, cfg.data.shard_cache, img_size=size,
+            resize=resize, num_workers=cfg.data.num_workers)
+        steps = store.steps_per_epoch(cfg.data.batch_size,
+                                      cfg.data.drop_last_train)
+
+        def train_batches(epoch):
+            for b in store.batches(cfg.data.batch_size, epoch=epoch,
+                                   shuffle=True, seed=cfg.seed,
+                                   drop_last=cfg.data.drop_last_train):
+                yield {"image": b["image"], "label": b["label"]}
+    else:
+        train_pipe = DataPipeline(
+            train_recs, batch_size=cfg.data.batch_size,
+            img_size=size, resize=resize,
+            num_workers=cfg.data.num_workers,
+            prefetch_depth=cfg.data.prefetch_depth,
+            shuffle=True, drop_last=cfg.data.drop_last_train,
+            seed=cfg.seed)
+        steps = train_pipe.steps_per_epoch
+
+        def train_batches(epoch):                         # noqa: F811
+            for b in train_pipe.batches(epoch):
+                yield {"image": b["image"], "label": b["label"]}
 
     chain = _train_chain(cfg) if aug_on else []
     prep = make_prep_fn(cfg, chain)   # fused into the train step
 
-    def train_batches(epoch):
-        for b in train_pipe.batches(epoch):
-            yield {"image": b["image"], "label": b["label"]}
-
-    return _run_training(cfg, train_batches, val_recs,
-                         train_pipe.steps_per_epoch, counts, mesh,
-                         max_steps_per_epoch, batch_prep=prep)
+    return _run_training(cfg, train_batches, val_recs, steps, counts,
+                         mesh, max_steps_per_epoch, batch_prep=prep)

@@ -15,12 +15,15 @@ after).
 from __future__ import annotations
 
 import json
+import logging
 import os
 from typing import Any, Optional
 
 import jax
 import numpy as np
 import orbax.checkpoint as ocp
+
+log = logging.getLogger(__name__)
 
 
 class CheckpointManager:
@@ -44,7 +47,15 @@ class CheckpointManager:
 
     def save(self, step: int, state, *, metrics: Optional[dict] = None,
              config: Optional[dict] = None, force: bool = False) -> bool:
-        """Save TrainState (+metrics/config) at `step`."""
+        """Save TrainState (+metrics/config) at `step`.
+
+        Overwrites an existing checkpoint at the same step (a fresh run
+        into a previously-used save_dir must not crash — the reference's
+        ``torch.save`` overwrites too, train_advanced.py:475-489)."""
+        if step in self._mgr.all_steps():
+            log.warning("overwriting existing checkpoint at step %d "
+                        "(fresh run into a used save_dir?)", step)
+            self._mgr.delete(step)
         payload = {
             "state": _state_tree(state),
         }
