@@ -85,12 +85,21 @@ def main():
         "benchmark silently fell back to dense attention — the headline "
         "number would not measure the Pallas path")
 
+    # Relay-correct timing (BENCH_NOTES.md caveats): enqueue N
+    # executions and fetch one scalar to bound the measurement, then
+    # DIFFERENCE two run lengths so the ~37 ms relay round-trip of the
+    # bounding fetch cancels instead of smearing ~2 ms into every
+    # iteration: per-exec = (t(N2) - t(N1)) / (N2 - N1).
+    def run(n):
+        t0 = time.perf_counter()
+        outs = [infer(params, batch) for _ in range(n)]
+        np.asarray(outs[-1])
+        return time.perf_counter() - t0
+
     times = []
     for _ in range(3):
-        t0 = time.perf_counter()
-        outs = [infer(params, batch) for _ in range(ITERS)]
-        np.asarray(outs[-1])
-        times.append((time.perf_counter() - t0) / ITERS)
+        t1, t2 = run(ITERS), run(3 * ITERS)
+        times.append((t2 - t1) / (2 * ITERS))
 
     med = float(np.median(times))
     fps = BATCH / med
