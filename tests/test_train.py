@@ -296,3 +296,36 @@ def test_trainer_unknown_group_tag_raises(tmp_path):
                       batch_prep={"orig": None})
     with pytest.raises(KeyError, match="mystery"):
         trainer.train_epoch(0)
+
+
+def test_checkpoint_overwrite_and_non_monotonic_saves(tmp_path):
+    """A fresh run into a used save_dir must neither crash on an
+    existing step nor be silently skipped by orbax's monotonic-step
+    policy (with a delete first, a skipped save would be data LOSS)."""
+    from vit_spoof_detection_pda_tpu.utils.checkpoint import (
+        CheckpointManager, load_checkpoint_bundle)
+    module = TinyNet()
+    tx = make_optimizer(1e-2)
+    old = create_train_state(module, tx, jax.random.PRNGKey(0),
+                             input_shape=(1, 16, 16, 3))
+    d = str(tmp_path / "ckpt")
+    mgr = CheckpointManager(d)
+    assert mgr.save(5, old, metrics={"val_f1": 0.1, "epoch": 0})
+    assert mgr.save(9, old, metrics={"val_f1": 0.2, "epoch": 1})
+    mgr.close()
+
+    # "fresh run" into the same dir: lower step, both the existing-step
+    # and the between-steps case must actually WRITE
+    new = create_train_state(module, tx, jax.random.PRNGKey(7),
+                             input_shape=(1, 16, 16, 3))
+    mgr2 = CheckpointManager(d)
+    assert mgr2.save(5, new, metrics={"val_f1": 0.9, "epoch": 0})
+    assert mgr2.save(7, new, metrics={"val_f1": 0.8, "epoch": 1})
+    mgr2.close()
+
+    variables, step, metrics = load_checkpoint_bundle(d, step=5)
+    assert metrics["val_f1"] == 0.9 and step == 5
+    jax.tree.map(np.testing.assert_array_equal, variables["params"],
+                 new.params)
+    _, step7, m7 = load_checkpoint_bundle(d, step=7)
+    assert step7 == 7 and m7["val_f1"] == 0.8

@@ -34,15 +34,15 @@ def main(argv=None):
 
     epoch, metrics = 0, {}
     if os.path.isdir(args.checkpoint):
-        from ..utils.checkpoint import (load_metrics_from_dir,
-                                        load_params_from_dir)
-        variables, _ = load_params_from_dir(args.checkpoint)
-        metrics = load_metrics_from_dir(args.checkpoint)
+        from ..utils.checkpoint import load_checkpoint_bundle
+        variables, _step, metrics = load_checkpoint_bundle(args.checkpoint)
         epoch = int(metrics.get("epoch", 0))
     else:
-        # direct strict conversion (raises on any missing tensor) —
-        # deliberately NOT the registry's tolerant load
-        sd = convert.load_torch_checkpoint(args.checkpoint)
+        # registry format dispatch (.pth/.safetensors/.npz) but STRICT
+        # conversion (raises on any missing tensor) — deliberately NOT
+        # the registry's tolerant partial load
+        from ..models.registry import _load_state_dict
+        sd = _load_state_dict(args.checkpoint)
         variables = convert.antispoof_from_torch(sd)
         epoch = 0
     sd_out = convert.save_torch_checkpoint(

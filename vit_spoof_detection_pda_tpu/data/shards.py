@@ -16,14 +16,15 @@ Layout of ``<dir>/shards.json``::
      "labels": [...], "paths": [...], "shards": [{"file": ..., "n": ...}]}
 
 ``ShardStore.build`` is idempotent: an existing store matching the
-record list (count + first/last path + size) is reused, not rebuilt.
+record list (count + sha1 over all paths+labels + size) is reused, not
+rebuilt.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import logging
-import os
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 from typing import Iterator, Sequence
@@ -52,9 +53,13 @@ class ShardStore:
 
     @staticmethod
     def _fingerprint(records, img_size, resize):
+        # digest covers EVERY path+label, not just endpoints — moving or
+        # relabeling middle records must invalidate the cache
+        h = hashlib.sha1()
+        for r in records:
+            h.update(f"{r.path}\t{r.label}\n".encode())
         return {"n": len(records), "img_size": img_size, "resize": resize,
-                "first": records[0].path if records else "",
-                "last": records[-1].path if records else ""}
+                "digest": h.hexdigest()}
 
     @classmethod
     def build(cls, records: Sequence[Record], directory: str, *,
@@ -75,6 +80,10 @@ class ShardStore:
             except Exception:   # noqa: BLE001 — corrupt store: rebuild
                 pass
             log.info("shard store stale — rebuilding %s", d)
+            # drop the old manifest FIRST: an interrupted rebuild must
+            # leave an invalid store, not shard files that fingerprint-
+            # match the previous parameters
+            (d / MANIFEST).unlink()
         d.mkdir(parents=True, exist_ok=True)
 
         shards = []

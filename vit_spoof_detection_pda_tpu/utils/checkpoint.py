@@ -51,11 +51,17 @@ class CheckpointManager:
 
         Overwrites an existing checkpoint at the same step (a fresh run
         into a previously-used save_dir must not crash — the reference's
-        ``torch.save`` overwrites too, train_advanced.py:475-489)."""
-        if step in self._mgr.all_steps():
-            log.warning("overwriting existing checkpoint at step %d "
-                        "(fresh run into a used save_dir?)", step)
-            self._mgr.delete(step)
+        ``torch.save`` overwrites too, train_advanced.py:475-489).  Any
+        save at or below the directory's latest step is FORCED: orbax's
+        should_save() silently rejects non-monotonic steps, which would
+        otherwise skip the save (after a delete, that is data loss)."""
+        latest = self._mgr.latest_step()
+        if latest is not None and step <= latest:
+            if step in self._mgr.all_steps():
+                log.warning("overwriting existing checkpoint at step %d "
+                            "(fresh run into a used save_dir?)", step)
+                self._mgr.delete(step)
+            force = True
         payload = {
             "state": _state_tree(state),
         }
@@ -158,9 +164,10 @@ def _py(v) -> Any:
     return v.item() if hasattr(v, "item") else v
 
 
-def load_metrics_from_dir(directory: str, step: Optional[int] = None) -> dict:
-    """Read the metrics JSON composite saved alongside a checkpoint
-    (epoch, val_f1, ... from Trainer saves) without a state template."""
+def load_checkpoint_bundle(directory: str, step: Optional[int] = None):
+    """(variables, step, metrics) from an Orbax checkpoint directory in
+    ONE manager pass — params plus the metrics JSON (epoch, val_f1, ...
+    from Trainer saves), no state template needed."""
     directory = os.path.abspath(directory)
     mgr = ocp.CheckpointManager(
         directory,
@@ -170,8 +177,14 @@ def load_metrics_from_dir(directory: str, step: Optional[int] = None) -> dict:
             step = mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints in {directory}")
-        out = mgr.restore(
-            step, args=ocp.args.Composite(metrics=ocp.args.JsonRestore()))
-        return dict(out["metrics"] or {})
+        restored = mgr.restore(
+            step, args=ocp.args.Composite(
+                tree=ocp.args.PyTreeRestore(),
+                metrics=ocp.args.JsonRestore()))
+        tree = restored["tree"]["state"]
+        variables = {"params": tree["params"]}
+        if "batch_stats" in tree:
+            variables["batch_stats"] = tree["batch_stats"]
+        return variables, int(step), dict(restored["metrics"] or {})
     finally:
         mgr.close()
