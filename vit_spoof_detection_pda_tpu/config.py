@@ -129,11 +129,11 @@ class ModelConfig(_Base):
     gelu: str = "erf"
     # Fused-block training forward (models/fasttrain.py): each pre-LN
     # attention sub-layer runs as ONE Pallas program in the train step's
-    # forward with a recompute-free custom-VJP backward.  Measured
-    # break-even on v5e (129.4 vs 130.2 ms/step: the forward's -6 ms is
-    # returned by the hand-written backward losing XLA's autodiff
-    # schedule — BENCH_NOTES.md round 3), so it stays opt-in.
-    fused_train_forward: bool = False
+    # forward with a recompute-free custom-VJP backward over 8-sublane-
+    # padded residuals.  Measured on v5e: 124.5 vs 130.3 ms/step
+    # (+4.6%, BENCH_NOTES.md round 3); engages where available
+    # (single-device TPU / interpret tests), ignored elsewhere.
+    fused_train_forward: bool = True
 
 
 @dataclass(frozen=True)

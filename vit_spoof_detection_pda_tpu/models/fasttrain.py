@@ -22,11 +22,13 @@ a ``module.apply``-compatible callable so ``TrainState.apply_fn`` /
 ``make_train_step`` need no changes.
 
 Measured verdict (v5e, B=128, erf, BENCH_NOTES.md round 3): the fused
-forward IS faster (44.1 vs 50.1 ms) but the full step is break-even
-(129.4 vs 130.2 ms) — a hand-written backward loses exactly the ~6 ms
-XLA's autodiff scheduler wins on the module path.  The capability ships
-OPT-IN (`model.fused_train_forward`) as the integration point for any
-future backward-kernel work; the module path stays the default.
+forward saves ~6 ms (44.1 vs 50.1 ms) and, with the residuals padded
+only to the 8-sublane granularity (197->200 instead of the kernel's
+256-lane compute tile), the backward keeps it: **124.5 vs 130.3
+ms/step (+4.6%)**.  With 256-padded residuals the backward's +30%
+zero-row weight-grad GEMMs returned the entire win (129.4 ms) — the
+row padding of the residual tensors, not the backward math, was the
+whole game.  Default ON (`model.fused_train_forward`).
 
 Dispatch: the fused path engages on a single-device TPU backend or
 under ``ops.attention.attention_sharding(interpret=True)`` (CPU tests);
@@ -59,7 +61,8 @@ def _attn_block_train_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
                              wproj_ref, bproj_ref, o_ref, qkv_ref,
                              attn_ref, xh_ref, *, scale: float,
                              valid_len: int, num_heads: int,
-                             head_dim: int, block_b: int, eps: float):
+                             head_dim: int, block_b: int, eps: float,
+                             out_rows: int):
     """Serving attention-block kernel (ops/attention.py
     ``_attn_block_kernel``) with three extra outputs: the [Tp, 3D] QKV
     projection, the [Tp, D] pre-proj attention output, and the LN
@@ -76,14 +79,14 @@ def _attn_block_train_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
         mu = jnp.mean(x, axis=-1, keepdims=True)
         var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
         xh = (x - mu) * jax.lax.rsqrt(var + eps)
-        xh_ref[bi] = xh.astype(xh_ref.dtype)
+        xh_ref[bi] = xh[:out_rows].astype(xh_ref.dtype)
         xn = (xh * lns_ref[0].astype(jnp.float32)
               + lnb_ref[0].astype(jnp.float32)).astype(x_ref.dtype)
         qkv = jax.lax.dot_general(
             xn, wqkv_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         qkv = (qkv + bqkv_ref[0].astype(jnp.float32)).astype(x_ref.dtype)
-        qkv_ref[bi] = qkv
+        qkv_ref[bi] = qkv[:out_rows]
         heads_out = []
         for h in range(num_heads):
             q = qkv[:, h * head_dim:(h + 1) * head_dim]
@@ -97,12 +100,12 @@ def _attn_block_train_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
             heads_out.append(jnp.dot(w.astype(v.dtype), v,
                                      preferred_element_type=jnp.float32))
         attn_out = jnp.concatenate(heads_out, axis=1).astype(x_ref.dtype)
-        attn_ref[bi] = attn_out
+        attn_ref[bi] = attn_out[:out_rows]
         proj = jax.lax.dot_general(
-            attn_out, wproj_ref[...], (((1,), (0,)), ((), ())),
+            attn_out[:out_rows], wproj_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        o_ref[bi] = (x + proj + bproj_ref[0].astype(jnp.float32)
-                     ).astype(o_ref.dtype)
+        o_ref[bi] = (x[:out_rows] + proj
+                     + bproj_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
 
 
 def _attn_block_fwd_pallas(x, lns, lnb, wqkv, bqkv, wproj, bproj,
@@ -110,6 +113,14 @@ def _attn_block_fwd_pallas(x, lns, lnb, wqkv, bqkv, wproj, bproj,
     b, t, d = x.shape
     head_dim = d // num_heads
     tp = _round_up(t, 128)
+    # residual outputs are padded only to the 8-sublane granularity
+    # (197 -> 200), NOT the kernel's 128-lane compute tile (256): the
+    # backward's weight-grad GEMMs then run ~22% fewer rows — the padded
+    # rows were exactly what returned the fused forward's win
+    # (BENCH_NOTES.md round 3).  Pad rows carry deterministic finite
+    # values (LN of a zero row), and the backward zero-pads g, so they
+    # contribute nothing.
+    to = _round_up(t, 8)
     scale = float(head_dim) ** -0.5
     block_b = _block_b_for(b)
     xp = jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
@@ -117,14 +128,15 @@ def _attn_block_fwd_pallas(x, lns, lnb, wqkv, bqkv, wproj, bproj,
     const = lambda i: (0, 0)                                 # noqa: E731
     kernel = functools.partial(
         _attn_block_train_kernel, scale=scale, valid_len=t,
-        num_heads=num_heads, head_dim=head_dim, block_b=block_b, eps=eps)
-    blk = lambda w: pl.BlockSpec((block_b, tp, w), lambda i: (i, 0, 0),  # noqa: E731
-                                 memory_space=pltpu.VMEM)
+        num_heads=num_heads, head_dim=head_dim, block_b=block_b, eps=eps,
+        out_rows=to)
+    blk = lambda r, w: pl.BlockSpec((block_b, r, w), lambda i: (i, 0, 0),  # noqa: E731
+                                    memory_space=pltpu.VMEM)
     o, qkv, attn, xh = pl.pallas_call(
         kernel,
         grid=(b // block_b,),
         in_specs=[
-            blk(d),
+            blk(tp, d),
             pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((d, 3 * d), const, memory_space=pltpu.VMEM),
@@ -132,15 +144,15 @@ def _attn_block_fwd_pallas(x, lns, lnb, wqkv, bqkv, wproj, bproj,
             pl.BlockSpec((d, d), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
         ],
-        out_specs=(blk(d), blk(3 * d), blk(d), blk(d)),
-        out_shape=(jax.ShapeDtypeStruct((b, tp, d), x.dtype),
-                   jax.ShapeDtypeStruct((b, tp, 3 * d), x.dtype),
-                   jax.ShapeDtypeStruct((b, tp, d), x.dtype),
-                   jax.ShapeDtypeStruct((b, tp, d), x.dtype)),
+        out_specs=(blk(to, d), blk(to, 3 * d), blk(to, d), blk(to, d)),
+        out_shape=(jax.ShapeDtypeStruct((b, to, d), x.dtype),
+                   jax.ShapeDtypeStruct((b, to, 3 * d), x.dtype),
+                   jax.ShapeDtypeStruct((b, to, d), x.dtype),
+                   jax.ShapeDtypeStruct((b, to, d), x.dtype)),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * tp * d * 4 * d
             + 4 * b * num_heads * tp * tp * head_dim,
-            bytes_accessed=9 * b * tp * d * x.dtype.itemsize,
+            bytes_accessed=9 * b * to * d * x.dtype.itemsize,
             transcendentals=b * num_heads * tp * tp),
         interpret=interpret,
     )(xp, row(lns), row(lnb), wqkv, row(bqkv), wproj, row(bproj))
