@@ -36,7 +36,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import fused_attention_block, fused_mlp_block
+from ..ops.attention import fused_attention_block_padded, fused_mlp_block
 
 
 def embed_patches(vit, batch, *, dtype, patch_size: int):
@@ -84,15 +84,26 @@ def serving_forward(params, batch, *, num_heads: int = 12,
     vit = params["vit"]
     x = embed_patches(vit, batch, dtype=dtype, patch_size=patch_size)
 
+    # inter-layer stream stays padded to the 8-sublane granularity
+    # (197 -> 200): the attention kernels compute [200, 200] instead of
+    # [256, 256] (-22% attention FLOPs/VPU) and no pad/slice copies run
+    # between layers (32.4 -> 27.7 ms/batch, BENCH_NOTES.md round 3).
+    # Pad rows stay garbage-free (key columns masked at valid_len) and
+    # are sliced off after the last layer; the flat-tiled MLP's row
+    # space (B*200 = 25600 at B=128) matches its former padding exactly.
+    t = x.shape[1]
+    tp = -(-t // 8) * 8
+    x = jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
+
     for i in range(depth):
         blk = vit[f"block{i}"]
-        x = fused_attention_block(
+        x = fused_attention_block_padded(
             x, blk["norm1"]["scale"], blk["norm1"]["bias"],
             blk["attn"]["qkv"]["kernel"].astype(dtype),
             blk["attn"]["qkv"]["bias"],
             blk["attn"]["proj"]["kernel"].astype(dtype),
             blk["attn"]["proj"]["bias"],
-            num_heads, eps=norm_eps, interpret=interpret)
+            num_heads, valid_len=t, eps=norm_eps, interpret=interpret)
         mlp = blk["mlp"]
         if fuse_mlp:
             x = fused_mlp_block(
@@ -111,7 +122,8 @@ def serving_forward(params, batch, *, num_heads: int = 12,
                    + mlp["fc2"]["bias"].astype(jnp.float32)).astype(dtype)
             x = x + out
 
-    x = _layernorm(x, vit["norm"], norm_eps)[:, 0]
+    # only the CLS row feeds the head; LN is row-local
+    x = _layernorm(x[:, :1], vit["norm"], norm_eps)[:, 0]
 
     head = params["head"]
     f = _layernorm(x.astype(jnp.float32), head["norm"], 1e-5)

@@ -112,15 +112,16 @@ def _attn_block_fwd_pallas(x, lns, lnb, wqkv, bqkv, wproj, bproj,
                            num_heads: int, eps: float, interpret: bool):
     b, t, d = x.shape
     head_dim = d // num_heads
-    tp = _round_up(t, 128)
-    # residual outputs are padded only to the 8-sublane granularity
-    # (197 -> 200), NOT the kernel's 128-lane compute tile (256): the
-    # backward's weight-grad GEMMs then run ~22% fewer rows — the padded
-    # rows were exactly what returned the fused forward's win
-    # (BENCH_NOTES.md round 3).  Pad rows carry deterministic finite
+    # everything — compute tile AND residual outputs — runs at the
+    # 8-sublane granularity (197 -> 200, not a 128-lane round to 256):
+    # [200, 200] attention beats [256, 256] by ~22% FLOPs/VPU work and
+    # the backward's weight-grad GEMMs see no zero-row padding (the
+    # 256-row variants measured 129.4-138.6 vs 124.5 ms/step,
+    # BENCH_NOTES.md round 3).  Pad rows carry deterministic finite
     # values (LN of a zero row), and the backward zero-pads g, so they
     # contribute nothing.
-    to = _round_up(t, 8)
+    tp = _round_up(t, 8)
+    to = tp
     scale = float(head_dim) ** -0.5
     block_b = _block_b_for(b)
     xp = jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))

@@ -7,11 +7,14 @@ keeps the whole  QK^T -> mask -> softmax -> @V  row block in VMEM: one
 grid step per (batch*head), everything fused, nothing but Q/K/V/O
 touching HBM.
 
-T=197 padded to 256 fits VMEM trivially (256x256 fp32 logits = 256 KB),
-so no online-softmax streaming is needed — this IS the flash-attention
-memory win without its bookkeeping; the kernel is written blockwise over
-(batch, head) so longer sequences would extend it with a KV loop
-(SURVEY.md §2.7: blockwise by design, no ring/CP machinery).
+T=197 pads only to the 8-sublane granularity (200; a 128-lane round to
+256 costs ~22% extra attention FLOPs/VPU work for nothing — measured,
+BENCH_NOTES.md round 3) and the [200, 200] fp32 logits fit VMEM
+trivially, so no online-softmax streaming is needed — this IS the
+flash-attention memory win without its bookkeeping; the kernel is
+written blockwise over (batch, head) so longer sequences would extend
+it with a KV loop (SURVEY.md §2.7: blockwise by design, no ring/CP
+machinery).
 
 Training: a custom VJP recomputes the dense backward in XLA (same
 residual memory as the einsum path the reference effectively uses;
@@ -61,7 +64,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
 def _forward(q, k, v, *, interpret: bool = False):
     """q, k, v: [B, T, H, D] -> [B, T, H, D]."""
     b, t, h, d = q.shape
-    tp = _round_up(t, 128)
+    tp = _round_up(t, 8)
     scale = float(d) ** -0.5
 
     def prep(x):
@@ -135,7 +138,7 @@ def _forward_qkv(qkv, num_heads: int, *, interpret: bool = False):
     b, t, d3 = qkv.shape
     d = d3 // 3
     head_dim = d // num_heads
-    tp = _round_up(t, 128)
+    tp = _round_up(t, 8)
     scale = float(head_dim) ** -0.5
     block_b = _block_b_for(b)
     qkv = jnp.pad(qkv, ((0, 0), (0, tp - t), (0, 0)))
@@ -235,7 +238,7 @@ def _backward_qkv(qkv, g, num_heads: int, *, interpret: bool = False,
         tp, t = t, valid_len
         qkv_p, g_p = qkv, g
     else:
-        tp = _round_up(t, 128)
+        tp = _round_up(t, 8)
         qkv_p = jnp.pad(qkv, ((0, 0), (0, tp - t), (0, 0)))
         g_p = jnp.pad(g, ((0, 0), (0, tp - t), (0, 0)))
     scale = float(head_dim) ** -0.5
@@ -330,22 +333,30 @@ def _attn_block_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
                      ).astype(o_ref.dtype)
 
 
-def fused_attention_block(x, ln_scale, ln_bias, w_qkv, b_qkv, w_proj,
-                          b_proj, num_heads: int, *, eps: float = 1e-6,
-                          interpret: bool = False):
-    """x: [B, T, D] residual stream -> x + proj(attn(LN(x))) (serving)."""
-    b, t, d = x.shape
+def fused_attention_block_padded(xp, ln_scale, ln_bias, w_qkv, b_qkv,
+                                 w_proj, b_proj, num_heads: int, *,
+                                 valid_len: int, eps: float = 1e-6,
+                                 interpret: bool = False):
+    """Padded-stream form: xp [B, Tp, D] with ``valid_len`` real tokens
+    (Tp any 8-sublane multiple) -> [B, Tp, D].
+
+    The compute tile follows the STREAM's padding, not a 128-lane round:
+    197 tokens run as [200, 200] attention instead of [256, 256] — 22%
+    fewer attention FLOPs/VPU ops — and callers chain layers without
+    per-layer pad/slice copies (27.7 vs 32.4 ms/batch serving,
+    BENCH_NOTES.md round 3).  Pad rows compute garbage-free finite
+    values (key/value columns are masked at ``valid_len``); slice them
+    off after the last layer."""
+    b, tp, d = xp.shape
     head_dim = d // num_heads
-    tp = _round_up(t, 128)
     scale = float(head_dim) ** -0.5
     block_b = _block_b_for(b)
-    xp = jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
     row = lambda a: jnp.asarray(a).reshape(1, -1)            # noqa: E731
     kernel = functools.partial(
-        _attn_block_kernel, scale=scale, valid_len=t, num_heads=num_heads,
-        head_dim=head_dim, block_b=block_b, eps=eps)
+        _attn_block_kernel, scale=scale, valid_len=valid_len,
+        num_heads=num_heads, head_dim=head_dim, block_b=block_b, eps=eps)
     const = lambda i: (0, 0)                                 # noqa: E731
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(b // block_b,),
         in_specs=[
@@ -360,15 +371,30 @@ def fused_attention_block(x, ln_scale, ln_bias, w_qkv, b_qkv, w_proj,
         ],
         out_specs=pl.BlockSpec((block_b, tp, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, tp, d), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, tp, d), xp.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * tp * d * (3 * d + d)
             + 4 * b * num_heads * tp * tp * head_dim,
-            bytes_accessed=2 * b * tp * d * x.dtype.itemsize,
+            bytes_accessed=2 * b * tp * d * xp.dtype.itemsize,
             transcendentals=b * num_heads * tp * tp),
         interpret=interpret,
     )(xp, row(ln_scale), row(ln_bias), w_qkv, row(b_qkv), w_proj,
       row(b_proj))
+
+
+def fused_attention_block(x, ln_scale, ln_bias, w_qkv, b_qkv, w_proj,
+                          b_proj, num_heads: int, *, eps: float = 1e-6,
+                          interpret: bool = False):
+    """x: [B, T, D] residual stream -> x + proj(attn(LN(x))) (serving).
+
+    Convenience form of :func:`fused_attention_block_padded` (pads to
+    the 8-sublane granularity, slices back)."""
+    b, t, d = x.shape
+    tp = _round_up(t, 8)
+    xp = jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
+    out = fused_attention_block_padded(
+        xp, ln_scale, ln_bias, w_qkv, b_qkv, w_proj, b_proj, num_heads,
+        valid_len=t, eps=eps, interpret=interpret)
     return out[:, :t, :]
 
 
