@@ -1,0 +1,81 @@
+"""TRUE mixed online-training rate: time the fused aug+train step for
+EVERY severity group (orig / heavy / medium / light) and weight by the
+differential plan's batch mix (live x8+orig, spoof x2+orig over the
+1:3.87 CelebA-Spoof ratio) — the per-group numbers reported so far are
+the orig-chain configuration only."""
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+from vit_spoof_detection_pda_tpu.augment.policy import CHAINS, train_time_chain
+from vit_spoof_detection_pda_tpu.config import Config
+from vit_spoof_detection_pda_tpu.models.vit import ViTAntiSpoof
+from vit_spoof_detection_pda_tpu.ops import losses
+from vit_spoof_detection_pda_tpu.train import (create_train_state,
+                                               make_optimizer,
+                                               make_train_step)
+from vit_spoof_detection_pda_tpu.train.driver import make_prep_fn
+
+B = 128
+cfg = Config()
+module = ViTAntiSpoof(dtype=jnp.bfloat16)
+state = create_train_state(module, make_optimizer(1e-4),
+                           jax.random.PRNGKey(0),
+                           input_shape=(1, 224, 224, 3))
+loss_fn = losses.make_loss_fn("focal")
+rng = np.random.default_rng(0)
+lbl = jnp.asarray(np.arange(B) % 2, jnp.int32)
+b256 = {"image": jnp.asarray(rng.integers(0, 256, (B, 256, 256, 3),
+                                          dtype=np.uint8)), "label": lbl}
+b224 = {"image": jnp.asarray(rng.integers(0, 256, (B, 224, 224, 3),
+                                          dtype=np.uint8)), "label": lbl}
+
+chains = {"orig": train_time_chain()}
+for g in ("heavy", "medium", "light"):
+    chains[g] = CHAINS[g]()
+
+
+def timed(step, batch, n1=6, n2=18):
+    s, m = step(state, batch)
+    float(m["loss"])
+
+    def run(n):
+        st, mm = state, None
+        t0 = time.perf_counter()
+        for _ in range(n):
+            st, mm = step(st, batch)
+        float(mm["loss"])
+        return time.perf_counter() - t0
+
+    run(2)
+    t1, t2 = run(n1), run(n2)
+    return (t2 - t1) / (n2 - n1)
+
+
+times = {}
+for g, chain in chains.items():
+    step = make_train_step(loss_fn, batch_prep=make_prep_fn(cfg, chain),
+                           donate=False)
+    batch = b256 if g == "orig" else b224   # copies arrive at img_size
+    t = timed(step, batch)
+    times[g] = t
+    print(f"[{g}] fused aug+train step: {t*1e3:6.1f} ms "
+          f"({B/t:5.0f} img/s)", flush=True)
+
+# default differential plan over the 1:3.87 live:spoof raw ratio:
+# live -> 1 orig + 8 copies, spoof -> 1 orig + 2 copies; copies split
+# heavy/medium/light by thirds (augment/policy.py::severity_for_copy)
+live, spoof = 1.0, 3.87
+orig = live + spoof
+copies = live * 8 + spoof * 2
+per_tier = copies / 3
+total = orig + copies
+w = {"orig": orig / total, "heavy": per_tier / total,
+     "medium": per_tier / total, "light": per_tier / total}
+mix_t = sum(w[g] * times[g] for g in times)
+print(f"weighted mix ({', '.join(f'{g}={w[g]:.2f}' for g in w)}): "
+      f"{mix_t*1e3:6.1f} ms -> {B/mix_t:5.0f} img/s", flush=True)

@@ -122,3 +122,30 @@ def test_online_respects_train_aug_disabled(tmp_path):
             pass  # just ensure it runs
         return True
     assert orig_images(0)
+
+
+def test_every_severity_prep_traces_under_bf16_policy():
+    """Every severity group's fused prep must compile with the DEFAULT
+    bf16 aug dtype (regression: the heavy tier's elastic path mixed an
+    f32 noise field with a bf16 blur kernel and died at trace — unseen
+    because tiny test datasets never fill a heavy-group batch)."""
+    import jax
+    import jax.numpy as jnp
+    from vit_spoof_detection_pda_tpu.augment.policy import (CHAINS,
+                                                            train_time_chain)
+    from vit_spoof_detection_pda_tpu.config import Config
+    from vit_spoof_detection_pda_tpu.train.driver import make_prep_fn
+
+    cfg = Config()
+    assert cfg.train_aug.aug_dtype == "bfloat16"
+    key = jax.random.PRNGKey(0)
+    img32 = jnp.zeros((2, 32, 32, 3), jnp.uint8)
+    for name, chain in [("orig", train_time_chain(resize_to=32,
+                                                  crop_size=32)),
+                        ("heavy", CHAINS["heavy"]()),
+                        ("medium", CHAINS["medium"]()),
+                        ("light", CHAINS["light"]())]:
+        prep = jax.jit(make_prep_fn(cfg, chain))
+        out = prep(key, img32)
+        assert out.dtype == jnp.float32, name
+        assert np.all(np.isfinite(np.asarray(out))), name

@@ -243,6 +243,10 @@ def _separable_blur2d(img, kernel1d):
     ksz = kernel1d.shape[0]
     pad = ksz // 2
     c = img.shape[-1]
+    # conv requires matching dtypes; callers mix (e.g. the elastic path
+    # blurs f32 noise fields with an image-dtype kernel under the bf16
+    # aug policy)
+    kernel1d = kernel1d.astype(img.dtype)
     x = jnp.pad(img, ((pad, pad), (pad, pad), (0, 0)), mode="reflect")
     x = x[None].transpose(0, 3, 1, 2)                       # NCHW
     kv = jnp.tile(kernel1d.reshape(1, 1, ksz, 1), (c, 1, 1, 1))
