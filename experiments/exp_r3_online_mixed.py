@@ -67,15 +67,21 @@ for g, chain in chains.items():
           f"({B/t:5.0f} img/s)", flush=True)
 
 # default differential plan over the 1:3.87 live:spoof raw ratio:
-# live -> 1 orig + 8 copies, spoof -> 1 orig + 2 copies; copies split
-# heavy/medium/light by thirds (augment/policy.py::severity_for_copy)
+# live -> 1 orig + 8 copies, spoof -> 1 orig + 2 copies; tier of each
+# copy comes from the ACTUAL policy (live x8 -> 2 heavy/3 medium/3
+# light, spoof x2 -> 0 heavy/1 medium/1 light — NOT equal thirds;
+# augment/policy.py::severity_for_copy)
+from vit_spoof_detection_pda_tpu.augment.policy import severity_for_copy
+
 live, spoof = 1.0, 3.87
-orig = live + spoof
-copies = live * 8 + spoof * 2
-per_tier = copies / 3
-total = orig + copies
-w = {"orig": orig / total, "heavy": per_tier / total,
-     "medium": per_tier / total, "light": per_tier / total}
+counts = {"orig": live + spoof, "heavy": 0.0, "medium": 0.0,
+          "light": 0.0}
+for i in range(8):
+    counts[severity_for_copy(i, 8)] += live
+for i in range(2):
+    counts[severity_for_copy(i, 2)] += spoof
+total = sum(counts.values())
+w = {g: c / total for g, c in counts.items()}
 mix_t = sum(w[g] * times[g] for g in times)
 print(f"weighted mix ({', '.join(f'{g}={w[g]:.2f}' for g in w)}): "
       f"{mix_t*1e3:6.1f} ms -> {B/mix_t:5.0f} img/s", flush=True)

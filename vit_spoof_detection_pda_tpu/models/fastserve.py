@@ -4,9 +4,17 @@ sub-layer running as ONE Pallas program per layer
 (``ops.attention.fused_attention_block``: LN1 + QKV GEMM + attention +
 proj + residual, weights VMEM-resident).
 
-Composition per layer (identical math to models/vit.py, serving dtypes):
-  x <- fused_attention_block(x)   # Pallas, no qkv/attn HBM trip
-  x <- fused_mlp_block(x)         # Pallas, flat M-tiled over [B*T, D]
+Composition (identical math to models/vit.py, serving dtypes): the
+residual stream is padded ONCE after the stem to the 8-sublane
+granularity (197 -> 200 tokens) and stays padded across all layers —
+no per-layer pad/slice copies, and the attention kernels compute
+[200, 200] instead of a 128-lane round to [256, 256] (~22% fewer
+attention FLOPs; BENCH_NOTES.md round 3):
+  x <- pad(embed_patches(batch))        # once
+  per layer:
+    x <- fused_attention_block_padded(x)  # Pallas, no qkv/attn HBM trip
+    x <- fused_mlp_block(x)               # Pallas, flat M-tiled [B*Tp, D]
+  scores <- head(LN(x[:, :1]))          # CLS row only
 
 ``fuse_mlp=True`` (the default) runs the MLP half-layer as
 ``ops.attention.fused_mlp_block``: LN2+fc1+gelu+fc2+residual tiled over
@@ -36,7 +44,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.attention import fused_attention_block_padded, fused_mlp_block
+from ..ops.attention import (_round_up, fused_attention_block_padded,
+                             fused_mlp_block)
 
 
 def embed_patches(vit, batch, *, dtype, patch_size: int):
@@ -92,7 +101,7 @@ def serving_forward(params, batch, *, num_heads: int = 12,
     # are sliced off after the last layer; the flat-tiled MLP's row
     # space (B*200 = 25600 at B=128) matches its former padding exactly.
     t = x.shape[1]
-    tp = -(-t // 8) * 8
+    tp = _round_up(t, 8)
     x = jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
 
     for i in range(depth):

@@ -243,9 +243,9 @@ def _separable_blur2d(img, kernel1d):
     ksz = kernel1d.shape[0]
     pad = ksz // 2
     c = img.shape[-1]
-    # conv requires matching dtypes; callers mix (e.g. the elastic path
-    # blurs f32 noise fields with an image-dtype kernel under the bf16
-    # aug policy)
+    # conv requires matching dtypes; align the kernel to the (float)
+    # image rather than promoting the image
+    assert jnp.issubdtype(img.dtype, jnp.floating), img.dtype
     kernel1d = kernel1d.astype(img.dtype)
     x = jnp.pad(img, ((pad, pad), (pad, pad), (0, 0)), mode="reflect")
     x = x[None].transpose(0, 3, 1, 2)                       # NCHW
@@ -397,8 +397,11 @@ def composed_geometric(key, img, *,
     if elastic is not None:
         alpha, sigma, ksize, p = elastic
         kex, key_ = jax.random.split(ke)
-        nx = jax.random.uniform(kex, (h, w), minval=-1.0, maxval=1.0)
-        ny = jax.random.uniform(key_, (h, w), minval=-1.0, maxval=1.0)
+        # noise fields in the image's compute dtype so the 63-tap blur
+        # honors the bf16 aug policy (an f32 field would promote the
+        # chain's most expensive conv)
+        nx = jax.random.uniform(kex, (h, w), img.dtype, -1.0, 1.0)
+        ny = jax.random.uniform(key_, (h, w), img.dtype, -1.0, 1.0)
         kern = _gaussian_kernel1d(ksize, sigma, img.dtype)
         dx = _separable_blur2d(nx[..., None], kern)[..., 0] * alpha * (w / 2)
         dy = _separable_blur2d(ny[..., None], kern)[..., 0] * alpha * (h / 2)
