@@ -36,6 +36,31 @@ def resolve_config(args) -> Config:
     return cfg.with_env_overrides()
 
 
+def add_fastserve_args(parser: argparse.ArgumentParser):
+    parser.add_argument("--fastserve", action="store_true",
+                        help="score ViT-antispoof models through the "
+                        "fused-kernel bf16 serving path (bench.py "
+                        "numerics; ~1e-2 score drift)")
+    parser.add_argument("--interpret", action="store_true",
+                        help="run the fastserve Pallas kernels in "
+                        "interpret mode (debugging off-TPU; slow)")
+
+
+def validate_fastserve(args):
+    """Fail BEFORE model/data loading when --fastserve can't run: the
+    Pallas kernels need a TPU backend unless --interpret is given
+    (make_fastserve_infer would otherwise raise only after the full
+    checkpoint + dataset load)."""
+    if getattr(args, "fastserve", False) and not getattr(
+            args, "interpret", False):
+        import jax
+        if jax.default_backend() != "tpu":
+            raise SystemExit(
+                "--fastserve runs Pallas TPU kernels; on the "
+                f"'{jax.default_backend()}' backend drop --fastserve or "
+                "add --interpret (debugging mode)")
+
+
 def setup_logging(level=logging.INFO):
     logging.basicConfig(
         level=level,

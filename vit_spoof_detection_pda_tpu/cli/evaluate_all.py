@@ -7,7 +7,8 @@ import argparse
 
 from ..data import scan_test
 from ..eval import run_cross_model_eval
-from .common import add_config_args, resolve_config, setup_logging
+from .common import (add_config_args, add_fastserve_args, resolve_config,
+                     setup_logging, validate_fastserve)
 
 
 def main(argv=None):
@@ -18,11 +19,10 @@ def main(argv=None):
                         help="fine-tuned ViT checkpoint (.pth etc.)")
     parser.add_argument("--models", nargs="*", default=None,
                         help="subset of registry models")
-    parser.add_argument("--fastserve", action="store_true",
-                        help="score ViT-antispoof models through the "
-                        "fused-kernel bf16 serving path")
+    add_fastserve_args(parser)
     args = parser.parse_args(argv)
     setup_logging()
+    validate_fastserve(args)
     cfg = resolve_config(args)
 
     records = scan_test(cfg.data.test_root)
@@ -30,7 +30,8 @@ def main(argv=None):
         records, output_dir=cfg.eval.output_dir,
         checkpoint_path=args.checkpoint or cfg.eval.checkpoint_path,
         model_names=args.models, batch_size=cfg.eval.batch_size,
-        img_size=cfg.data.img_size, fastserve=args.fastserve)
+        img_size=cfg.data.img_size, fastserve=args.fastserve,
+        interpret=args.interpret)
     for name, s in results.items():
         print(f"{name}: AUC={s['roc_auc']:.4f} EER={s['eer']:.4f}")
     return results

@@ -10,7 +10,8 @@ import jax.numpy as jnp
 from ..data import scan_test
 from ..eval import run_single_model_eval
 from ..models.registry import build_model
-from .common import add_config_args, resolve_config, setup_logging
+from .common import (add_config_args, add_fastserve_args, resolve_config,
+                     setup_logging, validate_fastserve)
 
 
 def main(argv=None):
@@ -20,11 +21,10 @@ def main(argv=None):
     parser.add_argument("--checkpoint", default=None,
                         help="torch .pth / safetensors / orbax checkpoint")
     parser.add_argument("--no-plots", action="store_true")
-    parser.add_argument("--fastserve", action="store_true",
-                        help="score through the fused-kernel bf16 serving "
-                        "path (bench.py numerics; ~1e-2 score drift)")
+    add_fastserve_args(parser)
     args = parser.parse_args(argv)
     setup_logging()
+    validate_fastserve(args)
     cfg = resolve_config(args)
 
     import os
@@ -49,7 +49,7 @@ def main(argv=None):
         output_dir=cfg.eval.output_dir,
         batch_size=cfg.eval.batch_size, img_size=cfg.data.img_size,
         checkpoint_name=str(ckpt), write_plots=not args.no_plots,
-        fastserve=args.fastserve)
+        fastserve=args.fastserve, interpret=args.interpret)
     print({k: round(v, 4) if isinstance(v, float) else v
            for k, v in metrics.items()})
     return metrics

@@ -73,7 +73,8 @@ class ShardStore:
         if (d / MANIFEST).exists():
             try:
                 store = cls(str(d))
-                if all(store.meta.get(k) == v for k, v in fp.items()):
+                if (all(store.meta.get(k) == v for k, v in fp.items())
+                        and store._shards_intact()):
                     log.info("shard store up to date: %s (%d images)",
                              d, len(store))
                     return store
@@ -106,9 +107,42 @@ class ShardStore:
                 "paths": [r.path for r in records]}
         with open(d / MANIFEST, "w") as f:
             json.dump(meta, f)
+        # a rebuild with fewer records leaves higher-numbered shard files
+        # from the previous build; they are unreferenced (multi-GB leak
+        # at ~115k-image scale) — unlink anything the manifest doesn't own
+        referenced = {s["file"] for s in shards}
+        for orphan in d.glob("images-*.npy"):
+            if orphan.name not in referenced:
+                log.info("removing orphaned shard file %s", orphan)
+                orphan.unlink()
         log.info("shard store built: %s (%d images, %d shards)", d,
                  len(records), len(shards))
         return cls(str(d))
+
+    def _shards_intact(self) -> bool:
+        """True iff every shard file listed in the manifest exists, has
+        the expected .npy shape in its header, and holds all its data
+        bytes — memmaps are lazy, so a deleted/truncated shard would
+        otherwise pass the fingerprint reuse check and fail mid-epoch at
+        the first gather that touches it."""
+        s = self.img_size
+        for sh in self.meta["shards"]:
+            p = self.dir / sh["file"]
+            try:
+                with open(p, "rb") as f:
+                    version = np.lib.format.read_magic(f)
+                    shape, _, dtype = np.lib.format._read_array_header(
+                        f, version)
+                    data_start = f.tell()
+                ok = (shape == (sh["n"], s, s, 3) and dtype == np.uint8
+                      and p.stat().st_size >= data_start + int(
+                          np.prod(shape)))
+            except Exception:   # noqa: BLE001 — unreadable = corrupt
+                ok = False
+            if not ok:
+                log.warning("shard file missing/truncated: %s", p)
+                return False
+        return True
 
     # -- access -------------------------------------------------------------
 

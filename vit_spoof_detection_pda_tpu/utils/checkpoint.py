@@ -61,6 +61,16 @@ class CheckpointManager:
                 log.warning("overwriting existing checkpoint at step %d "
                             "(fresh run into a used save_dir?)", step)
                 self._mgr.delete(step)
+            # fresh-run signature: a save below the directory's latest
+            # step means a previous run's later checkpoints are stale —
+            # drop them, or latest_step()/load_params_from_dir would keep
+            # silently serving the PREVIOUS run's weights until this run
+            # surpasses them.
+            for stale in [s for s in self._mgr.all_steps() if s > step]:
+                log.warning("deleting stale checkpoint at step %d from a "
+                            "previous run (current run is at step %d)",
+                            stale, step)
+                self._mgr.delete(stale)
             force = True
         payload = {
             "state": _state_tree(state),
