@@ -26,36 +26,113 @@
 namespace {
 
 // ---------------------------------------------------------------------------
-// Bilinear resize, RGB u8, HWC.  Half-pixel centers (matches PIL/antialias
-// off; close enough to PIL BILINEAR for downstream augmentation parity).
+// PIL-exact BILINEAR resize, RGB u8, HWC.
+//
+// Replicates Pillow's ImagingResample for 8-bit images (Resample.c):
+// separable triangle filter whose support scales with the downscale
+// factor (antialiasing), double-precision coefficient build, the same
+// fixed-point quantization (PRECISION_BITS = 22) and the same clip8
+// rounding, horizontal pass first into a u8 intermediate.  From an
+// identical source this is BIT-IDENTICAL to Image.resize(...,
+// Image.BILINEAR) — so the PNG path matches PIL exactly, and the JPEG
+// path differs only by libjpeg's DCT-domain prescale (measured in
+// tests/test_native_decoder.py).  The previous 2-tap half-pixel kernel
+// (no antialiasing) drifted up to 15 u8 levels on downscales.
 // ---------------------------------------------------------------------------
+
+constexpr int kPrecisionBits = 32 - 8 - 2;
+
+inline uint8_t clip8(int in) {
+  int v = in >> kPrecisionBits;
+  return static_cast<uint8_t>(v < 0 ? 0 : (v > 255 ? 255 : v));
+}
+
+inline double triangle_filter(double x) {
+  if (x < 0.0) x = -x;
+  return x < 1.0 ? 1.0 - x : 0.0;
+}
+
+// Pillow precompute_coeffs + normalize_coeffs_8bpc, for one axis.
+int precompute_coeffs(int in_size, int out_size, std::vector<int>* bounds,
+                      std::vector<int>* kk) {
+  const double scale = static_cast<double>(in_size) / out_size;
+  const double filterscale = scale < 1.0 ? 1.0 : scale;
+  const double support = 1.0 * filterscale;  // triangle support = 1
+  const int ksize = static_cast<int>(std::ceil(support)) * 2 + 1;
+  bounds->assign(static_cast<size_t>(out_size) * 2, 0);
+  kk->assign(static_cast<size_t>(out_size) * ksize, 0);
+  std::vector<double> w(ksize);
+  for (int xx = 0; xx < out_size; ++xx) {
+    const double center = (xx + 0.5) * scale;
+    const double ss = 1.0 / filterscale;
+    int xmin = static_cast<int>(center - support + 0.5);
+    if (xmin < 0) xmin = 0;
+    int xmax = static_cast<int>(center + support + 0.5);
+    if (xmax > in_size) xmax = in_size;
+    xmax -= xmin;
+    double total = 0.0;
+    for (int x = 0; x < xmax; ++x) {
+      w[x] = triangle_filter((x + xmin - center + 0.5) * ss);
+      total += w[x];
+    }
+    int* k = kk->data() + static_cast<size_t>(xx) * ksize;
+    for (int x = 0; x < xmax; ++x) {
+      const double c = total != 0.0 ? w[x] / total : w[x];
+      k[x] = static_cast<int>(c < 0 ? c * (1 << kPrecisionBits) - 0.5
+                                    : c * (1 << kPrecisionBits) + 0.5);
+    }
+    (*bounds)[xx * 2] = xmin;
+    (*bounds)[xx * 2 + 1] = xmax;
+  }
+  return ksize;
+}
+
 void bilinear_resize(const uint8_t* src, int sh, int sw, uint8_t* dst,
                      int dh, int dw) {
-  const float ys = static_cast<float>(sh) / dh;
-  const float xs = static_cast<float>(sw) / dw;
-  for (int y = 0; y < dh; ++y) {
-    float fy = (y + 0.5f) * ys - 0.5f;
-    int y0 = static_cast<int>(std::floor(fy));
-    float wy = fy - y0;
-    int y1 = std::min(y0 + 1, sh - 1);
-    y0 = std::max(y0, 0);
-    for (int x = 0; x < dw; ++x) {
-      float fx = (x + 0.5f) * xs - 0.5f;
-      int x0 = static_cast<int>(std::floor(fx));
-      float wx = fx - x0;
-      int x1 = std::min(x0 + 1, sw - 1);
-      x0 = std::max(x0, 0);
-      const uint8_t* p00 = src + (y0 * sw + x0) * 3;
-      const uint8_t* p01 = src + (y0 * sw + x1) * 3;
-      const uint8_t* p10 = src + (y1 * sw + x0) * 3;
-      const uint8_t* p11 = src + (y1 * sw + x1) * 3;
-      uint8_t* out = dst + (y * dw + x) * 3;
-      for (int c = 0; c < 3; ++c) {
-        float top = p00[c] * (1 - wx) + p01[c] * wx;
-        float bot = p10[c] * (1 - wx) + p11[c] * wx;
-        out[c] = static_cast<uint8_t>(top * (1 - wy) + bot * wy + 0.5f);
+  // horizontal pass: [sh, sw] -> [sh, dw] (u8 intermediate, as PIL)
+  std::vector<int> bounds, kk;
+  const uint8_t* hsrc = src;
+  std::vector<uint8_t> tmp;
+  if (dw != sw) {
+    const int ksize = precompute_coeffs(sw, dw, &bounds, &kk);
+    tmp.resize(static_cast<size_t>(sh) * dw * 3);
+    for (int y = 0; y < sh; ++y) {
+      const uint8_t* row = src + static_cast<size_t>(y) * sw * 3;
+      uint8_t* out = tmp.data() + static_cast<size_t>(y) * dw * 3;
+      for (int xx = 0; xx < dw; ++xx) {
+        const int xmin = bounds[xx * 2], xmax = bounds[xx * 2 + 1];
+        const int* k = kk.data() + static_cast<size_t>(xx) * ksize;
+        int s0 = 1 << (kPrecisionBits - 1);
+        int s1 = s0, s2 = s0;
+        for (int x = 0; x < xmax; ++x) {
+          const uint8_t* p = row + static_cast<size_t>(x + xmin) * 3;
+          s0 += p[0] * k[x];
+          s1 += p[1] * k[x];
+          s2 += p[2] * k[x];
+        }
+        out[xx * 3 + 0] = clip8(s0);
+        out[xx * 3 + 1] = clip8(s1);
+        out[xx * 3 + 2] = clip8(s2);
       }
     }
+    hsrc = tmp.data();
+  }
+  // vertical pass: [sh, dw] -> [dh, dw]
+  if (dh != sh) {
+    const int ksize = precompute_coeffs(sh, dh, &bounds, &kk);
+    for (int yy = 0; yy < dh; ++yy) {
+      const int ymin = bounds[yy * 2], ymax = bounds[yy * 2 + 1];
+      const int* k = kk.data() + static_cast<size_t>(yy) * ksize;
+      uint8_t* out = dst + static_cast<size_t>(yy) * dw * 3;
+      for (int x = 0; x < dw * 3; ++x) {
+        int ss = 1 << (kPrecisionBits - 1);
+        for (int y = 0; y < ymax; ++y)
+          ss += hsrc[static_cast<size_t>(y + ymin) * dw * 3 + x] * k[y];
+        out[x] = clip8(ss);
+      }
+    }
+  } else {
+    std::memcpy(dst, hsrc, static_cast<size_t>(dh) * dw * 3);
   }
 }
 
