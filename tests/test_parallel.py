@@ -108,6 +108,102 @@ def test_sharded_train_step_matches_single_device():
         p_single, p_mesh)
 
 
+@pytest.mark.parametrize("dp,tp", [(4, 2), (2, 4)])
+def test_tp_head_sharded_pallas_matches_single_device(dp, tp):
+    """TP must KEEP the Pallas kernel (VERDICT r2 item 3): under
+    attention_sharding with model>1, heads shard over the model axis via
+    _tp_head_sharded and the forward matches the single-device module to
+    float tolerance; pallas_calls must increment (no dense fallback)."""
+    from vit_spoof_detection_pda_tpu.ops.attention import (
+        _context, attention_sharding)
+
+    module = ViTAntiSpoof(patch_size=8, embed_dim=64, depth=2,
+                          num_heads=4, hidden=32)
+    variables = module.init(jax.random.PRNGKey(2),
+                            jnp.zeros((1, 32, 32, 3)))
+    x = np.random.default_rng(3).standard_normal(
+        (16, 32, 32, 3)).astype(np.float32)
+    want = np.asarray(module.apply(variables, jnp.asarray(x)))
+
+    mesh = make_mesh(data=dp, model=tp)
+    calls = _context["pallas_calls"]
+    with mesh, attention_sharding(mesh=mesh, interpret=True):
+        params = shard_params(variables["params"], mesh)
+        xb = shard_batch({"image": x}, mesh)["image"]
+        got = np.asarray(jax.jit(
+            lambda p, x: module.apply({"params": p}, x))(params, xb))
+    assert _context["pallas_calls"] > calls, "TP fell back to dense"
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+def test_tp_head_sharded_train_step_matches_single_device():
+    """Gradients flow through the head-sharded shard_map kernel: one SGD
+    step at DP(2)xTP(4) equals the single-device step."""
+    import optax
+
+    from vit_spoof_detection_pda_tpu.ops.attention import (
+        _context, attention_sharding)
+
+    module = ViTAntiSpoof(patch_size=8, embed_dim=64, depth=2,
+                          num_heads=4, hidden=32)
+    rng = np.random.default_rng(4)
+    batch_np = {
+        "image": rng.standard_normal((16, 32, 32, 3)).astype(np.float32),
+        "label": (rng.random(16) < 0.5).astype(np.int32),
+    }
+
+    def one_step(mesh, ctx):
+        tx = optax.sgd(0.1)
+        state = create_train_state(module, tx, jax.random.PRNGKey(0),
+                                   input_shape=(1, 32, 32, 3))
+        if mesh is not None:
+            with mesh, ctx:
+                state = state.replace(
+                    params=shard_params(state.params, mesh),
+                    opt_state=tx.init(shard_params(state.params, mesh)))
+                step = make_train_step(losses.make_loss_fn("focal"),
+                                       mesh=mesh, donate=False)
+                state, metrics = step(state, shard_batch(batch_np, mesh))
+        else:
+            step = make_train_step(losses.make_loss_fn("focal"),
+                                   donate=False)
+            state, metrics = step(state, {k: jnp.asarray(v)
+                                          for k, v in batch_np.items()})
+        return (jax.tree.map(np.asarray, state.params),
+                float(metrics["loss"]))
+
+    p_single, l_single = one_step(None, None)
+    mesh = make_mesh(data=2, model=4)
+    calls = _context["pallas_calls"]
+    p_mesh, l_mesh = one_step(
+        mesh, attention_sharding(mesh=mesh, interpret=True))
+    assert _context["pallas_calls"] > calls
+    assert l_mesh == pytest.approx(l_single, abs=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=5e-5, rtol=1e-4),
+        p_single, p_mesh)
+
+
+def test_tp_indivisible_heads_falls_back_dense():
+    """num_heads % model != 0: the dispatch must still produce correct
+    output through the dense path (2 heads over a 4-way model axis)."""
+    from vit_spoof_detection_pda_tpu.ops.attention import attention_sharding
+
+    module = _tiny_vit()   # num_heads=2
+    variables = module.init(jax.random.PRNGKey(5),
+                            jnp.zeros((1, 32, 32, 3)))
+    x = np.random.default_rng(6).standard_normal(
+        (8, 32, 32, 3)).astype(np.float32)
+    want = np.asarray(module.apply(variables, jnp.asarray(x)))
+    mesh = make_mesh(data=2, model=4)
+    with mesh, attention_sharding(mesh=mesh, interpret=True):
+        params = shard_params(variables["params"], mesh)
+        xb = shard_batch({"image": x}, mesh)["image"]
+        got = np.asarray(jax.jit(
+            lambda p, x: module.apply({"params": p}, x))(params, xb))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
 def test_batch_indivisible_raises():
     mesh = make_mesh()
     with pytest.raises(Exception):

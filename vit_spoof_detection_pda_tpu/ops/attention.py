@@ -521,9 +521,13 @@ def dispatch_attention_qkv(qkv, num_heads: int, dense_fallback):
 
     if mesh is not None and (on_tpu or interpret):
         from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
-        if dict(zip(mesh.axis_names, mesh.devices.shape)).get(
-                MODEL_AXIS, 1) != 1:
-            return dense_fallback(qkv)   # TP shards 3D dim: dense path
+        n_model = dict(zip(mesh.axis_names, mesh.devices.shape)).get(
+            MODEL_AXIS, 1)
+        if n_model != 1:
+            if num_heads % n_model:
+                return dense_fallback(qkv)   # heads don't split: dense
+            return _tp_head_sharded(qkv, num_heads, mesh, n_model,
+                                    interpret)
         _context["pallas_calls"] += 1
         from jax.sharding import PartitionSpec as P
         f = jax.shard_map(
@@ -536,6 +540,51 @@ def dispatch_attention_qkv(qkv, num_heads: int, dense_fallback):
         _context["pallas_calls"] += 1
         return fused_attention_qkv(qkv, num_heads, interpret)
     return dense_fallback(qkv)
+
+
+def _tp_head_sharded(qkv, num_heads: int, mesh, n_model: int,
+                     interpret: bool):
+    """Pallas attention under tensor parallelism: shard HEADS over the
+    model axis (VERDICT r2 item 3; SURVEY §2.7 TP row).
+
+    The fused [B, T, 3D] stream concatenates [q | k | v], so a model-axis
+    shard of its last dim cuts across q/k/v and no PartitionSpec can hand
+    each device complete heads — the reason earlier rounds dropped to the
+    dense einsum under TP.  Fix: relabel the stream head-major
+    ([B, T, H, 3*dh], head h owning its contiguous [q_h | k_h | v_h]
+    block), shard dim 2 over the model axis (GSPMD inserts the
+    ICI shuffle from the GEMM's contiguous-column sharding — ~1/3 of the
+    activation moves), and rebuild the local fused layout inside
+    shard_map so each device runs the unchanged Pallas kernel on its
+    H/n_model heads.  Head-major output concatenates back to exactly the
+    [B, T, D] column order the proj matmul expects, whose Megatron
+    row-sharding boundary is head-aligned already (parallel/mesh.py
+    _TP_RULES).  Differentiable: the kernel's custom VJP runs per-shard.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    b, t, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // num_heads
+    h_loc = num_heads // n_model
+    _context["pallas_calls"] += 1
+
+    hm = qkv.reshape(b, t, 3, num_heads, dh).transpose(0, 1, 3, 2, 4)
+    hm = hm.reshape(b, t, num_heads, 3 * dh)
+
+    def local(x):
+        bl = x.shape[0]
+        fused = x.reshape(bl, t, h_loc, 3, dh).transpose(0, 1, 3, 2, 4)
+        fused = fused.reshape(bl, t, 3 * h_loc * dh)
+        return fused_attention_qkv(fused, h_loc, interpret)
+
+    f = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=P(DATA_AXIS, None, MODEL_AXIS, None),
+        out_specs=P(DATA_AXIS, None, MODEL_AXIS), check_vma=False)
+    return f(hm)
 
 
 def _dense_reference(q, k, v):
