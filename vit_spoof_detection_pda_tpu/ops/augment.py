@@ -29,6 +29,7 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import warp
 
@@ -39,10 +40,16 @@ from . import warp
 
 def _gate(key, p, img, fn):
     """Apply `fn` with probability p (per-sample Bernoulli, lax.cond so the
-    untaken branch costs nothing at trace level; both compile)."""
+    untaken branch costs nothing at trace level; both compile).
+
+    The taken branch casts back to the input dtype: ops that compute
+    pieces in f32 must not silently promote a bf16 chain (the cond
+    branches would also fail to unify)."""
     gate_key, fn_key = jax.random.split(key)
     take = jax.random.bernoulli(gate_key, p)
-    return jax.lax.cond(take, lambda im: fn(fn_key, im), lambda im: im, img)
+    return jax.lax.cond(take,
+                        lambda im: fn(fn_key, im).astype(im.dtype),
+                        lambda im: im, img)
 
 
 def rgb_to_grayscale(img):
@@ -210,11 +217,14 @@ def color_jitter(key, img, brightness: float = 0.0, contrast: float = 0.0,
                                 maxval=1 + saturation)
         fh = jax.random.uniform(kh, (), minval=-hue, maxval=hue)
 
+        # each branch casts back to the input dtype: factors are f32
+        # scalars, and a bf16 chain (the tower sampler preserves bf16)
+        # must not promote mid-loop (fori_loop carries require it)
         branches = [
-            lambda im_: adjust_brightness(im_, fb),
-            lambda im_: adjust_contrast(im_, fc),
-            lambda im_: adjust_saturation(im_, fs),
-            lambda im_: adjust_hue(im_, fh),
+            lambda im_: adjust_brightness(im_, fb).astype(im_.dtype),
+            lambda im_: adjust_contrast(im_, fc).astype(im_.dtype),
+            lambda im_: adjust_saturation(im_, fs).astype(im_.dtype),
+            lambda im_: adjust_hue(im_, fh).astype(im_.dtype),
         ]
         if order == "fixed":
             for fn in branches:
@@ -348,11 +358,35 @@ def random_erasing(key, img, p: float = 0.25,
 # --------------------------------------------------------------------------
 
 
+def _perspective_kmax(scale: float, size: int) -> int:
+    """Static roll bound for a distortion-`scale` homography on a
+    size^2 image: corner displacement is scale*(size-1)/2; interior
+    shift-field magnitudes stay near it (measured ~21 px at scale 0.2 /
+    224), with 35% + 2 px headroom.  Fields clamp to the bound anyway;
+    tests sample homographies to confirm the clamp never engages."""
+    return int(math.ceil(1.35 * scale * (size - 1) / 2.0)) + 2
+
+
+def _elastic_kmax(alpha: float, sigma: float, ksize: int,
+                  size: int) -> int:
+    """Static roll bound for the elastic field: displacement is
+    alpha*(size/2)*blur(U[-1,1]); std = alpha*(size/2)*sqrt(1/3)*sum(k^2)
+    for the separable kernel, peak-over-50K-pixels ~ 4.5 std (measured
+    max 5.5 px at the heavy tier's alpha=1/sigma=32).  Bound at 6.5 std
+    + 2; the field clamps to it (P(clamp) ~ 1e-9 per image)."""
+    x = np.arange(ksize, dtype=np.float64) - (ksize - 1) / 2.0
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    k /= k.sum()
+    std = alpha * (size / 2.0) * math.sqrt(1.0 / 3.0) * float((k * k).sum())
+    return max(4, int(math.ceil(6.5 * std)) + 2)
+
+
 def composed_geometric(key, img, *,
                        hflip_p: float = 0.0,
                        rotation=None,        # (degrees, p)
                        perspective=None,     # (distortion_scale, p)
-                       elastic=None):        # (alpha, sigma, ksize, p)
+                       elastic=None,         # (alpha, sigma, ksize, p)
+                       sampler: str = "tower"):
     """Flip + rotation + perspective + elastic as ONE bilinear resample.
 
     Sequential warps (the Kornia pipeline layout, augment_data.py:60-85)
@@ -390,10 +424,9 @@ def composed_geometric(key, img, *,
             out = warp.rotate_3shear(out, jnp.deg2rad(angle), degrees)
         return out
 
-    ys, xs = warp._dest_grid(h, w)
-
-    # elastic displacement first (it was the LAST image-space warp, so
-    # its displacement applies to dest coordinates)
+    # --- sample all random parameters (IDENTICAL key layout for both
+    # samplers, so distribution semantics do not depend on the path) ---
+    elastic_fields = None
     if elastic is not None:
         alpha, sigma, ksize, p = elastic
         kex, key_ = jax.random.split(ke)
@@ -406,10 +439,9 @@ def composed_geometric(key, img, *,
         dx = _separable_blur2d(nx[..., None], kern)[..., 0] * alpha * (w / 2)
         dy = _separable_blur2d(ny[..., None], kern)[..., 0] * alpha * (h / 2)
         gate = jax.random.bernoulli(ke_gate, p).astype(img.dtype)
-        xs = xs + dx * gate
-        ys = ys + dy * gate
+        elastic_fields = (dy * gate, dx * gate)
 
-    # inverse perspective (dest -> src)
+    hm = None
     if perspective is not None:
         scale, p = perspective
         off = jax.random.uniform(kp, (4, 2))
@@ -423,28 +455,58 @@ def composed_geometric(key, img, *,
         hm = warp.homography_from_points(src, dst)
         eye = jnp.eye(3, dtype=hm.dtype)
         hm = jnp.where(jax.random.bernoulli(kp_gate, p), hm, eye)
-        den = hm[2, 0] * xs + hm[2, 1] * ys + hm[2, 2]
-        den = jnp.where(jnp.abs(den) < 1e-8, 1e-8, den)
-        xs, ys = ((hm[0, 0] * xs + hm[0, 1] * ys + hm[0, 2]) / den,
-                  (hm[1, 0] * xs + hm[1, 1] * ys + hm[1, 2]) / den)
 
-    # inverse rotation about center
+    angle = None
     if rotation is not None:
         degrees, p = rotation
         angle = jax.random.uniform(kr, (), minval=-degrees, maxval=degrees)
         angle = angle * jax.random.bernoulli(kr_gate, p)
+
+    do_flip = (jax.random.bernoulli(kf, hflip_p) if hflip_p > 0.0
+               else None)
+
+    if sampler == "tower":
+        # Gather-free sequential tower — the reference's own warp
+        # structure (Kornia applies rotation, perspective and elastic as
+        # SEPARATE grid_samples, augment_data.py:60-85): flip ->
+        # 3-shear rotation -> exact 2-pass perspective -> 2-pass
+        # elastic, every pass masked static rolls.  TPU dynamic gathers
+        # measured 100-300 ms/128-batch (exp_r4_augbreak*.py) vs pure
+        # vector ops here.
+        out = img
+        if do_flip is not None:
+            out = jnp.where(do_flip, out[:, ::-1, :], out)
+        if angle is not None:
+            out = warp.rotate_3shear(out, jnp.deg2rad(angle), degrees)
+        if hm is not None:
+            out = warp.perspective_warp_2pass(
+                out, hm, kmax=_perspective_kmax(scale, max(h, w)))
+        if elastic_fields is not None:
+            e_kmax = _elastic_kmax(alpha, sigma, ksize, max(h, w))
+            out = warp.displacement_warp_2pass(
+                out, elastic_fields[0].astype(jnp.float32),
+                elastic_fields[1].astype(jnp.float32), kmax=e_kmax)
+        return out
+
+    # Legacy packed single-gather sampler (ONE composed bilinear
+    # resample; bf16 taps).  Kept as the numerical oracle for the tower
+    # and for non-TPU backends where gathers are cheap.
+    ys, xs = warp._dest_grid(h, w)
+    if elastic_fields is not None:
+        ys = ys + elastic_fields[0]
+        xs = xs + elastic_fields[1]
+    if hm is not None:
+        den = hm[2, 0] * xs + hm[2, 1] * ys + hm[2, 2]
+        den = jnp.where(jnp.abs(den) < 1e-8, 1e-8, den)
+        xs, ys = ((hm[0, 0] * xs + hm[0, 1] * ys + hm[0, 2]) / den,
+                  (hm[1, 0] * xs + hm[1, 1] * ys + hm[1, 2]) / den)
+    if angle is not None:
         m = warp.rotation_matrix(jnp.deg2rad(angle),
                                  (h - 1) / 2.0, (w - 1) / 2.0)
         xs, ys = (m[0, 0] * xs + m[0, 1] * ys + m[0, 2],
                   m[1, 0] * xs + m[1, 1] * ys + m[1, 2])
-
-    # horizontal flip is x -> (w-1) - x in source space
-    if hflip_p > 0.0:
-        do_flip = jax.random.bernoulli(kf, hflip_p)
+    if do_flip is not None:
         xs = jnp.where(do_flip, (w - 1.0) - xs, xs)
-
-    # packed single-gather sampler with bf16 taps: 2.25x faster than the
-    # naive 4-gather path on TPU (see warp.bilinear_sample_packed)
     return warp.bilinear_sample_packed(img, ys, xs,
                                        tap_dtype=jnp.bfloat16)
 
