@@ -33,12 +33,15 @@ from ..ops import augment as A
 Chain = List[Callable]   # each fn: (key, img[H,W,C] in [0,1]) -> img
 
 
-# All geometric sub-ops of a tier compose into ONE resampling pass
-# (A.composed_geometric) — on TPU each extra warp is a ~254 ms/128-batch
-# gather while photometric ops cost <10 ms (BENCH_NOTES.md).  Photometric
-# ops then run on the warped image; for isotropic kernels this is
-# distributionally equivalent to the reference's interleaved order, and
-# noise added post-warp stays white (arguably more correct than warping
+# All geometric sub-ops of a tier run through A.composed_geometric,
+# which samples every warp parameter once and (by default) applies them
+# as a GATHER-FREE sequential tower of masked-static-roll scanline
+# passes — the reference's own warp structure (Kornia resamples per op)
+# without TPU dynamic gathers, which probes measured at 100-300
+# ms/128-batch (BENCH_NOTES.md round 4).  Photometric ops then run on
+# the warped image; for isotropic kernels this is distributionally
+# equivalent to the reference's interleaved order, and noise added
+# post-warp stays white (arguably more correct than warping
 # previously-added noise).
 #
 # ColorJitter order: the tiers use order="fixed"

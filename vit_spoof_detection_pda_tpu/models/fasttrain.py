@@ -254,6 +254,93 @@ attn_block_train.defvjp(_abt_fwd, _abt_bwd)
 
 
 # --------------------------------------------------------------------------
+# MLP sub-layer with store-only-xhat VJP (recompute-hidden backward)
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def mlp_block_train(x, lns, lnb, w1, b1, w2, b2, approx: bool,
+                    eps: float):
+    """x + fc2(gelu(fc1(LN2(x)))) saving only (x, xhat) for the
+    backward, which recomputes the [rows, 3072] hidden with ONE extra
+    roofline GEMM instead of reading a ~150 MB/layer residual back from
+    HBM.  Measured on v5e (exp_r4_mlpvjp.py, 12-layer chain at B=128):
+    fwd+bwd 85.2 -> 74.4 ms vs autodiff (-12.7%), forward unchanged;
+    jax.checkpoint remat measured 112.8 ms (recomputing the GEMMs
+    loses).  Gradient parity vs autodiff is bf16-ulp
+    (tests/test_fasttrain.py)."""
+    xh, yn = _ln_xhat(x, lns, lnb, eps)
+    h = (jnp.dot(yn.astype(x.dtype), w1,
+                 preferred_element_type=jnp.float32) + b1).astype(x.dtype)
+    a = jax.nn.gelu(h, approximate=approx)
+    out = jnp.dot(a, w2, preferred_element_type=jnp.float32) + b2
+    return (x.astype(jnp.float32) + out).astype(x.dtype)
+
+
+def _ln_xhat(x, scale, bias, eps):
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean((x32 - mu) ** 2, axis=-1, keepdims=True)
+    xh = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    return xh, xh * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+
+
+def _mbt_fwd(x, lns, lnb, w1, b1, w2, b2, approx, eps):
+    xh, yn = _ln_xhat(x, lns, lnb, eps)
+    h = (jnp.dot(yn.astype(x.dtype), w1,
+                 preferred_element_type=jnp.float32) + b1).astype(x.dtype)
+    a = jax.nn.gelu(h, approximate=approx)
+    out = jnp.dot(a, w2, preferred_element_type=jnp.float32) + b2
+    y = (x.astype(jnp.float32) + out).astype(x.dtype)
+    return y, (x, xh.astype(x.dtype), lns, lnb, w1, b1, w2)
+
+
+def _mbt_bwd(approx, eps, res, g):
+    x, xh, lns, lnb, w1, b1, w2 = res
+    b, t, d = x.shape
+    hid = w1.shape[1]
+    g32 = g.astype(jnp.float32)
+    xh32 = xh.astype(jnp.float32)
+    xn = (xh32 * lns.astype(jnp.float32)
+          + lnb.astype(jnp.float32)).astype(x.dtype)
+    # the traded GEMM: rebuild the hidden pre-activation, then get
+    # gelu + its derivative via a local f32 vjp (exact for both the erf
+    # and tanh modes, no hand-written derivative)
+    h32 = (jnp.dot(xn, w1, preferred_element_type=jnp.float32)
+           + b1.astype(jnp.float32))
+    a32, gelu_vjp = jax.vjp(
+        lambda hh: jax.nn.gelu(hh, approximate=approx), h32)
+    da = jnp.dot(g.astype(x.dtype), w2.T,
+                 preferred_element_type=jnp.float32)
+    dw2 = jax.lax.dot_general(
+        a32.astype(x.dtype).reshape(-1, hid),
+        g.astype(x.dtype).reshape(-1, d),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(w2.dtype)
+    db2 = jnp.sum(g32, axis=(0, 1))
+    dh = gelu_vjp(da)[0].astype(x.dtype)
+    dw1 = jax.lax.dot_general(
+        xn.reshape(-1, d), dh.reshape(-1, hid), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(w1.dtype)
+    db1 = jnp.sum(dh.astype(jnp.float32), axis=(0, 1))
+    dxn = jnp.dot(dh, w1.T, preferred_element_type=jnp.float32)
+    dlns = jnp.sum(dxn * xh32, axis=(0, 1)).astype(lns.dtype)
+    dlnb = jnp.sum(dxn, axis=(0, 1)).astype(lnb.dtype)
+    dxh = dxn * lns.astype(jnp.float32)
+    x32 = x.astype(jnp.float32)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    dx_ln = inv * (dxh - jnp.mean(dxh, axis=-1, keepdims=True)
+                   - xh32 * jnp.mean(dxh * xh32, axis=-1, keepdims=True))
+    dx = (g32 + dx_ln).astype(x.dtype)
+    return (dx, dlns, dlnb, dw1, db1.astype(jnp.float32), dw2,
+            db2.astype(jnp.float32))
+
+
+mlp_block_train.defvjp(_mbt_fwd, _mbt_bwd)
+
+
+# --------------------------------------------------------------------------
 # Functional ViTAntiSpoof forward over the module's param tree
 # --------------------------------------------------------------------------
 
@@ -317,17 +404,11 @@ def train_forward(params, batch, *, rng=None, train: bool = False,
         else:
             x = _xla_attn_block(x, *args, num_heads, norm_eps)
         mlp = blk["mlp"]
-        yn = _ln_forward(x, blk["norm2"]["scale"],
-                         blk["norm2"]["bias"], norm_eps)
-        yn = yn.astype(dtype)
-        hdn = (jnp.dot(yn, mlp["fc1"]["kernel"].astype(dtype),
-                       preferred_element_type=jnp.float32)
-               + mlp["fc1"]["bias"].astype(jnp.float32)).astype(dtype)
-        hdn = jax.nn.gelu(hdn, approximate=approx)
-        out = (jnp.dot(hdn, mlp["fc2"]["kernel"].astype(dtype),
-                       preferred_element_type=jnp.float32)
-               + mlp["fc2"]["bias"].astype(jnp.float32))
-        x = (x.astype(jnp.float32) + out).astype(dtype)
+        x = mlp_block_train(
+            x, blk["norm2"]["scale"], blk["norm2"]["bias"],
+            mlp["fc1"]["kernel"].astype(dtype), mlp["fc1"]["bias"],
+            mlp["fc2"]["kernel"].astype(dtype), mlp["fc2"]["bias"],
+            approx, norm_eps)
 
     feats = _ln_forward(x, vit["norm"]["scale"], vit["norm"]["bias"],
                         norm_eps)
