@@ -79,7 +79,10 @@ def test_train_forward_matches_module_f32():
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
 
 
-def test_train_forward_param_grads_match_module_f32():
+@pytest.mark.parametrize("xhat_mlp", [False, True])
+def test_train_forward_param_grads_match_module_f32(xhat_mlp):
+    """Both MLP VJPs (autodiff default, store-only-xhat opt-in) must
+    produce module-path gradients."""
     m, v = small_model()
     x = batch()
     labels = jnp.asarray([0, 1], jnp.int32)
@@ -90,7 +93,7 @@ def test_train_forward_param_grads_match_module_f32():
             jnp.arange(2), labels]) * -1.0
 
     with attention_sharding(interpret=True):
-        fast = FT.make_apply(m)
+        fast = FT.make_apply(m, xhat_mlp=xhat_mlp)
 
         def loss_fast(params):
             logits = fast({"params": params}, x)

@@ -264,11 +264,19 @@ def mlp_block_train(x, lns, lnb, w1, b1, w2, b2, approx: bool,
     """x + fc2(gelu(fc1(LN2(x)))) saving only (x, xhat) for the
     backward, which recomputes the [rows, 3072] hidden with ONE extra
     roofline GEMM instead of reading a ~150 MB/layer residual back from
-    HBM.  Measured on v5e (exp_r4_mlpvjp.py, 12-layer chain at B=128):
-    fwd+bwd 85.2 -> 74.4 ms vs autodiff (-12.7%), forward unchanged;
-    jax.checkpoint remat measured 112.8 ms (recomputing the GEMMs
-    loses).  Gradient parity vs autodiff is bf16-ulp
-    (tests/test_fasttrain.py)."""
+    HBM.
+
+    MEASURED REJECTION as the default (VERDICT r2 item 4, v5e B=128):
+    on an ISOLATED 12-layer MLP chain it wins (fwd+bwd 85.2 -> 74.4 ms,
+    exp_r4_mlpvjp.py), but inside the full fasttrain model the hidden
+    residual's traffic is overlapped with the attention-block work and
+    the recompute GEMM is pure loss: full step 123.1 -> 138.6 ms erf /
+    112.7 -> 116.9 tanh (150.9 erf with an f32 gelu recompute — the
+    recompute must stay in the compute dtype).  Ships OPT-IN
+    (``train_forward(xhat_mlp=True)``) for memory-bound regimes: it
+    drops ~150 MB/layer of stored residuals, the difference between
+    fitting a batch and not at larger B/T.  Gradient parity vs autodiff
+    is f32-ulp under SGD (tests/test_fasttrain.py)."""
     xh, yn = _ln_xhat(x, lns, lnb, eps)
     h = (jnp.dot(yn.astype(x.dtype), w1,
                  preferred_element_type=jnp.float32) + b1).astype(x.dtype)
@@ -303,22 +311,24 @@ def _mbt_bwd(approx, eps, res, g):
     xh32 = xh.astype(jnp.float32)
     xn = (xh32 * lns.astype(jnp.float32)
           + lnb.astype(jnp.float32)).astype(x.dtype)
-    # the traded GEMM: rebuild the hidden pre-activation, then get
-    # gelu + its derivative via a local f32 vjp (exact for both the erf
-    # and tanh modes, no hand-written derivative)
-    h32 = (jnp.dot(xn, w1, preferred_element_type=jnp.float32)
-           + b1.astype(jnp.float32))
-    a32, gelu_vjp = jax.vjp(
-        lambda hh: jax.nn.gelu(hh, approximate=approx), h32)
+    # the traded GEMM: rebuild the hidden pre-activation in the COMPUTE
+    # dtype (matching the forward), then gelu + derivative via a local
+    # vjp (exact for both the erf and tanh modes, no hand-written
+    # derivative).  An f32 recompute variant measured ~10 ms/step
+    # slower at erf — the [rows,3072] transcendental recompute must not
+    # run wider than the forward's.
+    h = (jnp.dot(xn, w1, preferred_element_type=jnp.float32)
+         + b1).astype(x.dtype)
+    a, gelu_vjp = jax.vjp(
+        lambda hh: jax.nn.gelu(hh, approximate=approx), h)
     da = jnp.dot(g.astype(x.dtype), w2.T,
                  preferred_element_type=jnp.float32)
     dw2 = jax.lax.dot_general(
-        a32.astype(x.dtype).reshape(-1, hid),
-        g.astype(x.dtype).reshape(-1, d),
+        a.reshape(-1, hid), g.astype(x.dtype).reshape(-1, d),
         (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(w2.dtype)
     db2 = jnp.sum(g32, axis=(0, 1))
-    dh = gelu_vjp(da)[0].astype(x.dtype)
+    dh = gelu_vjp(da.astype(x.dtype))[0]
     dw1 = jax.lax.dot_general(
         xn.reshape(-1, d), dh.reshape(-1, hid), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(w1.dtype)
@@ -380,7 +390,7 @@ def train_forward(params, batch, *, rng=None, train: bool = False,
                   depth: int = 12, norm_eps: float = 1e-6,
                   dtype=jnp.bfloat16, gelu: str = "erf",
                   dropout: float = 0.1, use_pallas_block: bool = True,
-                  interpret: bool = False):
+                  xhat_mlp: bool = False, interpret: bool = False):
     """ViTAntiSpoof forward as a pure function -> f32 logits [B, 2].
 
     Same math as ``ViTAntiSpoof.__call__`` (models/vit.py) over the same
@@ -404,11 +414,24 @@ def train_forward(params, batch, *, rng=None, train: bool = False,
         else:
             x = _xla_attn_block(x, *args, num_heads, norm_eps)
         mlp = blk["mlp"]
-        x = mlp_block_train(
-            x, blk["norm2"]["scale"], blk["norm2"]["bias"],
-            mlp["fc1"]["kernel"].astype(dtype), mlp["fc1"]["bias"],
-            mlp["fc2"]["kernel"].astype(dtype), mlp["fc2"]["bias"],
-            approx, norm_eps)
+        if xhat_mlp:
+            x = mlp_block_train(
+                x, blk["norm2"]["scale"], blk["norm2"]["bias"],
+                mlp["fc1"]["kernel"].astype(dtype), mlp["fc1"]["bias"],
+                mlp["fc2"]["kernel"].astype(dtype), mlp["fc2"]["bias"],
+                approx, norm_eps)
+        else:
+            yn = _ln_forward(x, blk["norm2"]["scale"],
+                             blk["norm2"]["bias"], norm_eps)
+            yn = yn.astype(dtype)
+            hdn = (jnp.dot(yn, mlp["fc1"]["kernel"].astype(dtype),
+                           preferred_element_type=jnp.float32)
+                   + mlp["fc1"]["bias"].astype(jnp.float32)).astype(dtype)
+            hdn = jax.nn.gelu(hdn, approximate=approx)
+            out = (jnp.dot(hdn, mlp["fc2"]["kernel"].astype(dtype),
+                           preferred_element_type=jnp.float32)
+                   + mlp["fc2"]["bias"].astype(jnp.float32))
+            x = (x.astype(jnp.float32) + out).astype(dtype)
 
     feats = _ln_forward(x, vit["norm"]["scale"], vit["norm"]["bias"],
                         norm_eps)
@@ -458,9 +481,12 @@ def fast_apply_available(module, mesh=None) -> bool:
             and jax.device_count() == 1)
 
 
-def make_apply(module):
+def make_apply(module, *, xhat_mlp: bool = False):
     """``module.apply``-compatible wrapper over :func:`train_forward`
-    for a ``ViTAntiSpoof`` instance (drop-in for TrainState.apply_fn)."""
+    for a ``ViTAntiSpoof`` instance (drop-in for TrainState.apply_fn).
+    ``xhat_mlp=True`` opts into the memory-lean MLP VJP (see
+    :func:`mlp_block_train` — slower on v5e, smaller residual
+    footprint)."""
     from ..ops.attention import _context
 
     def apply_fn(variables, batch, *, train: bool = False, rngs=None,
@@ -473,7 +499,8 @@ def make_apply(module):
             num_heads=module.num_heads, patch_size=module.patch_size,
             depth=module.depth, norm_eps=module.norm_eps,
             dtype=module.dtype, gelu=module.gelu,
-            dropout=module.dropout, interpret=_context["interpret"])
+            dropout=module.dropout, xhat_mlp=xhat_mlp,
+            interpret=_context["interpret"])
         _context["pallas_calls"] += 1
         return out
 
