@@ -21,7 +21,9 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 B, H, W, C = 128, 224, 224, 3
 KMAX = 33
 rng = np.random.default_rng(0)
-imgs = jnp.asarray(rng.random((B, H, W * C), np.float32), jnp.bfloat16)
+# f32: Mosaic's lane rotate is 32-bit only ("Rotate with non-32-bit
+# data" compile error on bf16 — probed this round)
+imgs = jnp.asarray(rng.random((B, H, W * C), np.float32))
 # smooth per-pixel shift field in [-20, 20], replicated over channels
 f_small = rng.random((B, 8, 8)) * 40 - 20
 field = np.repeat(np.repeat(f_small, 28, axis=1), 28, axis=2)
@@ -60,7 +62,10 @@ def xla_pass(img, f):
 # --- Pallas version -------------------------------------------------------
 
 
-def kernel(img_ref, f_ref, o_ref):
+ROWS = 16   # row tile: the x-pass is row-local, so blocks need no halo
+
+
+def kernel_unrolled(img_ref, f_ref, o_ref):
     img = img_ref[0]
     f = f_ref[0]
     acc = jnp.zeros_like(img)
@@ -70,32 +75,52 @@ def kernel(img_ref, f_ref, o_ref):
     o_ref[0] = acc
 
 
-@jax.jit
-def pallas_pass(img, f):
-    return pl.pallas_call(
-        kernel,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, H, W * C), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, W * C), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, H, W * C), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H, W * C), img.dtype),
-    )(img, f)
+def kernel_loop(img_ref, f_ref, o_ref):
+    img = img_ref[0]
+    f = f_ref[0]
+
+    def body(i, acc):
+        k = i - KMAX
+        sel = (jnp.maximum(0.0, 1.0 - jnp.abs(f - k.astype(f.dtype)))
+               .astype(img.dtype))
+        return acc + sel * pltpu.roll(img, (-3 * k) % (W * C), 1)
+
+    o_ref[0] = jax.lax.fori_loop(0, 2 * KMAX + 1, body,
+                                 jnp.zeros_like(img))
 
 
-t0 = time.perf_counter()
-out_p = np.asarray(pallas_pass(imgs, field_j))
-print(f"pallas compile+first-exec: {time.perf_counter() - t0:.1f} s",
-      flush=True)
+def make_pass(kernel, rows):
+    @jax.jit
+    def f(img, fld):
+        return pl.pallas_call(
+            kernel,
+            grid=(B, H // rows),
+            in_specs=[
+                pl.BlockSpec((1, rows, W * C), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, rows, W * C), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, rows, W * C), lambda i, j: (i, j, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, H, W * C), img.dtype),
+        )(img, fld)
+    return f
+
+
 out_x = np.asarray(xla_pass(imgs, field_j))
-err = np.abs(out_p.astype(np.float32) - out_x.astype(np.float32)).max()
-print(f"max abs diff pallas vs xla: {err:.5f}", flush=True)
+for name, fn in (("unrolled rows=16", make_pass(kernel_unrolled, ROWS)),
+                 ("fori+dyn-rotate rows=224",
+                  make_pass(kernel_loop, H))):
+    try:
+        t0 = time.perf_counter()
+        out_p = np.asarray(fn(imgs, field_j))
+        dt = time.perf_counter() - t0
+        err = np.abs(out_p.astype(np.float32) - out_x).max()
+        print(f"{name}: compile+exec {dt:.1f} s, max diff {err:.5f}, "
+              f"{timed(fn, imgs, field_j):.2f} ms", flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"{name}: FAILED {str(e)[:300]}", flush=True)
 
-print(f"xla    68-term pass: {timed(xla_pass, imgs, field_j):8.2f} ms",
-      flush=True)
-print(f"pallas 68-term pass: {timed(pallas_pass, imgs, field_j):8.2f} ms",
+print(f"xla 68-term pass: {timed(xla_pass, imgs, field_j):8.2f} ms",
       flush=True)
