@@ -101,6 +101,11 @@ def _resample_rows_roll(img, shifts, kmax: int):
     static bound with |shifts| <= kmax; out-of-frame sources fill 0.
     """
     h, w, _ = img.shape
+    if _on_tpu():
+        from .warp_pallas import resample_rows_field_pallas
+        field = jnp.broadcast_to(
+            shifts.astype(jnp.float32)[:, None], (h, w))
+        return resample_rows_field_pallas(img, field, kmax)
     i0 = jnp.floor(shifts).astype(jnp.int32)            # [h]
     f = (shifts - i0).astype(img.dtype)                 # [h]
     acc = jnp.zeros_like(img)
@@ -117,6 +122,11 @@ def _resample_cols_roll(img, shifts, kmax: int):
     """As :func:`_resample_rows_roll` but along y with a per-COLUMN shift:
     ``out[y, x] = in[y + shifts[x], x]``."""
     h, w, _ = img.shape
+    if _on_tpu():
+        from .warp_pallas import resample_cols_field_pallas
+        field = jnp.broadcast_to(
+            shifts.astype(jnp.float32)[None, :], (h, w))
+        return resample_cols_field_pallas(img, field, kmax)
     i0 = jnp.floor(shifts).astype(jnp.int32)            # [w]
     f = (shifts - i0).astype(img.dtype)                 # [w]
     acc = jnp.zeros_like(img)
@@ -129,6 +139,10 @@ def _resample_cols_roll(img, shifts, kmax: int):
     return jnp.where(valid, acc, 0.0)
 
 
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
 def _resample_rows_field(img, shift, kmax: int):
     """Per-PIXEL fractional x-resample via masked static rolls:
     ``out[y, x] = in[y, x + shift[y, x]]``, zero-fill outside the frame.
@@ -137,7 +151,13 @@ def _resample_rows_field(img, shift, kmax: int):
     are per-row vectors): `shift` is a full [h, w] field, |shift| <=
     kmax (callers clamp).  Still gather-free — TPU dynamic gathers cost
     ~100 ms/128-batch (exp_r4_augbreak.py) while the roll family is
-    pure vector ops."""
+    pure vector ops.  On TPU the accumulation runs as a Pallas kernel
+    with the row tile VMEM-resident (14x the XLA rolls, bit-identical —
+    ops/warp_pallas.py); this XLA form is the CPU/reference path."""
+    if _on_tpu():
+        from .warp_pallas import resample_rows_field_pallas
+        return resample_rows_field_pallas(
+            img, shift.astype(jnp.float32), kmax)
     h, w, _ = img.shape
     i0 = jnp.floor(shift).astype(jnp.int32)             # [h, w]
     f = (shift - i0).astype(img.dtype)
@@ -154,6 +174,10 @@ def _resample_rows_field(img, shift, kmax: int):
 def _resample_cols_field(img, shift, kmax: int):
     """As :func:`_resample_rows_field` but along y:
     ``out[y, x] = in[y + shift[y, x], x]``."""
+    if _on_tpu():
+        from .warp_pallas import resample_cols_field_pallas
+        return resample_cols_field_pallas(
+            img, shift.astype(jnp.float32), kmax)
     h, w, _ = img.shape
     i0 = jnp.floor(shift).astype(jnp.int32)
     f = (shift - i0).astype(img.dtype)

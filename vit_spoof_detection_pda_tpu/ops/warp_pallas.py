@@ -1,0 +1,113 @@
+"""Pallas scanline resample for the warp tower.
+
+The gather-free tower (ops/warp.py, ops/augment.py::composed_geometric)
+runs each pass as a bounded family of masked static rolls.  In XLA every
+roll term re-streams the image from HBM (~0.5-0.7 ms/term at
+128x224x224x3), so a 68-term pass costs ~47 ms; this kernel keeps the
+row tile VMEM-resident and runs the same accumulation as pure vector
+ops: **3.34 ms for the same pass — 14x — with bit-identical output**
+(exp_r4_rolltower.py, v5e).
+
+Constraints discovered probing Mosaic (exp_r4_rolltower*.py):
+- lane rotate is 32-bit only ("Rotate with non-32-bit data" on bf16),
+  so blocks compute in f32; bf16 I/O measured SLOWER (61 ms) than f32
+  I/O (3.3) — the per-term upcast dominates;
+- `pltpu.roll` with a traced shift does not lower (fori_loop variant
+  fails), so the k-loop is a static Python unroll;
+- whole-image blocks blow the VMEM scoped-allocation limit (20.7 MB >
+  16 MB: Mosaic gives each unrolled roll a stack slot) — 16-row tiles
+  keep the stack at ~2.9 MB;
+- SUBLANE-dim rotates are 10x slower than lane rotates and returned
+  wrong values at image scale, so vertical passes transpose to
+  horizontal form instead (XLA transpose ~0.5 ms/batch round trip).
+
+Weight formulation: the 2-tap lerp masks collapse to the tent function
+``max(0, 1 - |shift - k|)`` — exactly `_resample_rows_field`'s
+``(i0==k)(1-frac) + (i0==k-1)frac`` over the covered window.
+Out-of-frame pixels are marked in the shift field with a sentinel far
+outside the window, so no tent fires and the output zero-fills with no
+in-kernel validity logic.
+
+Augmentation runs outside the gradient path, so the kernel carries no
+VJP; the XLA roll implementation remains the CPU/reference path and the
+interpret-mode equality test pins the two together.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _rows_for(h: int) -> int:
+    for r in (16, 8, 4, 2):
+        if h % r == 0:
+            return r
+    return h
+
+
+def _pass_kernel(img_ref, f_ref, o_ref, *, kmax: int, chans: int,
+                 width: int):
+    img = img_ref[...]
+    f = f_ref[...]
+    acc = jnp.zeros_like(img)
+    for k in range(-kmax, kmax + 2):
+        sel = jnp.maximum(0.0, 1.0 - jnp.abs(f - k))
+        acc = acc + sel * pltpu.roll(img, (-chans * k) % width, 1)
+    o_ref[...] = acc
+
+
+def resample_rows_field_pallas(img, shift, kmax: int, *,
+                               interpret: bool = False):
+    """Drop-in for :func:`ops.warp._resample_rows_field` on TPU:
+    ``out[y, x] = img[y, x + shift[y, x]]`` (2-tap lerp, zero outside).
+
+    img: [H, W, C] (any float dtype; computes f32), shift: [H, W] f32.
+    """
+    h, w, c = img.shape
+    wc = w * c
+    rows = _rows_for(h)
+    # out-of-frame -> sentinel far outside the k window: no tent fires,
+    # the output row zero-fills (the XLA path's `valid` mask semantics)
+    src = jnp.arange(w, dtype=shift.dtype)[None, :] + shift
+    valid = (src >= 0.0) & (src <= w - 1)
+    f = jnp.where(valid, shift, jnp.asarray(kmax + 4.0, shift.dtype))
+    f3 = jnp.broadcast_to(f[..., None], (h, w, c)).reshape(h, wc)
+    img2 = img.reshape(h, wc).astype(jnp.float32)
+
+    out = pl.pallas_call(
+        functools.partial(_pass_kernel, kmax=kmax, chans=c, width=wc),
+        grid=(h // rows,),
+        in_specs=[
+            pl.BlockSpec((rows, wc), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, wc), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, wc), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h, wc), jnp.float32),
+        interpret=interpret,
+    )(img2, f3.astype(jnp.float32))
+    return out.reshape(h, w, c).astype(img.dtype)
+
+
+def resample_cols_field_pallas(img, shift, kmax: int, *,
+                               interpret: bool = False):
+    """Vertical pass ``out[y, x] = img[y + shift[y, x], x]`` — sublane
+    rotates are slow/broken in Mosaic, so this transposes to horizontal
+    form, runs the row kernel, and transposes back."""
+    out = resample_rows_field_pallas(
+        img.transpose(1, 0, 2), shift.T, kmax, interpret=interpret)
+    return out.transpose(1, 0, 2)
+
+
+def use_pallas_tower() -> bool:
+    """The Pallas pass engages on a TPU backend (single- or multi-device
+    — augmentation is batch-local, so shard_map/vmap lift it per
+    device)."""
+    return jax.default_backend() == "tpu"
