@@ -107,7 +107,10 @@ def test_sharded_attention_context_on_mesh():
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
 
 
-def test_sharded_attention_tp_mesh_falls_back_dense():
+def test_sharded_attention_tp_mesh_keeps_kernel():
+    """TP meshes now run the head-sharded Pallas path (round-4); the
+    dense fallback remains only for head counts the model axis cannot
+    divide."""
     from vit_spoof_detection_pda_tpu.ops import attention as att
     from vit_spoof_detection_pda_tpu.parallel import make_mesh
 
@@ -118,7 +121,16 @@ def test_sharded_attention_tp_mesh_falls_back_dense():
         out = att.dispatch_attention_qkv(
             qkv, 2, lambda x: jnp.zeros((4, 8, 16)))
     assert out.shape == (4, 8, 16)
-    assert att._context["pallas_calls"] == before  # dense fallback
+    assert att._context["pallas_calls"] == before + 1  # head-sharded
+
+    # 3 heads over a 2-way model axis: dense fallback
+    qkv3 = jnp.zeros((4, 8, 3 * 24))
+    before = att._context["pallas_calls"]
+    with att.attention_sharding(mesh=mesh, interpret=True):
+        out = att.dispatch_attention_qkv(
+            qkv3, 3, lambda x: jnp.zeros((4, 8, 24)))
+    assert out.shape == (4, 8, 24)
+    assert att._context["pallas_calls"] == before
 
 
 def test_fused_attention_qkv_grad_matches_dense_even_batch():
