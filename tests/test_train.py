@@ -329,3 +329,43 @@ def test_checkpoint_overwrite_and_non_monotonic_saves(tmp_path):
                  new.params)
     _, step7, m7 = load_checkpoint_bundle(d, step=7)
     assert step7 == 7 and m7["val_f1"] == 0.8
+
+
+def test_checkpoint_stale_purge_vs_branch_resume(tmp_path):
+    """A save below EVERY existing step (unambiguous fresh run) purges
+    the previous run's later checkpoints so latest-step loads can't
+    serve stale weights; a save merely below the latest (branch resume
+    from an earlier/best step) keeps them (ADVICE r2 + review
+    finding)."""
+    from vit_spoof_detection_pda_tpu.utils.checkpoint import (
+        CheckpointManager, load_checkpoint_bundle)
+    module = TinyNet()
+    tx = make_optimizer(1e-2)
+    s = create_train_state(module, tx, jax.random.PRNGKey(0),
+                           input_shape=(1, 16, 16, 3))
+
+    # branch resume: steps {5, 9} exist, new save at 7 -> 9 survives
+    d1 = str(tmp_path / "branch")
+    mgr = CheckpointManager(d1)
+    mgr.save(5, s, metrics={"val_f1": 0.5})
+    mgr.save(9, s, metrics={"val_f1": 0.9})
+    mgr.save(7, s, metrics={"val_f1": 0.7})
+    assert sorted(mgr._mgr.all_steps()) == [5, 7, 9]   # 9 survives
+    mgr.close()
+
+    # fresh run: steps {5, 9} exist, new run saves at 2 -> both purged
+    d2 = str(tmp_path / "fresh")
+    mgr = CheckpointManager(d2)
+    mgr.save(5, s, metrics={"val_f1": 0.5})
+    mgr.save(9, s, metrics={"val_f1": 0.9})
+    mgr.close()
+    fresh = create_train_state(module, tx, jax.random.PRNGKey(3),
+                               input_shape=(1, 16, 16, 3))
+    mgr2 = CheckpointManager(d2)
+    mgr2.save(2, fresh, metrics={"val_f1": 0.2})
+    assert mgr2._mgr.all_steps() == [2]
+    mgr2.close()
+    variables, step, metrics = load_checkpoint_bundle(d2)
+    assert step == 2 and metrics["val_f1"] == 0.2
+    jax.tree.map(np.testing.assert_array_equal, variables["params"],
+                 fresh.params)

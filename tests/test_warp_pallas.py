@@ -76,6 +76,22 @@ def test_vmap_batches():
         np.testing.assert_allclose(got[i], want, atol=1e-6)
 
 
+def test_odd_height_pads_and_matches_xla():
+    """Odd dims must not fall back to whole-image tiles (VMEM limit at
+    real scale) — rows pad to 16 and slice back; vertical passes
+    transpose, so odd width hits the same path."""
+    img = _img(9, 31, 29)
+    f = _field(10, 31, 29, 3.0)
+    want = np.asarray(W._resample_rows_field(img, f, 4))
+    got = np.asarray(resample_rows_field_pallas(img, f, 4,
+                                                interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    got_c = np.asarray(resample_cols_field_pallas(img, f, 4,
+                                                  interpret=True))
+    want_c = np.asarray(W._resample_cols_field(img, f, 4))
+    np.testing.assert_allclose(got_c, want_c, atol=1e-6)
+
+
 def test_bf16_image_roundtrip():
     """bf16 images compute through the f32 kernel and cast back."""
     img = _img(7).astype(jnp.bfloat16)

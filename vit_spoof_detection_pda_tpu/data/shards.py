@@ -131,8 +131,13 @@ class ShardStore:
             try:
                 with open(p, "rb") as f:
                     version = np.lib.format.read_magic(f)
-                    shape, _, dtype = np.lib.format._read_array_header(
-                        f, version)
+                    # public per-version readers (no private API: an
+                    # AttributeError here would silently rebuild the
+                    # whole multi-GB store)
+                    reader = getattr(
+                        np.lib.format,
+                        "read_array_header_%d_%d" % version)
+                    shape, _, dtype = reader(f)
                     data_start = f.tell()
                 ok = (shape == (sh["n"], s, s, 3) and dtype == np.uint8
                       and p.stat().st_size >= data_start + int(

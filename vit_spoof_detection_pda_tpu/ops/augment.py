@@ -489,8 +489,9 @@ def composed_geometric(key, img, *,
         return out
 
     # Legacy packed single-gather sampler (ONE composed bilinear
-    # resample; bf16 taps).  Kept as the numerical oracle for the tower
-    # and for non-TPU backends where gathers are cheap.
+    # resample; bf16 taps).  No production path selects it — it is kept
+    # as the numerical oracle the tower tests compare against
+    # (sampler="gather").
     ys, xs = warp._dest_grid(h, w)
     if elastic_fields is not None:
         ys = ys + elastic_fields[0]

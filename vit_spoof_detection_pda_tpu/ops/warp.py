@@ -101,7 +101,7 @@ def _resample_rows_roll(img, shifts, kmax: int):
     static bound with |shifts| <= kmax; out-of-frame sources fill 0.
     """
     h, w, _ = img.shape
-    if _on_tpu():
+    if _use_pallas_rolls():
         from .warp_pallas import resample_rows_field_pallas
         field = jnp.broadcast_to(
             shifts.astype(jnp.float32)[:, None], (h, w))
@@ -122,7 +122,7 @@ def _resample_cols_roll(img, shifts, kmax: int):
     """As :func:`_resample_rows_roll` but along y with a per-COLUMN shift:
     ``out[y, x] = in[y + shifts[x], x]``."""
     h, w, _ = img.shape
-    if _on_tpu():
+    if _use_pallas_rolls():
         from .warp_pallas import resample_cols_field_pallas
         field = jnp.broadcast_to(
             shifts.astype(jnp.float32)[None, :], (h, w))
@@ -139,8 +139,22 @@ def _resample_cols_roll(img, shifts, kmax: int):
     return jnp.where(valid, acc, 0.0)
 
 
-def _on_tpu() -> bool:
-    return jax.default_backend() == "tpu"
+def _use_pallas_rolls() -> bool:
+    """Dispatch the roll resamplers to the Pallas scanline kernel.
+
+    Requires a TPU backend AND a single-device execution context: the
+    augmenter runs INSIDE the pjit'd train step (batch_prep), and GSPMD
+    cannot partition a pallas_call — on a multi-device mesh (detected
+    via the attention_sharding trace context the Trainer enters, or the
+    raw device count when no context is set) the XLA roll form compiles
+    under GSPMD instead."""
+    if jax.default_backend() != "tpu":
+        return False
+    from .attention import _context
+    mesh = _context["mesh"]
+    if mesh is not None:
+        return mesh.devices.size == 1
+    return jax.device_count() == 1
 
 
 def _resample_rows_field(img, shift, kmax: int):
@@ -154,7 +168,7 @@ def _resample_rows_field(img, shift, kmax: int):
     pure vector ops.  On TPU the accumulation runs as a Pallas kernel
     with the row tile VMEM-resident (14x the XLA rolls, bit-identical —
     ops/warp_pallas.py); this XLA form is the CPU/reference path."""
-    if _on_tpu():
+    if _use_pallas_rolls():
         from .warp_pallas import resample_rows_field_pallas
         return resample_rows_field_pallas(
             img, shift.astype(jnp.float32), kmax)
@@ -174,7 +188,7 @@ def _resample_rows_field(img, shift, kmax: int):
 def _resample_cols_field(img, shift, kmax: int):
     """As :func:`_resample_rows_field` but along y:
     ``out[y, x] = in[y + shift[y, x], x]``."""
-    if _on_tpu():
+    if _use_pallas_rolls():
         from .warp_pallas import resample_cols_field_pallas
         return resample_cols_field_pallas(
             img, shift.astype(jnp.float32), kmax)

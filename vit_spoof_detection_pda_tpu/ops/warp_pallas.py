@@ -44,10 +44,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _rows_for(h: int) -> int:
-    for r in (16, 8, 4, 2):
-        if h % r == 0:
-            return r
-    return h
+    """Row-tile size.  Callers pad h to a multiple of 16 first — a
+    whole-image tile would blow the 16 MB VMEM scoped-allocation limit
+    (one stack slot per unrolled roll term; see module docstring)."""
+    assert h % 16 == 0, h
+    return 16
 
 
 def _pass_kernel(img_ref, f_ref, o_ref, *, kmax: int, chans: int,
@@ -70,7 +71,10 @@ def resample_rows_field_pallas(img, shift, kmax: int, *,
     """
     h, w, c = img.shape
     wc = w * c
-    rows = _rows_for(h)
+    # the pass is row-local, so odd heights pad with garbage-free zero
+    # rows (each tile computes independently) and slice back
+    hp = -(-h // 16) * 16
+    rows = _rows_for(hp)
     # out-of-frame -> sentinel far outside the k window: no tent fires,
     # the output row zero-fills (the XLA path's `valid` mask semantics)
     src = jnp.arange(w, dtype=shift.dtype)[None, :] + shift
@@ -78,10 +82,14 @@ def resample_rows_field_pallas(img, shift, kmax: int, *,
     f = jnp.where(valid, shift, jnp.asarray(kmax + 4.0, shift.dtype))
     f3 = jnp.broadcast_to(f[..., None], (h, w, c)).reshape(h, wc)
     img2 = img.reshape(h, wc).astype(jnp.float32)
+    if hp != h:
+        img2 = jnp.pad(img2, ((0, hp - h), (0, 0)))
+        f3 = jnp.pad(f3, ((0, hp - h), (0, 0)),
+                     constant_values=kmax + 4.0)
 
     out = pl.pallas_call(
         functools.partial(_pass_kernel, kmax=kmax, chans=c, width=wc),
-        grid=(h // rows,),
+        grid=(hp // rows,),
         in_specs=[
             pl.BlockSpec((rows, wc), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -90,10 +98,10 @@ def resample_rows_field_pallas(img, shift, kmax: int, *,
         ],
         out_specs=pl.BlockSpec((rows, wc), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((h, wc), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((hp, wc), jnp.float32),
         interpret=interpret,
     )(img2, f3.astype(jnp.float32))
-    return out.reshape(h, w, c).astype(img.dtype)
+    return out[:h].reshape(h, w, c).astype(img.dtype)
 
 
 def resample_cols_field_pallas(img, shift, kmax: int, *,
@@ -106,8 +114,3 @@ def resample_cols_field_pallas(img, shift, kmax: int, *,
     return out.transpose(1, 0, 2)
 
 
-def use_pallas_tower() -> bool:
-    """The Pallas pass engages on a TPU backend (single- or multi-device
-    — augmentation is batch-local, so shard_map/vmap lift it per
-    device)."""
-    return jax.default_backend() == "tpu"

@@ -61,16 +61,26 @@ class CheckpointManager:
                 log.warning("overwriting existing checkpoint at step %d "
                             "(fresh run into a used save_dir?)", step)
                 self._mgr.delete(step)
-            # fresh-run signature: a save below the directory's latest
-            # step means a previous run's later checkpoints are stale —
-            # drop them, or latest_step()/load_params_from_dir would keep
-            # silently serving the PREVIOUS run's weights until this run
-            # surpasses them.
-            for stale in [s for s in self._mgr.all_steps() if s > step]:
-                log.warning("deleting stale checkpoint at step %d from a "
-                            "previous run (current run is at step %d)",
-                            stale, step)
-                self._mgr.delete(stale)
+            # fresh-run signature: a save below EVERY existing step can
+            # only be a new run in a used directory — drop the previous
+            # run's checkpoints, or latest_step()/load_params_from_dir
+            # would silently keep serving the old weights until this run
+            # surpasses them.  A save merely below the LATEST step is
+            # ambiguous (legitimate branch-resume from best_step keeps
+            # its later checkpoints), so that case only warns.
+            existing = self._mgr.all_steps()
+            if existing and step < min(existing):
+                for stale in [s for s in existing if s > step]:
+                    log.warning(
+                        "deleting stale checkpoint at step %d from a "
+                        "previous run (fresh run now at step %d)",
+                        stale, step)
+                    self._mgr.delete(stale)
+            else:
+                log.warning(
+                    "saving step %d below the directory's latest step %d"
+                    " — later checkpoints are kept (branch resume?); "
+                    "latest_step() will prefer them", step, latest)
             force = True
         payload = {
             "state": _state_tree(state),
