@@ -185,6 +185,28 @@ def test_gaussian_blur_matches_cv2():
     np.testing.assert_allclose(got, ref, atol=1e-5)
 
 
+def test_gaussian_blur_matmul_matches_conv():
+    """The banded-matmul formulation (MXU path) is the same operator as
+    the grouped conv, including reflect-101 edges and rectangular
+    images."""
+    for shape, ks, sigma in (((32, 32, 3), 5, 1.7), ((32, 32, 3), 3, 0.6),
+                             ((16, 40, 3), 5, 1.2)):
+        img = jnp.asarray(_img(3, *shape[:2]).reshape(shape))
+        kern = A._gaussian_kernel1d(ks, sigma)
+        np.testing.assert_allclose(
+            np.asarray(A._separable_blur2d_mm(img, kern)),
+            np.asarray(A._separable_blur2d(img, kern)), atol=1e-6)
+    # the gated op agrees across methods under vmap (shared keys)
+    keys = jax.random.split(KEY, 4)
+    imgs = jnp.asarray(np.stack([_img(i, 24, 24) for i in range(4)]))
+    conv = jax.vmap(lambda k, im: A.gaussian_blur(k, im, 5, (0.1, 2.0),
+                                                  p=0.5))(keys, imgs)
+    mm = jax.vmap(lambda k, im: A.gaussian_blur(k, im, 5, (0.1, 2.0),
+                                                p=0.5, method="matmul"))(
+        keys, imgs)
+    np.testing.assert_allclose(np.asarray(mm), np.asarray(conv), atol=1e-6)
+
+
 def test_gaussian_noise_statistics():
     img = np.full((64, 64, 3), 0.5, np.float32)
     out = np.asarray(A.gaussian_noise(KEY, img, std=0.05, p=1.0))

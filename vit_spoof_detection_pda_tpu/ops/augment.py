@@ -268,15 +268,63 @@ def _separable_blur2d(img, kernel1d):
     return x[0].transpose(1, 2, 0)
 
 
+_band_cache: dict = {}
+
+
+def _reflect_band_matrices(size: int, ksz: int) -> np.ndarray:
+    """E[t] with E[t][i, j] += 1 where j = reflect-101(i + t - pad) —
+    so sum_t kern[t] * E[t] is the dense [size, size] operator of a
+    1D correlation with reflect padding (np.pad mode="reflect")."""
+    key = (size, ksz)
+    if key not in _band_cache:
+        pad = ksz // 2
+        e = np.zeros((ksz, size, size), np.float32)
+        for t in range(ksz):
+            for i in range(size):
+                j = i + t - pad
+                if j < 0:
+                    j = -j
+                elif j >= size:
+                    j = 2 * size - 2 - j
+                e[t, i, j] += 1.0
+        _band_cache[key] = e
+    return _band_cache[key]
+
+
+def _separable_blur2d_mm(img, kernel1d):
+    """The same separable reflect-pad blur as two DENSE MATMULS on the
+    MXU: Kb = sum_t kern[t] * E_t folds the per-sample 1D kernel into a
+    [size, size] operator, then row pass Kb @ img and column pass on the
+    transposed layout.  Under vmap this is a batched [224,224] x
+    [224, W*C] bf16 matmul pair (~17 GFLOP/128-batch — noise floor for
+    the MXU), where the grouped-conv lowering of `_separable_blur2d`
+    runs as vmapped VPU window reductions."""
+    ksz = kernel1d.shape[0]
+    h, w, c = img.shape
+    kern = kernel1d.astype(img.dtype)
+    kv = jnp.einsum("t,tij->ij", kern,
+                    jnp.asarray(_reflect_band_matrices(h, ksz), img.dtype))
+    kh = kv if w == h else jnp.einsum(
+        "t,tij->ij", kern,
+        jnp.asarray(_reflect_band_matrices(w, ksz), img.dtype))
+    x = kv @ img.reshape(h, w * c)                     # vertical pass
+    x = x.reshape(h, w, c).transpose(1, 0, 2)          # [w, h, c]
+    x = kh @ x.reshape(w, h * c)                       # horizontal pass
+    return x.reshape(w, h, c).transpose(1, 0, 2)
+
+
 def gaussian_blur(key, img, kernel_size: int, sigma_range: Tuple[float, float],
-                  p: float = 1.0):
+                  p: float = 1.0, method: str = "conv"):
     """Separable Gaussian blur with sigma ~ U[lo, hi]
-    (K.RandomGaussianBlur)."""
+    (K.RandomGaussianBlur).  ``method="matmul"`` routes through the
+    banded-matmul formulation (MXU-friendly under vmap)."""
 
     def blur(k, im):
         sigma = jax.random.uniform(k, (), minval=sigma_range[0],
                                    maxval=sigma_range[1])
         kern = _gaussian_kernel1d(kernel_size, sigma, im.dtype)
+        if method == "matmul":
+            return _separable_blur2d_mm(im, kern)
         return _separable_blur2d(im, kern)
 
     return _gate(key, p, img, blur)
