@@ -1,0 +1,130 @@
+"""Pipeline parallelism (parallel/pipeline.py): the GPipe shard_map
+schedule computes exactly what the plain module computes — forward and
+gradients — on DP x PP virtual meshes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_spoof_detection_pda_tpu.models.vit import ViTAntiSpoof
+from vit_spoof_detection_pda_tpu.parallel.pipeline import (
+    make_pipe_mesh, pipe_param_specs, pipeline_apply, stack_block_params,
+    unstack_block_params)
+
+
+def tiny_model(depth=4):
+    return ViTAntiSpoof(patch_size=16, embed_dim=64, depth=depth,
+                        num_heads=4, hidden=32, dropout=0.0)
+
+
+def make_inputs(b=8, img=32):
+    rng = np.random.default_rng(0)
+    return jnp.asarray(rng.standard_normal((b, img, img, 3)), jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    module = tiny_model()
+    x = make_inputs()
+    variables = module.init(jax.random.PRNGKey(0), x)
+    ref = module.apply(variables, x)
+    return module, variables, x, ref
+
+
+def test_stack_roundtrip(setup):
+    module, variables, _, _ = setup
+    stacked, rest = stack_block_params(variables["params"]["vit"],
+                                       module.depth)
+    blocks = unstack_block_params(stacked)
+    assert len(blocks) == module.depth
+    orig0 = variables["params"]["vit"]["block0"]
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b),
+                 blocks[0], orig0)
+    assert "patch_embed" in rest and "block0" not in rest
+
+
+@pytest.mark.parametrize("data,pipe,micro", [(2, 4, 4), (1, 4, 8), (4, 2, 2)])
+def test_forward_equivalence(setup, data, pipe, micro):
+    module, variables, x, ref = setup
+    mesh = make_pipe_mesh(pipe, data=data,
+                          devices=jax.devices()[: data * pipe])
+    got = jax.jit(lambda v, im: pipeline_apply(
+        module, v, im, mesh, microbatches=micro))(variables, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_gradient_equivalence(setup):
+    module, variables, x, ref = setup
+    mesh = make_pipe_mesh(4, data=2)
+    tgt = jnp.asarray(np.arange(x.shape[0]) % 2, jnp.int32)
+
+    def loss_ref(params):
+        logits = module.apply({"params": params}, x)
+        return jnp.mean(
+            -jax.nn.log_softmax(logits)[jnp.arange(tgt.size), tgt])
+
+    def loss_pp(params):
+        logits = pipeline_apply(module, {"params": params}, x, mesh,
+                                microbatches=4)
+        return jnp.mean(
+            -jax.nn.log_softmax(logits)[jnp.arange(tgt.size), tgt])
+
+    g_ref = jax.jit(jax.grad(loss_ref))(variables["params"])
+    g_pp = jax.jit(jax.grad(loss_pp))(variables["params"])
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_pp = jax.tree.leaves(g_pp)
+    assert len(flat_ref) == len(flat_pp)
+    for (path, a), b in zip(flat_ref, flat_pp):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-4,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_pp_sgd_step_matches_single_device(setup):
+    """One SGD step through the pipeline == one step through the plain
+    module (the PP training contract, not just a single grad)."""
+    module, variables, x, _ = setup
+    mesh = make_pipe_mesh(4, data=2)
+    tgt = jnp.asarray(np.arange(x.shape[0]) % 2, jnp.int32)
+
+    def step(params, use_pp):
+        def loss(p):
+            if use_pp:
+                logits = pipeline_apply(module, {"params": p}, x, mesh,
+                                        microbatches=4)
+            else:
+                logits = module.apply({"params": p}, x)
+            return jnp.mean(
+                -jax.nn.log_softmax(logits)[jnp.arange(tgt.size), tgt])
+
+        g = jax.grad(loss)(params)
+        return jax.tree.map(lambda w, gw: w - 0.1 * gw, params, g)
+
+    p_ref = jax.jit(lambda p: step(p, False))(variables["params"])
+    p_pp = jax.jit(lambda p: step(p, True))(variables["params"])
+    for (path, a), b in zip(jax.tree_util.tree_leaves_with_path(p_ref),
+                            jax.tree.leaves(p_pp)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-4,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_validation_errors(setup):
+    module, variables, x, _ = setup
+    mesh = make_pipe_mesh(4, data=2)
+    with pytest.raises(ValueError, match="microbatches"):
+        pipeline_apply(module, variables, x, mesh, microbatches=3)
+    mesh3 = make_pipe_mesh(8, data=1)   # depth 4 not divisible by 8
+    with pytest.raises(ValueError, match="divisible by pipe"):
+        pipeline_apply(module, variables, x, mesh3, microbatches=4)
+
+
+def test_pipe_param_specs(setup):
+    module, variables, _, _ = setup
+    from jax.sharding import PartitionSpec as P
+    stacked_spec, rest_spec = pipe_param_specs(variables["params"],
+                                               module.depth)
+    assert all(s == P("pipe") for s in jax.tree.leaves(stacked_spec))
+    assert all(s == P() for s in jax.tree.leaves(rest_spec))

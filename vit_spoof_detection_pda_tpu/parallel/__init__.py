@@ -13,6 +13,15 @@ from .mesh import (
     shard_batch,
     shard_params,
 )
+from .pipeline import (
+    make_pipe_mesh,
+    pipe_param_specs,
+    pipeline_apply,
+    stack_block_params,
+    unstack_block_params,
+)
 
 __all__ = ["make_mesh", "batch_spec", "param_specs", "shard_batch",
-           "shard_params"]
+           "shard_params", "make_pipe_mesh", "pipeline_apply",
+           "pipe_param_specs", "stack_block_params",
+           "unstack_block_params"]

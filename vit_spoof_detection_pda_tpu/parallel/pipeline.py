@@ -1,0 +1,200 @@
+"""GPipe-style pipeline parallelism for the ViT encoder.
+
+Scaling capability BEYOND the reference (SURVEY.md §2.7 lists PP as a
+non-goal for this 86M-param model — the reference is a single-GPU torch
+script): provided as mesh capability alongside DP/TP so the framework's
+parallel layer covers dp x tp x pp meshes.
+
+Design — the TPU-native SPMD pipeline (the scaling-book recipe), not a
+multi-controller scheduler:
+
+- The 12 encoder blocks' parameter pytrees are STACKED on a leading
+  layer dim (`stack_block_params`) and sharded over the ``pipe`` mesh
+  axis, so each device materializes only its depth/S contiguous layers.
+- One `shard_map` program runs on every stage: `lax.scan` over
+  M + S - 1 pipeline ticks; per tick each stage scans its local layers
+  and hands its activation to the next stage with a single
+  `lax.ppermute` ring hop (ICI neighbor traffic, no host scheduler).
+  Stage 0 injects a fresh microbatch per tick; the last stage's outputs
+  are collected in-loop and broadcast with one masked `psum`.
+- Patch embedding, final LayerNorm, pooling, and the head run OUTSIDE
+  the pipelined region as ordinary GSPMD ops (data-sharded over the
+  ``data`` axis, replicated over ``pipe``) — they are <3% of FLOPs and
+  this keeps the pipelined region a pure layer loop.
+- The whole schedule is `jax.grad`-differentiable (scan + ppermute have
+  exact transposes), giving GPipe semantics: full forward, then full
+  backward, bubble fraction (S-1)/(M+S-1) in each direction.
+
+All block math reuses the flax modules functionally
+(`EncoderBlock.apply` on a per-layer param slice), so there is exactly
+one definition of the model's numerics; `tests/test_pipeline.py` pins
+forward and gradient equivalence against the plain module on DP x PP
+virtual meshes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+import numpy as np
+
+from .mesh import DATA_AXIS
+
+PIPE_AXIS = "pipe"
+
+
+def make_pipe_mesh(pipe: int, data: int = 1, devices=None) -> Mesh:
+    """Build a (data, pipe) mesh.  Stages are laid out minor so each
+    pipeline ring's ppermute hops between mesh-adjacent devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if data * pipe != devices.size:
+        raise ValueError(f"mesh {data}x{pipe} != {devices.size} devices")
+    return Mesh(devices.reshape(data, pipe), (DATA_AXIS, PIPE_AXIS))
+
+
+def stack_block_params(vit_params: dict, depth: int):
+    """Split a ViT param dict into (stacked_blocks, rest).
+
+    stacked_blocks: the ``block{i}`` pytrees stacked on a new leading
+    layer dim (sharded over ``pipe``); rest: everything else (patch
+    embed, cls/pos, final norm), untouched."""
+    blocks = [vit_params[f"block{i}"] for i in range(depth)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    rest = {k: v for k, v in vit_params.items()
+            if not (k.startswith("block") and k[5:].isdigit())}
+    return stacked, rest
+
+
+def unstack_block_params(stacked) -> list:
+    depth = jax.tree.leaves(stacked)[0].shape[0]
+    return [jax.tree.map(lambda x: x[i], stacked) for i in range(depth)]
+
+
+def _pipeline_encoder(x, stacked, block_fn, mesh: Mesh, microbatches: int):
+    """Run the stacked encoder over the (data, pipe) mesh.
+
+    x: [B, T, D] activations (batch shardable over ``data``).
+    stacked: block params with leading layer dim (sharded over ``pipe``).
+    block_fn(params_i, x) -> x: one encoder block, pure function.
+    """
+    n_stages = mesh.shape[PIPE_AXIS]
+    b, t, d = x.shape
+    m = microbatches
+    if b % m:
+        raise ValueError(f"batch {b} not divisible by microbatches={m}")
+    depth = jax.tree.leaves(stacked)[0].shape[0]
+    if depth % n_stages:
+        raise ValueError(f"depth {depth} not divisible by pipe={n_stages}")
+    xmb = x.reshape(m, b // m, t, d)
+
+    def run_local(x, blocks):
+        def body(x, bp):
+            return block_fn(bp, x), None
+        x, _ = jax.lax.scan(body, x, blocks)
+        return x
+
+    def shard_fn(xmb, blocks):
+        stage = jax.lax.axis_index(PIPE_AXIS)
+        state = jnp.zeros_like(xmb[0])
+        outs = jnp.zeros_like(xmb)
+
+        def tick(carry, i):
+            state, outs = carry
+            # stage 0 ingests microbatch i (bubble ticks re-read the
+            # last one; their outputs never land in a valid slot)
+            inject = jax.lax.dynamic_index_in_dim(
+                xmb, jnp.clip(i, 0, m - 1), 0, keepdims=False)
+            y = run_local(jnp.where(stage == 0, inject, state), blocks)
+            # the last stage emits microbatch i-(S-1) at tick i; writes
+            # for i < S-1 clip to slot 0 and are overwritten by the
+            # first valid emission (slot index is nondecreasing)
+            outs = jax.lax.dynamic_update_index_in_dim(
+                outs, y, jnp.clip(i - (n_stages - 1), 0, m - 1), 0)
+            # ring hop to the next stage (the wrap edge only carries
+            # bubble values: stage S-1's tick-i output is consumed
+            # nowhere — stage 0 always takes `inject`)
+            state = jax.lax.ppermute(
+                y, PIPE_AXIS,
+                [(s, (s + 1) % n_stages) for s in range(n_stages)])
+            return (state, outs), None
+
+        (_, outs), _ = jax.lax.scan(
+            tick, (state, outs), jnp.arange(m + n_stages - 1))
+        # broadcast the last stage's collected outputs to every stage
+        # keep the [m, mb] layout: the data axis shards the microbatch
+        # dim (dim 1) — flattening must happen OUTSIDE the shard_map or
+        # reassembly across data shards would interleave rows
+        return jax.lax.psum(
+            jnp.where(stage == n_stages - 1, outs, jnp.zeros_like(outs)),
+            PIPE_AXIS)
+
+    out = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(None, DATA_AXIS), P(PIPE_AXIS)),
+        out_specs=P(None, DATA_AXIS),
+        check_vma=False,
+    )(xmb, stacked)
+    return out.reshape(b, t, d)
+
+
+def pipeline_apply(module, variables, images, mesh: Mesh, *,
+                   microbatches: int, train: bool = False, rngs=None):
+    """Forward the full ViTAntiSpoof with the encoder pipelined.
+
+    Equivalent to ``module.apply(variables, images, train=train)`` (same
+    flax submodules, applied functionally); the 12 encoder blocks run as
+    a GPipe schedule over the mesh's ``pipe`` axis.  Differentiable —
+    wrap in jax.value_and_grad for a PP training step."""
+    params = variables["params"]
+    vit_params = params["vit"]
+    stacked, rest = stack_block_params(vit_params, module.depth)
+    dtype = module.dtype
+
+    # --- embed (outside the pipe: data-sharded, replicated over pipe)
+    x = images.astype(dtype)
+    b, h, w, c = x.shape
+    p = module.patch_size
+    gh, gw = h // p, w // p
+    x = x.reshape(b, gh, p, gw, p, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, p * p * c)
+    x = nn.Dense(module.embed_dim, dtype=dtype, name="patch_embed").apply(
+        {"params": rest["patch_embed"]}, x)
+    cls = jnp.broadcast_to(rest["cls_token"].astype(dtype),
+                           (b, 1, module.embed_dim))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + rest["pos_embed"].astype(dtype)
+
+    # --- pipelined encoder
+    def block_fn(bp, xx):
+        from ..models.vit import EncoderBlock
+        return EncoderBlock(module.num_heads, module.mlp_ratio,
+                            module.norm_eps, dtype=dtype,
+                            gelu=module.gelu).apply({"params": bp}, xx)
+
+    x = _pipeline_encoder(x, stacked, block_fn, mesh, microbatches)
+
+    # --- final norm + pool + head (outside the pipe)
+    x = nn.LayerNorm(epsilon=module.norm_eps, dtype=dtype, name="norm").apply(
+        {"params": rest["norm"]}, x)
+    feats = x[:, 0]
+
+    from ..models.vit import AntiSpoofHead
+    return AntiSpoofHead(module.hidden, module.num_classes, module.dropout,
+                         dtype=dtype).apply(
+        {"params": params["head"]}, feats.astype(jnp.float32),
+        train=train, rngs=rngs)
+
+
+def pipe_param_specs(params, depth: int):
+    """PartitionSpecs for the pipeline layout: stacked blocks over
+    ``pipe`` (leading layer dim), everything else replicated.  Returns
+    (stacked_spec_tree, rest_spec_tree) matching stack_block_params's
+    split of ``params['vit']``."""
+    vit_params = params["vit"]
+    stacked, rest = stack_block_params(vit_params, depth)
+    stacked_spec = jax.tree.map(lambda _: P(PIPE_AXIS), stacked)
+    rest_spec = jax.tree.map(lambda _: P(), rest)
+    return stacked_spec, rest_spec
