@@ -77,6 +77,11 @@ OPS = {
 
 VARIANTS = {
     "heavy": [
+        # the session's FIRST timed program carries ~9 ms/step of relay
+        # overhead (measured via reversed-order rerun, BENCH_NOTES round
+        # 5) — burn it on a discarded warm-up so the comparisons below
+        # are position-controlled
+        ("warmup (discard)", ["geo", "jitter", "blur", "noise", "sharp"]),
         ("shipped", ["geo", "jitter", "blur", "noise", "sharp"]),
         ("blur->matmul", ["geo", "jitter", "blur_mm", "noise", "sharp"]),
         ("no blur", ["geo", "jitter", "noise", "sharp"]),
@@ -115,8 +120,12 @@ for tier, variants in VARIANTS.items():
         step = make_train_step(loss_fn, batch_prep=make_prep_fn(cfg, chain),
                                donate=False)
         ms = timed(step)
+        if name.startswith("warmup"):
+            print(f"[{tier:6s}] {name:17s} {ms:6.1f} ms (discarded)",
+                  flush=True)
+            continue
         delta = "" if base is None else f"  (vs shipped {ms - base:+5.1f})"
         if base is None:
             base = ms
-        print(f"[{tier:6s}] {name:14s} {ms:6.1f} ms "
+        print(f"[{tier:6s}] {name:17s} {ms:6.1f} ms "
               f"({B / ms * 1000:4.0f} img/s){delta}", flush=True)

@@ -207,6 +207,12 @@ def test_gaussian_blur_matmul_matches_conv():
     np.testing.assert_allclose(np.asarray(mm), np.asarray(conv), atol=1e-6)
 
 
+def test_gaussian_blur_rejects_unknown_method():
+    with pytest.raises(ValueError, match="method"):
+        A.gaussian_blur(KEY, jnp.zeros((8, 8, 3)), 5, (0.1, 2.0),
+                        method="fft")
+
+
 def test_gaussian_noise_statistics():
     img = np.full((64, 64, 3), 0.5, np.float32)
     out = np.asarray(A.gaussian_noise(KEY, img, std=0.05, p=1.0))

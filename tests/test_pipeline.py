@@ -119,6 +119,31 @@ def test_validation_errors(setup):
     mesh3 = make_pipe_mesh(8, data=1)   # depth 4 not divisible by 8
     with pytest.raises(ValueError, match="divisible by pipe"):
         pipeline_apply(module, variables, x, mesh3, microbatches=4)
+    # b=8, m=8 -> microbatch size 1, not divisible by data=2
+    with pytest.raises(ValueError, match="divisible by\\s+data"):
+        pipeline_apply(module, variables, x, mesh, microbatches=8)
+
+
+def test_pp_inside_attention_sharding(setup):
+    """pipeline_apply traced while an outer attention_sharding context is
+    active must NOT open a nested shard_map — manual_attention routes to
+    the per-device kernel (Pallas in interpret mode) and the result still
+    matches the plain module."""
+    from vit_spoof_detection_pda_tpu.ops.attention import (
+        _context, attention_sharding)
+    from vit_spoof_detection_pda_tpu.parallel.mesh import make_mesh
+
+    module, variables, x, ref = setup
+    pp_mesh = make_pipe_mesh(4, data=2)
+    dp_mesh = make_mesh(data=8)   # the context mesh a trainer would hold
+    before = _context["pallas_calls"]
+    with attention_sharding(mesh=dp_mesh, interpret=True):
+        got = jax.jit(lambda v, im: pipeline_apply(
+            module, v, im, pp_mesh, microbatches=4))(variables, x)
+        got = np.asarray(got)
+    assert _context["pallas_calls"] > before, \
+        "manual dispatch did not take the Pallas path under interpret"
+    np.testing.assert_allclose(got, np.asarray(ref), atol=2e-5, rtol=2e-5)
 
 
 def test_pipe_param_specs(setup):

@@ -485,7 +485,29 @@ def fused_mlp_block(x, ln_scale, ln_bias, w_fc1, b_fc1, w_fc2, b_fc2, *,
 # Dispatch: how models pick an attention implementation
 # --------------------------------------------------------------------------
 
-_context = {"mesh": None, "interpret": False, "pallas_calls": 0}
+_context = {"mesh": None, "interpret": False, "pallas_calls": 0,
+            "manual": False}
+
+
+@contextlib.contextmanager
+def manual_attention(interpret=None):
+    """Dispatch for code already INSIDE a shard_map region.
+
+    A nested `jax.shard_map` cannot open against a different mesh, so a
+    caller that applies model blocks within its own shard_map (the PP
+    schedule, parallel/pipeline.py) enters this context while tracing:
+    `dispatch_attention_qkv` then uses the per-device Pallas kernel
+    directly on TPU (or in interpret mode) and the dense einsum
+    elsewhere — never a nested shard_map, regardless of any outer
+    `attention_sharding` mesh."""
+    prev = dict(_context)
+    _context["manual"] = True
+    if interpret is not None:
+        _context["interpret"] = interpret
+    try:
+        yield
+    finally:
+        _context.update(manual=prev["manual"], interpret=prev["interpret"])
 
 
 @contextlib.contextmanager
@@ -510,6 +532,8 @@ def attention_sharding(mesh=None, interpret: bool = False):
 def dispatch_attention_qkv(qkv, num_heads: int, dense_fallback):
     """Pick the best attention path for the fused [B, T, 3D] projection:
 
+    0. `manual_attention` context (caller already inside a shard_map,
+       e.g. the PP schedule) -> per-device Pallas kernel, no nesting,
     1. multi-device mesh in context (model axis unsharded) -> shard_map
        around the Pallas kernel over the data axis,
     2. single-device TPU (or interpret context) -> plain Pallas kernel,
@@ -518,6 +542,14 @@ def dispatch_attention_qkv(qkv, num_heads: int, dense_fallback):
     mesh = _context["mesh"]
     interpret = _context["interpret"]
     on_tpu = jax.default_backend() == "tpu"
+
+    if _context["manual"]:
+        # already inside a shard_map region (manual_attention): the
+        # kernel runs per-device as-is; a nested shard_map would fail
+        if on_tpu or interpret:
+            _context["pallas_calls"] += 1
+            return fused_attention_qkv(qkv, num_heads, interpret)
+        return dense_fallback(qkv)
 
     if mesh is not None and (on_tpu or interpret):
         from ..parallel.mesh import DATA_AXIS, MODEL_AXIS

@@ -318,6 +318,9 @@ def gaussian_blur(key, img, kernel_size: int, sigma_range: Tuple[float, float],
     """Separable Gaussian blur with sigma ~ U[lo, hi]
     (K.RandomGaussianBlur).  ``method="matmul"`` routes through the
     banded-matmul formulation (MXU-friendly under vmap)."""
+    if method not in ("conv", "matmul"):
+        raise ValueError(f"method must be 'conv' or 'matmul', got "
+                         f"{method!r}")
 
     def blur(k, im):
         sigma = jax.random.uniform(k, (), minval=sigma_range[0],

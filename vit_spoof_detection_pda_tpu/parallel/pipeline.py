@@ -10,7 +10,10 @@ multi-controller scheduler:
 
 - The 12 encoder blocks' parameter pytrees are STACKED on a leading
   layer dim (`stack_block_params`) and sharded over the ``pipe`` mesh
-  axis, so each device materializes only its depth/S contiguous layers.
+  axis (a `with_sharding_constraint` pins the stacked intermediate to
+  P("pipe"), so under pjit each device materializes its depth/S layer
+  slice of the stack; place params with `pipe_param_specs` to avoid
+  the replicated unstacked copy entirely).
 - One `shard_map` program runs on every stage: `lax.scan` over
   M + S - 1 pipeline ticks; per tick each stage scans its local layers
   and hands its activation to the next stage with a single
@@ -81,10 +84,14 @@ def _pipeline_encoder(x, stacked, block_fn, mesh: Mesh, microbatches: int):
     block_fn(params_i, x) -> x: one encoder block, pure function.
     """
     n_stages = mesh.shape[PIPE_AXIS]
+    n_data = mesh.shape.get(DATA_AXIS, 1)
     b, t, d = x.shape
     m = microbatches
     if b % m:
         raise ValueError(f"batch {b} not divisible by microbatches={m}")
+    if (b // m) % n_data:
+        raise ValueError(f"microbatch size {b // m} not divisible by "
+                         f"data={n_data}")
     depth = jax.tree.leaves(stacked)[0].shape[0]
     if depth % n_stages:
         raise ValueError(f"depth {depth} not divisible by pipe={n_stages}")
@@ -131,12 +138,25 @@ def _pipeline_encoder(x, stacked, block_fn, mesh: Mesh, microbatches: int):
             jnp.where(stage == n_stages - 1, outs, jnp.zeros_like(outs)),
             PIPE_AXIS)
 
-    out = shard_map(
-        shard_fn, mesh=mesh,
-        in_specs=(P(None, DATA_AXIS), P(PIPE_AXIS)),
-        out_specs=P(None, DATA_AXIS),
-        check_vma=False,
-    )(xmb, stacked)
+    # pin the stacked tree's layout so GSPMD materializes each device's
+    # layer slice, not a replicated full stack, before the shard_map
+    # in_spec slices it
+    from jax.sharding import NamedSharding
+    stacked = jax.tree.map(
+        lambda a: jax.lax.with_sharding_constraint(
+            a, NamedSharding(mesh, P(PIPE_AXIS))), stacked)
+
+    # blocks are applied INSIDE this shard_map: attention must dispatch
+    # per-device (a nested shard_map against the training mesh in an
+    # active attention_sharding context fails to trace)
+    from ..ops.attention import manual_attention
+    with manual_attention():
+        out = shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(None, DATA_AXIS), P(PIPE_AXIS)),
+            out_specs=P(None, DATA_AXIS),
+            check_vma=False,
+        )(xmb, stacked)
     return out.reshape(b, t, d)
 
 
@@ -192,9 +212,13 @@ def pipe_param_specs(params, depth: int):
     """PartitionSpecs for the pipeline layout: stacked blocks over
     ``pipe`` (leading layer dim), everything else replicated.  Returns
     (stacked_spec_tree, rest_spec_tree) matching stack_block_params's
-    split of ``params['vit']``."""
+    split of ``params['vit']``.  Derived from tree STRUCTURE only — the
+    stacked tree has block0's pytree structure with a leading layer dim
+    on every leaf, so no stacked copy is materialized here."""
     vit_params = params["vit"]
-    stacked, rest = stack_block_params(vit_params, depth)
-    stacked_spec = jax.tree.map(lambda _: P(PIPE_AXIS), stacked)
+    stacked_spec = jax.tree.map(lambda _: P(PIPE_AXIS),
+                                vit_params["block0"])
+    rest = {k: v for k, v in vit_params.items()
+            if not (k.startswith("block") and k[5:].isdigit())}
     rest_spec = jax.tree.map(lambda _: P(), rest)
     return stacked_spec, rest_spec
