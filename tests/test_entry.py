@@ -33,6 +33,7 @@ def test_dryrun_multichip_driver_contract():
          "import __graft_entry__ as g; g.dryrun_multichip(8)"],
         env=env, cwd=REPO, capture_output=True, text=True, timeout=840)
     assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "DPxSP sequence-parallel" in proc.stdout
     assert "sharded fused-kernel serving ok" in proc.stdout
     assert "cross-model eval on the mesh ok" in proc.stdout
     assert "checkpoint roundtrip ok" in proc.stdout

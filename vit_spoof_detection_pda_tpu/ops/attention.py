@@ -534,8 +534,9 @@ def dispatch_attention_qkv(qkv, num_heads: int, dense_fallback):
 
     0. `manual_attention` context (caller already inside a shard_map,
        e.g. the PP schedule) -> per-device Pallas kernel, no nesting,
-    1. multi-device mesh in context (model axis unsharded) -> shard_map
-       around the Pallas kernel over the data axis,
+    1. multi-device mesh in context: seq axis sharded -> sequence-
+       parallel CP kernel; model axis sharded -> head-sharded kernel;
+       otherwise shard_map around the Pallas kernel over the data axis,
     2. single-device TPU (or interpret context) -> plain Pallas kernel,
     3. otherwise -> `dense_fallback(qkv)`.
     """
@@ -552,9 +553,12 @@ def dispatch_attention_qkv(qkv, num_heads: int, dense_fallback):
         return dense_fallback(qkv)
 
     if mesh is not None and (on_tpu or interpret):
-        from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
-        n_model = dict(zip(mesh.axis_names, mesh.devices.shape)).get(
-            MODEL_AXIS, 1)
+        from ..parallel.mesh import DATA_AXIS, MODEL_AXIS, SEQ_AXIS
+        axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+        n_seq = axis_sizes.get(SEQ_AXIS, 1)
+        if n_seq != 1:
+            return _sp_sharded(qkv, num_heads, mesh, n_seq, interpret)
+        n_model = axis_sizes.get(MODEL_AXIS, 1)
         if n_model != 1:
             if num_heads % n_model:
                 return dense_fallback(qkv)   # heads don't split: dense
@@ -617,6 +621,236 @@ def _tp_head_sharded(qkv, num_heads: int, mesh, n_model: int,
         in_specs=P(DATA_AXIS, None, MODEL_AXIS, None),
         out_specs=P(DATA_AXIS, None, MODEL_AXIS), check_vma=False)
     return f(hm)
+
+
+# --------------------------------------------------------------------------
+# Sequence parallelism (context parallelism): rectangular kernel for a
+# local query block attending to the full (all-gathered) key/value set
+# --------------------------------------------------------------------------
+
+
+def _attn_cp_kernel(q_ref, kv_ref, o_ref, *, scale: float, valid_len: int,
+                    num_heads: int, head_dim: int, block_b: int):
+    """Local Q rows [block_b, Tq, D] x full KV [block_b, Tk, 2D] -> O.
+
+    The sequence-parallel shape: each device owns a contiguous block of
+    query tokens and the complete gathered key/value set, so the logits
+    tile is rectangular [Tq, Tk].  Head slices are static columns of the
+    packed layouts (q head-interleaved; kv = [k | v] concatenated), same
+    as :func:`_attn_qkv_kernel`."""
+    tq, tk = q_ref.shape[1], kv_ref.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
+    mask = col < valid_len
+    d = num_heads * head_dim
+    for bi in range(block_b):
+        for h in range(num_heads):
+            q = q_ref[bi, :, h * head_dim:(h + 1) * head_dim]
+            k = kv_ref[bi, :, h * head_dim:(h + 1) * head_dim]
+            v = kv_ref[bi, :, d + h * head_dim:d + (h + 1) * head_dim]
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale   # [Tq, Tk]
+            logits = jnp.where(mask, logits, -1e30)
+            weights = jax.nn.softmax(logits, axis=-1)
+            out = jnp.dot(weights.astype(v.dtype), v,
+                          preferred_element_type=jnp.float32)
+            o_ref[bi, :, h * head_dim:(h + 1) * head_dim] = (
+                out.astype(o_ref.dtype))
+
+
+def _attn_cp_bwd_kernel(q_ref, kv_ref, g_ref, dq_ref, dkv_ref, *,
+                        scale: float, valid_len: int, num_heads: int,
+                        head_dim: int, block_b: int):
+    """Rectangular backward: per head recompute w [Tq, Tk], then
+    dv = w^T g, dw = g v^T, dl = w*(dw - rowsum(dw*w)), dq = dl k * s,
+    dk = dl^T q * s.  Padded query rows carry zero cotangent; masked key
+    columns have w == 0 hence dl == 0 (the square-kernel argument,
+    :func:`_attn_qkv_bwd_kernel`, carries over unchanged)."""
+    tq, tk = q_ref.shape[1], kv_ref.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
+    mask = col < valid_len
+    d = num_heads * head_dim
+    for bi in range(block_b):
+        for h in range(num_heads):
+            sl_h = slice(h * head_dim, (h + 1) * head_dim)
+            sl_v = slice(d + h * head_dim, d + (h + 1) * head_dim)
+            q = q_ref[bi, :, sl_h]
+            k = kv_ref[bi, :, sl_h]
+            v = kv_ref[bi, :, sl_v]
+            g = g_ref[bi, :, sl_h].astype(jnp.float32)
+
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            logits = jnp.where(mask, logits, -1e30)
+            w = jax.nn.softmax(logits, axis=-1)               # [Tq, Tk]
+
+            dv = jax.lax.dot_general(                          # w^T @ g
+                w, g, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dw = jax.lax.dot_general(                          # g @ v^T
+                g, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dl = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
+            dq = jnp.dot(dl, k.astype(jnp.float32),
+                         preferred_element_type=jnp.float32) * scale
+            dk = jax.lax.dot_general(                          # dl^T @ q
+                dl, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+
+            dq_ref[bi, :, sl_h] = dq.astype(dq_ref.dtype)
+            dkv_ref[bi, :, sl_h] = dk.astype(dkv_ref.dtype)
+            dkv_ref[bi, :, sl_v] = dv.astype(dkv_ref.dtype)
+
+
+def _cp_pad(x, rows):
+    t = x.shape[1]
+    return x if t == rows else jnp.pad(x, ((0, 0), (0, rows - t), (0, 0)))
+
+
+def _forward_cp(q, kv, num_heads: int, valid_len: int, interpret: bool):
+    """q: [B, Tq, D] local queries, kv: [B, Tk, 2D] full [k | v] set ->
+    [B, Tq, D] attention output (valid_len real key tokens)."""
+    b, tq, d = q.shape
+    tk = kv.shape[1]
+    head_dim = d // num_heads
+    tqp, tkp = _round_up(tq, 8), _round_up(tk, 8)
+    qp, kvp = _cp_pad(q, tqp), _cp_pad(kv, tkp)
+    block_b = _block_b_for(b)
+    kernel = functools.partial(
+        _attn_cp_kernel, scale=float(head_dim) ** -0.5, valid_len=valid_len,
+        num_heads=num_heads, head_dim=head_dim, block_b=block_b)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b // block_b,),
+        in_specs=[pl.BlockSpec((block_b, tqp, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((block_b, tkp, 2 * d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((block_b, tqp, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, tqp, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * num_heads * tqp * tkp * head_dim,
+            bytes_accessed=(b * (2 * tqp + 2 * tkp) * d * q.dtype.itemsize),
+            transcendentals=b * num_heads * tqp * tkp),
+        interpret=interpret,
+    )(qp, kvp)
+    return out[:, :tq, :]
+
+
+def _backward_cp(q, kv, g, num_heads: int, valid_len: int, interpret: bool):
+    b, tq, d = q.shape
+    tk = kv.shape[1]
+    head_dim = d // num_heads
+    tqp, tkp = _round_up(tq, 8), _round_up(tk, 8)
+    qp, kvp, gp = _cp_pad(q, tqp), _cp_pad(kv, tkp), _cp_pad(g, tqp)
+    block_b = _block_b_for(b)
+    kernel = functools.partial(
+        _attn_cp_bwd_kernel, scale=float(head_dim) ** -0.5,
+        valid_len=valid_len, num_heads=num_heads, head_dim=head_dim,
+        block_b=block_b)
+    dq, dkv = pl.pallas_call(
+        kernel,
+        grid=(b // block_b,),
+        in_specs=[pl.BlockSpec((block_b, tqp, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((block_b, tkp, 2 * d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((block_b, tqp, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((block_b, tqp, d), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((block_b, tkp, 2 * d), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((b, tqp, d), q.dtype),
+                   jax.ShapeDtypeStruct((b, tkp, 2 * d), kv.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=12 * b * num_heads * tqp * tkp * head_dim,
+            bytes_accessed=(b * (4 * tqp + 4 * tkp) * d * q.dtype.itemsize),
+            transcendentals=b * num_heads * tqp * tkp),
+        interpret=interpret,
+    )(qp, kvp, gp)
+    return dq[:, :tq, :], dkv[:, :tk, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def fused_attention_qkv_cp(q, kv, num_heads: int, valid_len: int,
+                           interpret: bool = False):
+    """Rectangular fused attention for sequence parallelism: local query
+    block vs the full gathered key/value set."""
+    return _forward_cp(q, kv, num_heads, valid_len, interpret)
+
+
+def _cp_fwd(q, kv, num_heads, valid_len, interpret):
+    return _forward_cp(q, kv, num_heads, valid_len, interpret), (q, kv)
+
+
+def _cp_bwd(num_heads, valid_len, interpret, res, g):
+    q, kv = res
+    return _backward_cp(q, kv, g, num_heads, valid_len, interpret)
+
+
+fused_attention_qkv_cp.defvjp(_cp_fwd, _cp_bwd)
+
+
+def _cp_dense_reference(q, kv, num_heads: int, valid_len: int):
+    """Dense rectangular attention (test oracle for the CP kernel)."""
+    b, tq, d = q.shape
+    tk = kv.shape[1]
+    dh = d // num_heads
+    qh = q.reshape(b, tq, num_heads, dh)
+    kh = kv[..., :d].reshape(b, tk, num_heads, dh)
+    vh = kv[..., d:].reshape(b, tk, num_heads, dh)
+    scale = jnp.asarray(dh, jnp.float32) ** -0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+                        preferred_element_type=jnp.float32) * scale
+    mask = jnp.arange(tk) < valid_len
+    logits = jnp.where(mask[None, None, None, :], logits, -1e30)
+    w = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", w, vh)
+    return out.reshape(b, tq, d)
+
+
+def _sp_sharded(qkv, num_heads: int, mesh, n_seq: int, interpret: bool):
+    """Pallas attention under sequence parallelism (SURVEY §2.7 SP row —
+    provided as mesh capability beyond the reference, like PP).
+
+    The all-gather-KV flavor of context parallelism, sized for this
+    workload: tokens shard over the ``seq`` mesh axis, so LayerNorm, the
+    QKV/proj GEMMs, and the MLP are token-local (zero communication);
+    attention all-gathers only K and V (2/3 of the fused stream) along
+    the sequence ring and runs the rectangular CP kernel on the local
+    query block.  At T=197 a ring-attention schedule would trade one
+    all-gather for n_seq ppermute hops of the same total bytes — no win
+    at this scale (the kernel's own docstring: blockwise by design).
+    Differentiable: the gathered-KV cotangent reduce-scatters back
+    through the all_gather transpose; the CP kernel has a custom VJP.
+
+    The token dim pads to lcm(8, n_seq)-granularity so every local block
+    keeps the 8-sublane compute tile (197 -> 200 at n_seq in {2, 4},
+    224 at 8); padded key columns are masked at ``valid_len``, padded
+    query rows are sliced off after the shard_map."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS, SEQ_AXIS
+
+    b, t, d3 = qkv.shape
+    d = d3 // 3
+    tp = _round_up(t, 8 * n_seq)
+    _context["pallas_calls"] += 1
+
+    def local(x):                                  # [b_l, t_l, 3D]
+        q = x[..., :d]
+        kv_full = jax.lax.all_gather(x[..., d:], SEQ_AXIS, axis=1,
+                                     tiled=True)   # [b_l, tp, 2D]
+        return fused_attention_qkv_cp(q, kv_full, num_heads, t, interpret)
+
+    f = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=P(DATA_AXIS, SEQ_AXIS, None),
+        out_specs=P(DATA_AXIS, SEQ_AXIS, None), check_vma=False)
+    return f(_cp_pad(qkv, tp))[:, :t, :]
 
 
 def _dense_reference(q, k, v):

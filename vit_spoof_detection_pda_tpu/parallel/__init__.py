@@ -1,5 +1,7 @@
 """Device-mesh parallelism (new capability — the reference is strictly
-single-GPU, SURVEY.md §2.7).
+single-GPU, SURVEY.md §2.7): DP, TP (Megatron specs + head-sharded
+Pallas attention), PP (GPipe shard_map schedule), and SP (all-gather-KV
+context parallelism with a rectangular Pallas kernel).
 
 The "communication backend" is sharding annotations + XLA-compiled
 collectives over ICI (no NCCL/MPI translation): pick a mesh, annotate
@@ -9,6 +11,7 @@ shardings, let GSPMD insert all-reduces.
 from .mesh import (
     batch_spec,
     make_mesh,
+    make_seq_mesh,
     param_specs,
     shard_batch,
     shard_params,
@@ -21,7 +24,7 @@ from .pipeline import (
     unstack_block_params,
 )
 
-__all__ = ["make_mesh", "batch_spec", "param_specs", "shard_batch",
-           "shard_params", "make_pipe_mesh", "pipeline_apply",
+__all__ = ["make_mesh", "make_seq_mesh", "batch_spec", "param_specs",
+           "shard_batch", "shard_params", "make_pipe_mesh", "pipeline_apply",
            "pipe_param_specs", "stack_block_params",
            "unstack_block_params"]

@@ -22,6 +22,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+SEQ_AXIS = "seq"
 
 
 def init_multi_host(**kwargs):
@@ -51,6 +52,18 @@ def make_mesh(data: int = -1, model: int = 1,
     if data * model != n:
         raise ValueError(f"mesh {data}x{model} != {n} devices")
     return Mesh(devices.reshape(data, model), (DATA_AXIS, MODEL_AXIS))
+
+
+def make_seq_mesh(seq: int, data: int = 1, devices=None) -> Mesh:
+    """Build a (data, seq) mesh for sequence/context parallelism.
+
+    The seq axis is minor so the attention KV all-gather
+    (ops/attention.py::_sp_sharded) rides mesh-adjacent ICI links.
+    Tokens shard over ``seq``; batches still shard over ``data``."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if data * seq != devices.size:
+        raise ValueError(f"mesh {data}x{seq} != {devices.size} devices")
+    return Mesh(devices.reshape(data, seq), (DATA_AXIS, SEQ_AXIS))
 
 
 def batch_spec() -> P:
