@@ -75,9 +75,14 @@ if __name__ == "__main__":
                (512, 0), (512, 1)]   # first 128/0 is the warm-up
     for i, (B, xh) in enumerate(configs):
         tag = " (warm-up, discard)" if i == 0 else ""
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), str(B), str(xh)],
-            capture_output=True, text=True, timeout=1200)
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), str(B), str(xh)],
+                capture_output=True, text=True, timeout=1200)
+        except subprocess.TimeoutExpired:
+            print(f"B={B:4d} xhat_mlp={xh}: FAILED (timeout 1200s)",
+                  flush=True)
+            continue
         for line in r.stdout.splitlines():
             if line.startswith("B="):
                 print(line + tag, flush=True)

@@ -68,9 +68,14 @@ if __name__ == "__main__":
     configs = [(128, 1), (128, 1), (128, 4)]   # first is the warm-up
     for i, (B, acc) in enumerate(configs):
         tag = " (warm-up, discard)" if i == 0 else ""
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), str(B), str(acc)],
-            capture_output=True, text=True, timeout=1200)
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), str(B), str(acc)],
+                capture_output=True, text=True, timeout=1200)
+        except subprocess.TimeoutExpired:
+            print(f"B={B:4d} accum={acc}: FAILED (timeout 1200s)",
+                  flush=True)
+            continue
         for line in r.stdout.splitlines():
             if line.startswith("B="):
                 print(line + tag, flush=True)

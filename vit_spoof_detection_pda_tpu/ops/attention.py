@@ -827,9 +827,9 @@ def _sp_sharded(qkv, num_heads: int, mesh, n_seq: int, interpret: bool):
     Differentiable: the gathered-KV cotangent reduce-scatters back
     through the all_gather transpose; the CP kernel has a custom VJP.
 
-    The token dim pads to lcm(8, n_seq)-granularity so every local block
-    keeps the 8-sublane compute tile (197 -> 200 at n_seq in {2, 4},
-    224 at 8); padded key columns are masked at ``valid_len``, padded
+    The token dim pads to an (8 * n_seq) multiple so every local block
+    keeps the 8-sublane compute tile (197 -> 208 at n_seq=2, 224 at 4,
+    256 at 8); padded key columns are masked at ``valid_len``, padded
     query rows are sliced off after the shard_map."""
     from jax.sharding import PartitionSpec as P
 

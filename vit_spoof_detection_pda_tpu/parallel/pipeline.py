@@ -58,6 +58,10 @@ def make_pipe_mesh(pipe: int, data: int = 1, devices=None) -> Mesh:
     return Mesh(devices.reshape(data, pipe), (DATA_AXIS, PIPE_AXIS))
 
 
+def _is_block_key(k: str) -> bool:
+    return k.startswith("block") and k[5:].isdigit()
+
+
 def stack_block_params(vit_params: dict, depth: int):
     """Split a ViT param dict into (stacked_blocks, rest).
 
@@ -66,8 +70,7 @@ def stack_block_params(vit_params: dict, depth: int):
     embed, cls/pos, final norm), untouched."""
     blocks = [vit_params[f"block{i}"] for i in range(depth)]
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
-    rest = {k: v for k, v in vit_params.items()
-            if not (k.startswith("block") and k[5:].isdigit())}
+    rest = {k: v for k, v in vit_params.items() if not _is_block_key(k)}
     return stacked, rest
 
 
@@ -216,9 +219,12 @@ def pipe_param_specs(params, depth: int):
     stacked tree has block0's pytree structure with a leading layer dim
     on every leaf, so no stacked copy is materialized here."""
     vit_params = params["vit"]
+    n_blocks = sum(1 for k in vit_params if _is_block_key(k))
+    if n_blocks != depth:
+        raise ValueError(f"param tree has {n_blocks} encoder blocks, "
+                         f"expected depth={depth}")
     stacked_spec = jax.tree.map(lambda _: P(PIPE_AXIS),
                                 vit_params["block0"])
-    rest = {k: v for k, v in vit_params.items()
-            if not (k.startswith("block") and k[5:].isdigit())}
+    rest = {k: v for k, v in vit_params.items() if not _is_block_key(k)}
     rest_spec = jax.tree.map(lambda _: P(), rest)
     return stacked_spec, rest_spec
