@@ -10,11 +10,13 @@ shardings, let GSPMD insert all-reduces.
 
 from .mesh import (
     batch_spec,
+    fsdp_param_specs,
     make_mesh,
     make_seq_mesh,
     param_specs,
     shard_batch,
     shard_params,
+    shard_params_fsdp,
 )
 from .pipeline import (
     make_pipe_mesh,
@@ -25,6 +27,7 @@ from .pipeline import (
 )
 
 __all__ = ["make_mesh", "make_seq_mesh", "batch_spec", "param_specs",
-           "shard_batch", "shard_params", "make_pipe_mesh", "pipeline_apply",
+           "shard_batch", "shard_params", "fsdp_param_specs",
+           "shard_params_fsdp", "make_pipe_mesh", "pipeline_apply",
            "pipe_param_specs", "stack_block_params",
            "unstack_block_params"]

@@ -119,6 +119,43 @@ def shard_params(params, mesh: Mesh):
         params, specs)
 
 
+def fsdp_param_specs(params, n_data: int, min_size: int = 2 ** 16):
+    """Fully-sharded-data-parallel (ZeRO-3-style) PartitionSpecs.
+
+    Each leaf shards its LARGEST data-divisible axis over ``data``; tiny
+    leaves (< ``min_size`` elements — biases, LN scales, cls token) stay
+    replicated, where sharding would only add latency-bound all-gathers.
+    Because optimizer state mirrors the param tree, initializing optax
+    on params laid out this way shards the Adam moments identically —
+    per-device parameter+optimizer memory drops ~1/n_data for the big
+    leaves, and GSPMD inserts the use-site all-gathers / grad
+    reduce-scatters (the scaling-book FSDP recipe: layout is policy,
+    collectives are compiler-derived).  Capability beyond the reference
+    (SURVEY.md §2.7 — the torch script replicates everything)."""
+
+    def spec_for(leaf):
+        if leaf.size < min_size:
+            return P()
+        dims = [(d, i) for i, d in enumerate(leaf.shape)
+                if d % n_data == 0]
+        if not dims:
+            return P()
+        _, axis = max(dims)
+        return P(*(DATA_AXIS if i == axis else None
+                   for i in range(leaf.ndim)))
+
+    return jax.tree.map(spec_for, params)
+
+
+def shard_params_fsdp(params, mesh: Mesh, min_size: int = 2 ** 16):
+    """Device-put a parameter tree in the FSDP layout."""
+    n_data = dict(zip(mesh.axis_names, mesh.devices.shape))[DATA_AXIS]
+    specs = fsdp_param_specs(params, n_data, min_size)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, specs)
+
+
 def shard_batch(batch, mesh: Mesh):
     """Device-put a host batch sharded over the data axis."""
     sharding = NamedSharding(mesh, batch_spec())
