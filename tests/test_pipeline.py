@@ -153,3 +153,18 @@ def test_pipe_param_specs(setup):
                                                module.depth)
     assert all(s == P("pipe") for s in jax.tree.leaves(stacked_spec))
     assert all(s == P() for s in jax.tree.leaves(rest_spec))
+
+
+def test_forward_equivalence_flagship_depth():
+    """Production depth: 12 encoder layers over 4 stages (3 layers per
+    stage-local scan) — the flagship ViT-B partitioning shape, tiny
+    widths."""
+    module = tiny_model(depth=12)
+    x = make_inputs(b=8)
+    variables = module.init(jax.random.PRNGKey(1), x)
+    ref = module.apply(variables, x)
+    mesh = make_pipe_mesh(4, data=2)
+    got = jax.jit(lambda v, im: pipeline_apply(
+        module, v, im, mesh, microbatches=4))(variables, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
