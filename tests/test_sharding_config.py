@@ -1,0 +1,132 @@
+"""Config -> parallelism wiring.
+
+``ShardingConfig`` must actually drive the Trainer: mesh construction
+(``parallel.mesh_from_config``), the TP/FSDP parameter layouts, and the
+SP mesh — all reachable from a plain ``Config`` with no library-level
+mesh plumbing by the caller (the reference is single-device,
+train_advanced.py:85; the mesh is this framework's new capability,
+SURVEY.md §2.7).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import PartitionSpec as P
+
+from vit_spoof_detection_pda_tpu.config import Config
+from vit_spoof_detection_pda_tpu.models.vit import ViTAntiSpoof
+from vit_spoof_detection_pda_tpu.parallel import mesh_from_config
+from vit_spoof_detection_pda_tpu.train import Trainer
+
+
+def _tiny_vit():
+    return ViTAntiSpoof(patch_size=8, embed_dim=64, depth=2, num_heads=2,
+                        hidden=32)
+
+
+def _synthetic(n=64, size=16, seed=0):
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, 2, n)
+    images = (rng.random((n, size, size, 3)).astype(np.float32)
+              + labels[:, None, None, None] * 0.8)
+    return images, labels.astype(np.int32)
+
+
+def _sharding(overrides):
+    return Config().with_overrides(
+        {f"sharding.{k}": v for k, v in overrides.items()}).sharding
+
+
+def test_mesh_from_config_shapes():
+    m = mesh_from_config(_sharding({}))
+    assert m.devices.shape == (8, 1)
+    assert m.axis_names == ("data", "model")
+
+    m = mesh_from_config(_sharding({"model_parallel": 2}))
+    assert m.devices.shape == (4, 2)
+
+    m = mesh_from_config(_sharding({"data_parallel": 2,
+                                    "model_parallel": 4}))
+    assert m.devices.shape == (2, 4)
+
+    m = mesh_from_config(_sharding({"seq_parallel": 4}))
+    assert m.axis_names == ("data", "seq")
+    assert m.devices.shape == (2, 4)
+
+
+def test_mesh_from_config_rejects_bad_layouts():
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        mesh_from_config(_sharding({"model_parallel": 2,
+                                    "seq_parallel": 2}))
+    with pytest.raises(ValueError):
+        mesh_from_config(_sharding({"data_parallel": 3,
+                                    "model_parallel": 2}))
+    with pytest.raises(ValueError):
+        mesh_from_config(_sharding({"seq_parallel": 3}))
+
+
+def _fit_with(sharding_overrides, tmp_path, seed=0):
+    images, labels = _synthetic(64, seed=seed)
+    bs = 32
+
+    def train_batches(epoch):
+        for i in range(0, len(images), bs):
+            yield {"image": images[i:i + bs], "label": labels[i:i + bs]}
+
+    def val_batches():
+        yield {"image": images[:bs], "label": labels[:bs]}
+
+    cfg = Config().with_overrides({
+        "optim.num_epochs": 2,
+        "optim.learning_rate": 1e-2,
+        "data.img_size": 16,
+        "telemetry.log_interval": 100,
+        **{f"sharding.{k}": v for k, v in sharding_overrides.items()},
+    })
+    trainer = Trainer(cfg, _tiny_vit(),
+                      train_batches=train_batches, val_batches=val_batches,
+                      steps_per_epoch=len(images) // bs)
+    best = trainer.fit()
+    return trainer, best
+
+
+def test_trainer_builds_tp_mesh_and_layout_from_config(tmp_path):
+    trainer, best = _fit_with({"model_parallel": 2}, tmp_path)
+    assert trainer.mesh.devices.shape == (4, 2)
+    qkv = trainer.state.params["vit"]["block0"]["attn"]["qkv"]["kernel"]
+    assert qkv.sharding.spec == P(None, "model")
+    # the Adam moments inherit the layout (tx.init ran on the laid-out tree)
+    mus = [x for x in jax.tree.leaves(trainer.state.opt_state)
+           if hasattr(x, "sharding") and x.shape == qkv.shape]
+    assert mus and all(m.sharding.spec == P(None, "model") for m in mus)
+    assert np.isfinite(best["val_f1"])
+
+
+def test_trainer_builds_fsdp_layout_from_config(tmp_path):
+    trainer, best = _fit_with({"fsdp": True, "fsdp_min_size": 1024},
+                              tmp_path)
+    assert trainer.mesh.devices.shape == (8, 1)
+    fc1 = trainer.state.params["vit"]["block0"]["mlp"]["fc1"]["kernel"]
+    assert not fc1.sharding.is_fully_replicated
+    assert np.isfinite(best["val_f1"])
+
+
+def test_trainer_builds_sp_mesh_from_config(tmp_path):
+    trainer, best = _fit_with({"seq_parallel": 2}, tmp_path)
+    assert trainer.mesh.axis_names == ("data", "seq")
+    assert trainer.mesh.devices.shape == (4, 2)
+    assert np.isfinite(best["val_f1"])
+
+
+def test_layouts_agree_on_first_val_metrics(tmp_path):
+    """The same config trained under DP / TP / FSDP layouts must land in
+    the same place (layout is an execution detail, not a model change)."""
+    results = {}
+    for name, ov in [("dp", {}), ("tp", {"model_parallel": 2}),
+                     ("fsdp", {"fsdp": True, "fsdp_min_size": 1024})]:
+        _, best = _fit_with(ov, tmp_path, seed=1)
+        results[name] = best["val_f1"]
+    base = results["dp"]
+    for name, v in results.items():
+        assert v == pytest.approx(base, abs=0.05), results

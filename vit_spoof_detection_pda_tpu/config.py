@@ -231,12 +231,25 @@ class TrainAugConfig(_Base):
 
 @dataclass(frozen=True)
 class ShardingConfig(_Base):
-    """Device-mesh layout (new capability; reference is single-device)."""
+    """Device-mesh layout (new capability; reference is single-device).
+
+    Consumed by ``parallel.mesh_from_config`` and the Trainer:
+    ``model_parallel > 1`` builds a (data, model) mesh and lays the
+    parameters out with the Megatron TP specs; ``seq_parallel > 1``
+    builds a (data, seq) mesh (attention dispatches to the
+    all-gather-KV context-parallel kernel); ``fsdp=True`` shards each
+    large parameter leaf (and thus the Adam moments) over the data
+    axis, ZeRO-3-style.  model/seq parallelism are mutually exclusive;
+    fsdp composes with pure DP only.
+    """
 
     data_axis: str = "data"
     model_axis: str = "model"
-    data_parallel: int = -1                    # -1: all devices on data axis
-    model_parallel: int = 1
+    data_parallel: int = -1                    # -1: all remaining devices
+    model_parallel: int = 1                    # tensor-parallel axis size
+    seq_parallel: int = 1                      # sequence/context-parallel
+    fsdp: bool = False                         # ZeRO-3 param/opt layout
+    fsdp_min_size: int = 2 ** 16               # leaves below stay replicated
 
 
 @dataclass(frozen=True)

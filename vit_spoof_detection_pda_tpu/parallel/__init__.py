@@ -13,6 +13,7 @@ from .mesh import (
     fsdp_param_specs,
     make_mesh,
     make_seq_mesh,
+    mesh_from_config,
     param_specs,
     shard_batch,
     shard_params,
@@ -26,7 +27,8 @@ from .pipeline import (
     unstack_block_params,
 )
 
-__all__ = ["make_mesh", "make_seq_mesh", "batch_spec", "param_specs",
+__all__ = ["make_mesh", "make_seq_mesh", "mesh_from_config", "batch_spec",
+           "param_specs",
            "shard_batch", "shard_params", "fsdp_param_specs",
            "shard_params_fsdp", "make_pipe_mesh", "pipeline_apply",
            "pipe_param_specs", "stack_block_params",

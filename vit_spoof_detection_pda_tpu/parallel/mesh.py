@@ -66,6 +66,33 @@ def make_seq_mesh(seq: int, data: int = 1, devices=None) -> Mesh:
     return Mesh(devices.reshape(data, seq), (DATA_AXIS, SEQ_AXIS))
 
 
+def mesh_from_config(sharding_cfg, devices=None) -> Mesh:
+    """Build the training mesh a ``config.ShardingConfig`` describes.
+
+    ``model_parallel > 1`` -> (data, model) mesh; ``seq_parallel > 1``
+    -> (data, seq) mesh (mutually exclusive — the attention dispatch
+    keys on the axis name, ops/attention.py::attention_sharding);
+    otherwise all devices land on the data axis.  ``data_parallel=-1``
+    means "all remaining devices" in every case.
+    """
+    model = int(getattr(sharding_cfg, "model_parallel", 1))
+    seq = int(getattr(sharding_cfg, "seq_parallel", 1))
+    data = int(getattr(sharding_cfg, "data_parallel", -1))
+    if model > 1 and seq > 1:
+        raise ValueError(
+            f"model_parallel={model} and seq_parallel={seq} are mutually "
+            "exclusive (one secondary mesh axis)")
+    if seq > 1:
+        if data == -1:
+            n = np.asarray(devices if devices is not None
+                           else jax.devices()).size
+            if n % seq:
+                raise ValueError(f"{n} devices not divisible by seq={seq}")
+            data = n // seq
+        return make_seq_mesh(seq, data, devices)
+    return make_mesh(data, model, devices)
+
+
 def batch_spec() -> P:
     """Batches shard their leading dim over the data axis."""
     return P(DATA_AXIS)

@@ -26,7 +26,9 @@ import numpy as np
 from ..config import Config
 from ..metrics import device as dmetrics
 from ..ops import losses
-from ..parallel import make_mesh, shard_batch
+from ..parallel import (mesh_from_config, shard_batch, shard_params,
+                        shard_params_fsdp)
+from ..parallel.mesh import MODEL_AXIS
 from ..utils.checkpoint import CheckpointManager
 from ..utils.telemetry import MetricLogger
 from .early_stop import EarlyStopping
@@ -53,7 +55,8 @@ class Trainer:
         self.train_batches = train_batches
         self.val_batches = val_batches
         self.steps_per_epoch = steps_per_epoch
-        self.mesh = mesh if mesh is not None else make_mesh()
+        self.mesh = (mesh if mesh is not None
+                     else mesh_from_config(config.sharding))
         self.logger = logger or MetricLogger(
             jsonl_path=config.telemetry.jsonl_path,
             wandb_project=config.telemetry.wandb_project,
@@ -92,6 +95,24 @@ class Trainer:
         self.state = create_train_state(
             module, tx, rng, input_shape=(1, size, size, 3),
             variables=variables)
+        if self.mesh.devices.size > 1:
+            # apply the configured parameter layout up front so the Adam
+            # moments (tx.init on the laid-out tree) inherit it and GSPMD
+            # derives the use-site collectives from the state's shardings
+            # (the train step's in_shardings for the state are inherited)
+            axis_sizes = dict(zip(self.mesh.axis_names,
+                                  self.mesh.devices.shape))
+            laid_out = None
+            if axis_sizes.get(MODEL_AXIS, 1) > 1:
+                laid_out = shard_params(self.state.params, self.mesh)
+            elif getattr(config.sharding, "fsdp", False):
+                laid_out = shard_params_fsdp(
+                    self.state.params, self.mesh,
+                    min_size=getattr(config.sharding, "fsdp_min_size",
+                                     2 ** 16))
+            if laid_out is not None:
+                self.state = self.state.replace(
+                    params=laid_out, opt_state=tx.init(laid_out))
         if getattr(config.model, "fused_train_forward", False):
             from ..models.fasttrain import fast_apply_available, make_apply
             if fast_apply_available(module, self.mesh):
