@@ -369,3 +369,60 @@ def test_checkpoint_stale_purge_vs_branch_resume(tmp_path):
     assert step == 2 and metrics["val_f1"] == 0.2
     jax.tree.map(np.testing.assert_array_equal, variables["params"],
                  fresh.params)
+
+
+def test_checkpoint_async_save_roundtrip(tmp_path):
+    """async_save=True must not change on-disk semantics: saves return
+    immediately, training continues on mutated state, and every read
+    path (latest/best/restore/metrics) drains the pending write first."""
+    from vit_spoof_detection_pda_tpu.utils.checkpoint import (
+        CheckpointManager, load_checkpoint_bundle)
+
+    module = TinyNet()
+    tx = make_optimizer(1e-2)
+    state = create_train_state(module, tx, jax.random.PRNGKey(0),
+                               input_shape=(1, 16, 16, 3))
+    step_fn = make_train_step(losses.make_loss_fn("ce"), donate=False)
+    images, labels = _synthetic(64)
+    batch = {"image": jnp.asarray(images), "label": jnp.asarray(labels)}
+    state, _ = step_fn(state, batch)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), async_save=True)
+    assert mgr.save(int(state.step), state, metrics={"val_f1": 0.5})
+    saved_params = jax.tree.map(np.asarray, state.params)
+    # keep training while the write is (possibly) still in flight
+    for _ in range(4):
+        state, _ = step_fn(state, batch)
+    assert mgr.save(int(state.step), state, metrics={"val_f1": 0.7})
+
+    assert mgr.latest_step() == 5          # drains the pending write
+    assert mgr.best_step() == 5
+    fresh = create_train_state(module, tx, jax.random.PRNGKey(1),
+                               input_shape=(1, 16, 16, 3))
+    restored = mgr.restore(fresh, step=1)
+    # the step-1 checkpoint must hold the state AT save time, not the
+    # mutated tree the loop kept training on
+    jax.tree.map(np.testing.assert_array_equal,
+                 restored.params, saved_params)
+    assert mgr.restore_metrics(5)["val_f1"] == 0.7
+    mgr.close()
+
+    variables, step, metrics = load_checkpoint_bundle(str(tmp_path / "ckpt"))
+    assert step == 5 and metrics["val_f1"] == 0.7
+
+
+def test_checkpoint_async_overwrite_drains_pending(tmp_path):
+    """The fresh-run/overwrite path deletes existing steps — with a
+    pending async write it must drain first instead of racing it."""
+    from vit_spoof_detection_pda_tpu.utils.checkpoint import CheckpointManager
+
+    module = TinyNet()
+    tx = make_optimizer(1e-2)
+    state = create_train_state(module, tx, jax.random.PRNGKey(0),
+                               input_shape=(1, 16, 16, 3))
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), async_save=True)
+    assert mgr.save(3, state, metrics={"val_f1": 0.3})
+    # immediate same-step overwrite while the first write may be in flight
+    assert mgr.save(3, state, metrics={"val_f1": 0.4})
+    assert mgr.restore_metrics(3)["val_f1"] == 0.4
+    mgr.close()

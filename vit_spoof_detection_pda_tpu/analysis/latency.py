@@ -111,6 +111,44 @@ def benchmark_throughput(module, variables, *, batch_size: int = 128,
     }
 
 
+def benchmark_device_latency(infer, variables, *, batch_size: int = 1,
+                             img_size: int = 224, n1: int = 200,
+                             repeats: int = 3) -> dict:
+    """Steady-state per-execution device latency at a given batch size.
+
+    The reference's 5.43 ms / 184 FPS headline (additional_analysis.py:
+    184-315, results/inference_time_benchmark.json) is a bs=1 wall-clock
+    protocol.  On this platform wall-clock includes the axon relay's
+    ~37 ms round trip, which measures the tunnel, not the model — so the
+    per-image number uses the relay-correct differenced protocol
+    (BENCH_NOTES.md): enqueue N then 3N executions, bound each with one
+    scalar fetch, per-exec = (t(3N)-t(N))/(2N).  On a directly-attached
+    TPU the same protocol is simply a steady-state measurement.
+    """
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    batch = jnp.asarray(rng.integers(
+        0, 256, (batch_size, img_size, img_size, 3), dtype=np.uint8))
+    out = infer(variables, batch)
+    np.asarray(out["prob1"])                     # compile + warm
+
+    def run(n):
+        t0 = time.perf_counter()
+        outs = [infer(variables, batch) for _ in range(n)]
+        np.asarray(outs[-1]["prob1"])
+        return time.perf_counter() - t0
+
+    times = []
+    for _ in range(repeats):
+        t1, t2 = run(n1), run(3 * n1)
+        times.append((t2 - t1) / (2 * n1))
+    ms = float(np.median(times)) * 1000.0
+    return {"batch_size": batch_size, "ms_per_exec": ms,
+            "ms_per_image": ms / batch_size,
+            "images_per_second": 1000.0 * batch_size / ms}
+
+
 def benchmark_models(model_builders: Dict[str, callable],
                      records: Sequence[Record], *, output_dir: str,
                      n_images: int = 100, batch_size: int = 128,

@@ -190,6 +190,7 @@ class CheckpointConfig(_Base):
     save_every_epochs: int = 10                # train_advanced.py:667-672
     keep_best_by: str = "val_f1"
     max_to_keep: int = 3
+    async_save: bool = False                   # background-thread writes
 
 
 @dataclass(frozen=True)

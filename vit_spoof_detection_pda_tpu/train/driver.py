@@ -170,7 +170,8 @@ def _run_training(cfg: Config, train_batches, val_recs, steps, counts,
         cfg.checkpoint.save_dir,
         max_to_keep=cfg.checkpoint.max_to_keep,
         best_metric=cfg.checkpoint.keep_best_by,
-        save_every_epochs=cfg.checkpoint.save_every_epochs)
+        save_every_epochs=cfg.checkpoint.save_every_epochs,
+        async_save=getattr(cfg.checkpoint, "async_save", False))
 
     trainer = Trainer(
         cfg, module,

@@ -29,17 +29,25 @@ log = logging.getLogger(__name__)
 class CheckpointManager:
     def __init__(self, directory: str, *, max_to_keep: int = 3,
                  best_metric: str = "val_f1", best_mode: str = "max",
-                 save_every_epochs: int = 10):
+                 save_every_epochs: int = 10, async_save: bool = False):
+        """``async_save=True`` writes checkpoints on a background thread:
+        ``save()`` returns as soon as the state is snapshotted off-device
+        and training continues while serialization/IO runs (a full
+        ViT-B/16 TrainState is ~1 GB of params+moments — seconds of
+        blocked train loop per save otherwise).  ``close()`` and any
+        save that must first inspect/delete existing steps drain the
+        pending write, so on-disk state is always consistent."""
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self.best_metric = best_metric
         self.best_mode = best_mode
         self.save_every_epochs = save_every_epochs
+        self.async_save = async_save
         options = ocp.CheckpointManagerOptions(
             max_to_keep=max_to_keep,
             best_fn=(lambda m: m.get(best_metric, -np.inf)),
             best_mode=best_mode,
-            enable_async_checkpointing=False,
+            enable_async_checkpointing=async_save,
         )
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
 
@@ -55,6 +63,11 @@ class CheckpointManager:
         save at or below the directory's latest step is FORCED: orbax's
         should_save() silently rejects non-monotonic steps, which would
         otherwise skip the save (after a delete, that is data loss)."""
+        if self.async_save:
+            # the non-monotonic/overwrite handling below inspects and may
+            # delete existing steps — racing a pending background write
+            # there could delete a checkpoint mid-flight
+            self._mgr.wait_until_finished()
         latest = self._mgr.latest_step()
         if latest is not None and step <= latest:
             if step in self._mgr.all_steps():
@@ -97,18 +110,31 @@ class CheckpointManager:
             metrics={k: _py(v) for k, v in (metrics or {}).items()},
             force=force,
         )
-        self._mgr.wait_until_finished()
+        if not self.async_save:
+            self._mgr.wait_until_finished()
         return saved
 
     # -- restore ------------------------------------------------------------
 
+    def wait_until_finished(self):
+        """Drain any pending background write (no-op when synchronous)."""
+        self._mgr.wait_until_finished()
+
     def latest_step(self) -> Optional[int]:
+        self._drain()
         return self._mgr.latest_step()
 
     def best_step(self) -> Optional[int]:
+        self._drain()
         return self._mgr.best_step()
 
+    def _drain(self):
+        # reads must see the async write that save() already acknowledged
+        if self.async_save:
+            self._mgr.wait_until_finished()
+
     def restore(self, state, step: Optional[int] = None):
+        self._drain()
         """Restore into an existing TrainState template (shapes/dtypes and
         the non-pytree fields — apply_fn, tx — come from the template)."""
         if step is None:
@@ -133,6 +159,7 @@ class CheckpointManager:
             rng=t["rng"], batch_stats=t.get("batch_stats"))
 
     def restore_metrics(self, step: Optional[int] = None) -> dict:
+        self._drain()
         if step is None:
             step = self._mgr.latest_step()
         out = self._mgr.restore(
