@@ -144,6 +144,18 @@ def test_benchmark_cli_smoke(tmp_path):
     assert out["batch_size"] == 4
 
 
+def test_benchmark_cli_device_latency(tmp_path):
+    """--device-latency runs the differenced per-exec protocol end-to-end
+    (bs=1 is the reference's single-image headline protocol)."""
+    from vit_spoof_detection_pda_tpu.cli.benchmark import main
+    out = main(["--model", "SigNet_F", "--batch-size", "1",
+                "--device-latency", "--n1", "3",
+                "--set", "data.img_size=64"])
+    assert out["batch_size"] == 1
+    assert out["ms_per_image"] == out["ms_per_exec"]
+    assert out["images_per_second"] > 0
+
+
 def test_reference_quirk_figures_and_publication_style(results_tree,
                                                        tmp_path):
     """Fig5/6 replicas (frr-as-APCER quirk, generate_figures.py:158-161)

@@ -8,7 +8,7 @@ import json
 
 import jax.numpy as jnp
 
-from ..analysis.latency import benchmark_throughput
+from ..analysis.latency import benchmark_device_latency, benchmark_throughput
 from ..models.registry import build_model
 from .common import add_config_args, resolve_config, setup_logging
 
@@ -24,6 +24,13 @@ def main(argv=None):
                         help="time the bf16 serving fast path (fused "
                              "attention-block kernels, tanh GELU, folded "
                              "normalization) — flagship ViT only")
+    parser.add_argument("--device-latency", action="store_true",
+                        help="per-execution device latency at --batch-size "
+                             "(relay-differenced; bs=1 is the reference's "
+                             "5.43 ms single-image protocol)")
+    parser.add_argument("--n1", type=int, default=200,
+                        help="differencing run length for --device-latency "
+                             "(enqueues n1 then 3*n1 executions, 3 repeats)")
     args = parser.parse_args(argv)
     setup_logging()
     cfg = resolve_config(args)
@@ -31,11 +38,30 @@ def main(argv=None):
     module, variables = build_model(
         args.model, checkpoint_path=cfg.eval.checkpoint_path,
         dtype=jnp.bfloat16)
-    out = benchmark_throughput(module, variables,
-                               batch_size=args.batch_size,
-                               img_size=cfg.data.img_size,
-                               iters=args.iters,
-                               fastserve=args.fastserve)
+    if args.device_latency:
+        import jax
+
+        from ..eval.runner import make_infer_fn
+        if args.fastserve:
+            from ..models.fastserve import serving_forward
+            from ..models.vit import fold_normalization
+            variables = fold_normalization(variables)
+
+            @jax.jit
+            def infer(v, batch_u8):
+                return {"prob1": serving_forward(v["params"], batch_u8)}
+        else:
+            infer = make_infer_fn(module)
+        out = benchmark_device_latency(infer, variables,
+                                       batch_size=args.batch_size,
+                                       img_size=cfg.data.img_size,
+                                       n1=args.n1)
+    else:
+        out = benchmark_throughput(module, variables,
+                                   batch_size=args.batch_size,
+                                   img_size=cfg.data.img_size,
+                                   iters=args.iters,
+                                   fastserve=args.fastserve)
     print(json.dumps(out))
     return out
 
