@@ -117,6 +117,7 @@ def test_latency_single_image(tmp_path):
     assert (tmp_path / "out" / "inference_time_comparison.csv").exists()
 
 
+@pytest.mark.slow
 def test_figures_generate_from_reference_tree(results_tree, tmp_path):
     from vit_spoof_detection_pda_tpu.analysis.figures import (
         generate_all_figures)

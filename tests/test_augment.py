@@ -271,6 +271,7 @@ def test_batch_augmenter_compiles_and_varies_per_sample():
     assert np.abs(out[0] - out[1]).max() > 1e-4
 
 
+@pytest.mark.slow
 def test_engine_materialize_and_online(tmp_path):
     from vit_spoof_detection_pda_tpu.augment import AugmentEngine
     eng = AugmentEngine(live_augmentations=4, spoof_augmentations=2,

@@ -73,6 +73,7 @@ def test_composed_deterministic_per_key():
                               f(jax.random.PRNGKey(6)))
 
 
+@pytest.mark.slow
 def test_chains_still_batch_compile():
     from vit_spoof_detection_pda_tpu.augment import make_batch_augmenter
     batch = jnp.asarray(np.stack([_img(i, 32, 32) for i in range(4)]))

@@ -35,6 +35,7 @@ def test_augment_cli(workspace):
     assert len(list((workspace / "aug" / "spoof").glob("*.jpg"))) == 16
 
 
+@pytest.mark.slow
 def test_train_cli_tiny(workspace):
     from vit_spoof_detection_pda_tpu.cli.train import main
     best = main([

@@ -51,6 +51,7 @@ def test_online_batches_interleave(tmp_path):
     assert [g for g, _ in data.batches(1)] != groups
 
 
+@pytest.mark.slow
 def test_online_training_end_to_end(tmp_path):
     from vit_spoof_detection_pda_tpu.config import Config
     from vit_spoof_detection_pda_tpu.train.driver import train_from_config
@@ -124,6 +125,7 @@ def test_online_respects_train_aug_disabled(tmp_path):
     assert orig_images(0)
 
 
+@pytest.mark.slow
 def test_every_severity_prep_traces_under_bf16_policy():
     """Every severity group's fused prep must compile with the DEFAULT
     bf16 aug dtype (regression: the heavy tier's elastic path mixed an

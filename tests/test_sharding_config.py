@@ -119,6 +119,7 @@ def test_trainer_builds_sp_mesh_from_config(tmp_path):
     assert np.isfinite(best["val_f1"])
 
 
+@pytest.mark.slow
 def test_layouts_agree_on_first_val_metrics(tmp_path):
     """The same config trained under DP / TP / FSDP layouts must land in
     the same place (layout is an execution detail, not a model change)."""
