@@ -64,6 +64,24 @@ def test_mesh_from_config_rejects_bad_layouts():
                                     "model_parallel": 2}))
     with pytest.raises(ValueError):
         mesh_from_config(_sharding({"seq_parallel": 3}))
+    # fsdp composes with pure DP only — silently dropping it would fake
+    # its optimizer-memory saving
+    with pytest.raises(ValueError, match="fsdp"):
+        mesh_from_config(_sharding({"model_parallel": 2, "fsdp": True}))
+    with pytest.raises(ValueError, match="fsdp"):
+        mesh_from_config(_sharding({"seq_parallel": 2, "fsdp": True}))
+
+
+def test_trainer_rejects_fsdp_on_explicit_tp_mesh():
+    from vit_spoof_detection_pda_tpu.parallel import make_mesh
+
+    cfg = Config().with_overrides({"data.img_size": 16,
+                                   "sharding.fsdp": True})
+    with pytest.raises(ValueError, match="fsdp"):
+        Trainer(cfg, _tiny_vit(),
+                train_batches=lambda e: iter(()),
+                val_batches=lambda: iter(()),
+                steps_per_epoch=1, mesh=make_mesh(data=4, model=2))
 
 
 def _fit_with(sharding_overrides, tmp_path, seed=0):

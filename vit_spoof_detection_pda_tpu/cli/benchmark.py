@@ -18,7 +18,8 @@ def main(argv=None):
         description="Throughput benchmark of the flagship ViT")
     add_config_args(parser)
     parser.add_argument("--batch-size", type=int, default=128)
-    parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--iters", type=int, default=None,
+                        help="timed iterations (throughput mode; default 20)")
     parser.add_argument("--model", default="Custom_ViT_FineTuned")
     parser.add_argument("--fastserve", action="store_true",
                         help="time the bf16 serving fast path (fused "
@@ -39,6 +40,9 @@ def main(argv=None):
         args.model, checkpoint_path=cfg.eval.checkpoint_path,
         dtype=jnp.bfloat16)
     if args.device_latency:
+        if args.iters is not None:
+            parser.error("--iters applies to throughput mode only; "
+                         "--device-latency run length is --n1")
         import jax
 
         from ..eval.runner import make_infer_fn
@@ -60,7 +64,7 @@ def main(argv=None):
         out = benchmark_throughput(module, variables,
                                    batch_size=args.batch_size,
                                    img_size=cfg.data.img_size,
-                                   iters=args.iters,
+                                   iters=args.iters or 20,
                                    fastserve=args.fastserve)
     print(json.dumps(out))
     return out

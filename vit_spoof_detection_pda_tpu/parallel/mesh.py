@@ -59,10 +59,16 @@ def make_seq_mesh(seq: int, data: int = 1, devices=None) -> Mesh:
 
     The seq axis is minor so the attention KV all-gather
     (ops/attention.py::_sp_sharded) rides mesh-adjacent ICI links.
-    Tokens shard over ``seq``; batches still shard over ``data``."""
+    Tokens shard over ``seq``; batches still shard over ``data``.
+    ``data=-1`` -> all remaining devices (same convention as make_mesh)."""
     devices = np.asarray(devices if devices is not None else jax.devices())
-    if data * seq != devices.size:
-        raise ValueError(f"mesh {data}x{seq} != {devices.size} devices")
+    n = devices.size
+    if data == -1:
+        if n % seq:
+            raise ValueError(f"{n} devices not divisible by seq={seq}")
+        data = n // seq
+    if data * seq != n:
+        raise ValueError(f"mesh {data}x{seq} != {n} devices")
     return Mesh(devices.reshape(data, seq), (DATA_AXIS, SEQ_AXIS))
 
 
@@ -78,17 +84,18 @@ def mesh_from_config(sharding_cfg, devices=None) -> Mesh:
     model = int(getattr(sharding_cfg, "model_parallel", 1))
     seq = int(getattr(sharding_cfg, "seq_parallel", 1))
     data = int(getattr(sharding_cfg, "data_parallel", -1))
+    fsdp = bool(getattr(sharding_cfg, "fsdp", False))
     if model > 1 and seq > 1:
         raise ValueError(
             f"model_parallel={model} and seq_parallel={seq} are mutually "
             "exclusive (one secondary mesh axis)")
+    if fsdp and (model > 1 or seq > 1):
+        # silently dropping fsdp would leave the user believing the ~1/n
+        # optimizer-memory saving is active
+        raise ValueError(
+            "fsdp composes with pure data parallelism only (got "
+            f"model_parallel={model}, seq_parallel={seq})")
     if seq > 1:
-        if data == -1:
-            n = np.asarray(devices if devices is not None
-                           else jax.devices()).size
-            if n % seq:
-                raise ValueError(f"{n} devices not divisible by seq={seq}")
-            data = n // seq
         return make_seq_mesh(seq, data, devices)
     return make_mesh(data, model, devices)
 

@@ -57,12 +57,20 @@ def make_optimizer(learning_rate, *, weight_decay: float = 0.05,
 
 
 def create_train_state(module, tx, rng, input_shape=(1, 224, 224, 3),
-                       variables=None):
-    """Initialize (or adopt converted) variables into a TrainState."""
+                       variables=None, param_layout=None):
+    """Initialize (or adopt converted) variables into a TrainState.
+
+    ``param_layout(params) -> params`` applies a device layout (TP/FSDP
+    sharding) BEFORE ``tx.init`` so the optimizer moments are created
+    directly in that layout — initializing them replicated first and
+    re-initializing after would transiently hold a second full set of
+    Adam moments (~0.7 GB for ViT-B/16) on the default device."""
     init_rng, state_rng = jax.random.split(rng)
     if variables is None:
         variables = module.init(init_rng, jnp.zeros(input_shape, jnp.float32))
     params = variables["params"]
+    if param_layout is not None:
+        params = param_layout(params)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,

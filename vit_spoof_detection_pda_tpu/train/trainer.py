@@ -92,27 +92,34 @@ class Trainer:
 
         rng = jax.random.PRNGKey(config.seed)
         size = config.data.img_size
-        self.state = create_train_state(
-            module, tx, rng, input_shape=(1, size, size, 3),
-            variables=variables)
+        # configured parameter layout, applied INSIDE create_train_state
+        # (before tx.init) so the Adam moments are born in the layout and
+        # GSPMD derives the use-site collectives from the state's
+        # shardings (the train step's in_shardings for the state are
+        # inherited); a replicated init + re-init would transiently
+        # double the optimizer memory on device 0
+        param_layout = None
         if self.mesh.devices.size > 1:
-            # apply the configured parameter layout up front so the Adam
-            # moments (tx.init on the laid-out tree) inherit it and GSPMD
-            # derives the use-site collectives from the state's shardings
-            # (the train step's in_shardings for the state are inherited)
             axis_sizes = dict(zip(self.mesh.axis_names,
                                   self.mesh.devices.shape))
-            laid_out = None
+            fsdp = getattr(config.sharding, "fsdp", False)
             if axis_sizes.get(MODEL_AXIS, 1) > 1:
-                laid_out = shard_params(self.state.params, self.mesh)
-            elif getattr(config.sharding, "fsdp", False):
-                laid_out = shard_params_fsdp(
-                    self.state.params, self.mesh,
+                if fsdp:
+                    # mesh_from_config rejects this; guard explicit meshes
+                    # too — silently dropping fsdp would fake its memory
+                    # saving
+                    raise ValueError(
+                        "fsdp composes with pure data parallelism only "
+                        "(mesh has a model axis > 1)")
+                param_layout = lambda p: shard_params(p, self.mesh)
+            elif fsdp:
+                param_layout = lambda p: shard_params_fsdp(
+                    p, self.mesh,
                     min_size=getattr(config.sharding, "fsdp_min_size",
                                      2 ** 16))
-            if laid_out is not None:
-                self.state = self.state.replace(
-                    params=laid_out, opt_state=tx.init(laid_out))
+        self.state = create_train_state(
+            module, tx, rng, input_shape=(1, size, size, 3),
+            variables=variables, param_layout=param_layout)
         if getattr(config.model, "fused_train_forward", False):
             from ..models.fasttrain import fast_apply_available, make_apply
             if fast_apply_available(module, self.mesh):
@@ -193,6 +200,10 @@ class Trainer:
                 log.info("early stopping at epoch %d (best %.4f @ %d)",
                          epoch, stopper.best_score, best["epoch"])
                 break
+        if self.checkpoints:
+            # async_save: the last save may still be writing — fit() must
+            # not return before the checkpoint a caller will read exists
+            self.checkpoints.wait_until_finished()
         return best
 
     # ------------------------------------------------------------------

@@ -134,9 +134,9 @@ class CheckpointManager:
             self._mgr.wait_until_finished()
 
     def restore(self, state, step: Optional[int] = None):
-        self._drain()
         """Restore into an existing TrainState template (shapes/dtypes and
         the non-pytree fields — apply_fn, tx — come from the template)."""
+        self._drain()
         if step is None:
             step = self._mgr.latest_step()
         if step is None:
