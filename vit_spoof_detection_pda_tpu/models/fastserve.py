@@ -131,6 +131,12 @@ def serving_forward(params, batch, *, num_heads: int = 12,
                    + mlp["fc2"]["bias"].astype(jnp.float32)).astype(dtype)
             x = x + out
 
+    return _cls_head_scores(params, x, norm_eps=norm_eps, dtype=dtype)
+
+
+def _cls_head_scores(params, x, *, norm_eps: float, dtype):
+    """Final LN on the CLS row + anti-spoof head -> P(live) scores [B]."""
+    vit = params["vit"]
     # only the CLS row feeds the head; LN is row-local
     x = _layernorm(x[:, :1], vit["norm"], norm_eps)[:, 0]
 
@@ -144,6 +150,42 @@ def serving_forward(params, batch, *, num_heads: int = 12,
                       preferred_element_type=jnp.float32)
               + head["fc2"]["bias"])
     return jax.nn.sigmoid(logits[:, 1] - logits[:, 0])
+
+
+def prepare_lowlat(params, *, depth: int = 12, dtype=jnp.bfloat16):
+    """Pack a (normalization-folded) param tree for the single-kernel
+    latency path.  Run ONCE outside the serving jit; the result feeds
+    :func:`serving_forward_lowlat`."""
+    from ..ops.lowlat import pack_encoder_weights
+
+    w, s = pack_encoder_weights(params["vit"], depth=depth, dtype=dtype)
+    return {"params": params, "packed_w": w, "packed_s": s}
+
+
+def serving_forward_lowlat(prepared, batch, *, num_heads: int = 12,
+                           patch_size: int = 16, norm_eps: float = 1e-6,
+                           dtype=jnp.bfloat16, interpret: bool = False):
+    """Small-batch latency path: the whole encoder as ONE Pallas program
+    (ops/lowlat.py — phase-gridded, weights double-buffered against the
+    residual stream held in VMEM).  Same math/dtypes as
+    :func:`serving_forward`; per-item weight re-streaming makes it the
+    B<=8 choice — batch serving stays on :func:`serving_forward`.
+
+    ``prepared``: output of :func:`prepare_lowlat`.
+    """
+    from ..ops.lowlat import encoder_forward_lowlat
+
+    params = prepared["params"]
+    x = embed_patches(params["vit"], batch, dtype=dtype,
+                      patch_size=patch_size)
+    t = x.shape[1]
+    tp = _round_up(t, 8)
+    x = jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
+    x = encoder_forward_lowlat(
+        x, prepared["packed_w"], prepared["packed_s"],
+        num_heads=num_heads, valid_len=t, eps=norm_eps,
+        interpret=interpret)
+    return _cls_head_scores(params, x, norm_eps=norm_eps, dtype=dtype)
 
 
 def serving_forward_sharded(params, batch, mesh, **kwargs):

@@ -174,6 +174,17 @@ def run_sweep(base_config: Config,
     for i in range(count):
         overrides = propose(i)
         cfg = base_config.with_overrides(overrides)
+        if hasattr(cfg, "checkpoint"):
+            # per-trial checkpoint directory: trials run sequentially
+            # in-process, and a shared save_dir would make each trial's
+            # fresh-run save purge the previous trial's checkpoints
+            # (utils/checkpoint.py stale-run semantics).  The reference
+            # disambiguates with wandb run ids in the filename
+            # (train_advanced.py:660-664); subdirectories are the
+            # native-checkpoint equivalent.
+            cfg = cfg.with_overrides({
+                "checkpoint.save_dir":
+                    f"{cfg.checkpoint.save_dir}/trial_{i:02d}"})
         metrics = train_fn(cfg)
         score = float(metrics.get(metric, float("-inf")))
         results.append(SweepResult(overrides, score, i, dict(metrics)))
