@@ -1,0 +1,207 @@
+"""Whole-encoder single-kernel serving for latency-critical (small-B)
+inference.
+
+Why: at B=1 the fastserve path (models/fastserve.py) costs 1.098 ms/img
+on the v5e, but its roofline is the ~162 MB weight stream (~0.2 ms at
+HBM rate) — the gap is ~24 per-layer kernel launches (~15 us each) plus
+weight fetches that do not overlap compute across program boundaries
+(BENCH_NOTES.md round 7).  Here the ENTIRE 12-layer encoder runs as ONE
+``pallas_call``: the grid walks ``(batch, depth * 3)`` phases
+(attention block / fc1+GELU / fc2+residual), the residual stream lives
+in the output's VMEM block across grid steps, and Mosaic double-buffers
+the per-phase weight superblock — the next phase's weights stream from
+HBM while the current phase computes, so small-batch latency approaches
+the weight-stream floor.
+
+Memory layout that makes it possible (VMEM is 16 MB; the naive
+whole-layer block of 14.2 MB cannot double-buffer):
+
+- every phase's weights pack into a UNIFORM ``[D, 4D]`` bf16 superblock
+  (4.5 MB at ViT-B, 9 MB double-buffered):
+    phase 0: ``[:, :3D]`` = W_qkv, ``[:, 3D:]`` = W_proj (3D+D = 4D);
+    phase 1: fc1 ``[D, 4D]`` exactly (mlp_ratio 4);
+    phase 2: fc2 ``[4D, D]`` packed as 4 row-chunks side by side
+      (``packed[:, cD:(c+1)D] = fc2[cD:(c+1)D, :]``) so the fc2 matmul
+      is 4 ACCUMULATING normal dots — no transposed contraction, which
+      Mosaic does not lower for this shape.
+- LN scales/biases ride a small ``[4, 4D]`` f32 block per phase.
+- the ``[Tp, 4D]`` hidden activation persists in VMEM scratch between
+  phases 1 and 2 and never reaches HBM.
+
+Numerics are the serving profile (bf16 GEMMs, f32 LN/softmax/epilogues,
+tanh GELU) — same ops as fastserve; only the fc2 accumulation order
+differs (4 chunks vs 2), so scores match within bf16 tolerance
+(tests/test_lowlat.py).
+
+This is a LATENCY mode: each batch item re-streams all weights, so
+throughput saturates around B<=8 — batch serving stays on
+models/fastserve.py (4,636 img/s at B=128).  Serving-only: no VJP.
+
+Reference counterpart: the bs=1 wall-clock protocol behind the
+published 184.16 FPS headline (additional_analysis.py:184-315).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _encoder_kernel(x_ref, w_ref, s_ref, o_ref, h_ref, *, depth: int,
+                    num_heads: int, valid_len: int, eps: float):
+    """One grid step = one phase of one layer for one batch item.
+
+    o_ref (block-constant per item) IS the residual stream: initialized
+    from x_ref at the item's first step, read+written by every phase,
+    flushed to HBM when the item finishes.  h_ref (VMEM scratch) carries
+    the hidden activation from phase 1 to phase 2."""
+    tp, d = o_ref.shape[1], o_ref.shape[2]
+    head_dim = d // num_heads
+    hidden = h_ref.shape[1]
+    i = pl.program_id(1)
+    phase = jax.lax.rem(i, 3)
+
+    @pl.when(i == 0)
+    def _init():
+        o_ref[...] = x_ref[...]
+
+    def _ln(x32, srow):
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean((x32 - mu) ** 2, axis=-1, keepdims=True)
+        xn = (x32 - mu) * jax.lax.rsqrt(var + eps)
+        return (xn * s_ref[0, srow, :d] + s_ref[0, srow + 1, :d])
+
+    @pl.when(phase == 0)
+    def _attn():
+        x = o_ref[0].astype(jnp.float32)                     # [Tp, D]
+        xn = _ln(x, 0).astype(o_ref.dtype)
+        qkv = jax.lax.dot_general(
+            xn, w_ref[0, :, :3 * d], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        qkv = (qkv + s_ref[0, 2, :3 * d]).astype(o_ref.dtype)
+        scale = float(head_dim) ** -0.5
+        col = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
+        mask = col < valid_len
+        heads = []
+        for h in range(num_heads):
+            q = qkv[:, h * head_dim:(h + 1) * head_dim]
+            k = qkv[:, d + h * head_dim:d + (h + 1) * head_dim]
+            v = qkv[:, 2 * d + h * head_dim:2 * d + (h + 1) * head_dim]
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            logits = jnp.where(mask, logits, -1e30)
+            w = jax.nn.softmax(logits, axis=-1)
+            heads.append(jnp.dot(w.astype(v.dtype), v,
+                                 preferred_element_type=jnp.float32))
+        attn_out = jnp.concatenate(heads, axis=1)
+        proj = jax.lax.dot_general(
+            attn_out.astype(o_ref.dtype), w_ref[0, :, 3 * d:4 * d],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        o_ref[0] = (x + proj + s_ref[0, 3, :d]).astype(o_ref.dtype)
+
+    @pl.when(phase == 1)
+    def _fc1():
+        x = o_ref[0].astype(jnp.float32)
+        xn = _ln(x, 0).astype(o_ref.dtype)
+        h = jax.lax.dot_general(
+            xn, w_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        h = jax.nn.gelu(h + s_ref[0, 2, :], approximate=True)
+        h_ref[...] = h.astype(h_ref.dtype)
+
+    @pl.when(phase == 2)
+    def _fc2():
+        acc = o_ref[0].astype(jnp.float32) + s_ref[0, 0, :d]
+        for c in range(hidden // d):
+            acc = acc + jax.lax.dot_general(
+                h_ref[:, c * d:(c + 1) * d], w_ref[0, :, c * d:(c + 1) * d],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def pack_encoder_weights(vit_params, *, depth: int = 12,
+                         dtype=jnp.bfloat16):
+    """Pack the per-layer encoder weights into the kernel's stacked
+    superblocks: ``(W [depth*3, D, 4D] dtype, S [depth*3, 4, 4D] f32)``.
+
+    Do this ONCE outside the serving jit (it is pure layout work); the
+    packed arrays replace the per-layer tree for
+    :func:`encoder_forward_lowlat`."""
+    blk0 = vit_params["block0"]
+    d = blk0["attn"]["qkv"]["kernel"].shape[0]
+    hidden = blk0["mlp"]["fc1"]["kernel"].shape[1]
+    if hidden != 4 * d:
+        raise ValueError(
+            f"lowlat packing needs mlp hidden == 4*embed ({hidden} != "
+            f"4*{d}) — the uniform superblock relies on 3D+D == hidden")
+    ws, ss = [], []
+    f32 = jnp.float32
+    for i in range(depth):
+        blk = vit_params[f"block{i}"]
+        # phase 0: [wqkv | wproj]
+        ws.append(jnp.concatenate(
+            [blk["attn"]["qkv"]["kernel"].astype(dtype),
+             blk["attn"]["proj"]["kernel"].astype(dtype)], axis=1))
+        s0 = jnp.zeros((4, hidden), f32)
+        s0 = s0.at[0, :d].set(blk["norm1"]["scale"].astype(f32))
+        s0 = s0.at[1, :d].set(blk["norm1"]["bias"].astype(f32))
+        s0 = s0.at[2, :3 * d].set(blk["attn"]["qkv"]["bias"].astype(f32))
+        s0 = s0.at[3, :d].set(blk["attn"]["proj"]["bias"].astype(f32))
+        ss.append(s0)
+        # phase 1: fc1
+        ws.append(blk["mlp"]["fc1"]["kernel"].astype(dtype))
+        s1 = jnp.zeros((4, hidden), f32)
+        s1 = s1.at[0, :d].set(blk["norm2"]["scale"].astype(f32))
+        s1 = s1.at[1, :d].set(blk["norm2"]["bias"].astype(f32))
+        s1 = s1.at[2, :].set(blk["mlp"]["fc1"]["bias"].astype(f32))
+        ss.append(s1)
+        # phase 2: fc2 row-chunks packed side by side
+        fc2 = blk["mlp"]["fc2"]["kernel"].astype(dtype)
+        ws.append(jnp.concatenate(
+            [fc2[c * d:(c + 1) * d, :] for c in range(hidden // d)],
+            axis=1))
+        s2 = jnp.zeros((4, hidden), f32)
+        s2 = s2.at[0, :d].set(blk["mlp"]["fc2"]["bias"].astype(f32))
+        ss.append(s2)
+    return jnp.stack(ws), jnp.stack(ss)
+
+
+def encoder_forward_lowlat(xp, w_packed, s_packed, *, num_heads: int,
+                           valid_len: int, eps: float = 1e-6,
+                           interpret: bool = False):
+    """Padded residual stream [B, Tp, D] -> [B, Tp, D] through the whole
+    packed encoder in ONE pallas_call (grid = (B, depth*3))."""
+    b, tp, d = xp.shape
+    steps, _, hidden = w_packed.shape
+    depth = steps // 3
+    kernel = functools.partial(_encoder_kernel, depth=depth,
+                               num_heads=num_heads, valid_len=valid_len,
+                               eps=eps)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, steps),
+        in_specs=[
+            pl.BlockSpec((1, tp, d), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, hidden), lambda bi, i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, hidden), lambda bi, i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tp, d), lambda bi, i: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, tp, d), xp.dtype),
+        scratch_shapes=[pltpu.VMEM((tp, hidden), xp.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * depth * tp * d * (3 * d + d + 2 * hidden)
+            + 4 * b * depth * num_heads * tp * tp * (d // num_heads),
+            bytes_accessed=b * steps * d * hidden * w_packed.dtype.itemsize,
+            transcendentals=b * depth * (num_heads * tp * tp + tp * hidden)),
+        interpret=interpret,
+    )(xp, w_packed, s_packed)
