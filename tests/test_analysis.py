@@ -157,6 +157,19 @@ def test_benchmark_cli_device_latency(tmp_path):
     assert out["images_per_second"] > 0
 
 
+def test_benchmark_cli_lowlat_validation():
+    """--lowlat composes only with --device-latency and fails fast on a
+    non-TPU backend without --interpret (same contract as --fastserve,
+    cli/common.py::validate_fastserve)."""
+    import pytest
+
+    from vit_spoof_detection_pda_tpu.cli.benchmark import main
+    with pytest.raises(SystemExit):
+        main(["--lowlat"])                      # needs --device-latency
+    with pytest.raises(SystemExit, match="interpret"):
+        main(["--lowlat", "--device-latency"])  # CPU backend, no escape
+
+
 def test_reference_quirk_figures_and_publication_style(results_tree,
                                                        tmp_path):
     """Fig5/6 replicas (frr-as-APCER quirk, generate_figures.py:158-161)

@@ -29,10 +29,29 @@ def main(argv=None):
                         help="per-execution device latency at --batch-size "
                              "(relay-differenced; bs=1 is the reference's "
                              "5.43 ms single-image protocol)")
+    parser.add_argument("--lowlat", action="store_true",
+                        help="with --device-latency: time the whole-encoder "
+                             "single-kernel latency mode (ops/lowlat.py; "
+                             "0.377 ms at bs=1 on v5e) — flagship ViT only")
+    parser.add_argument("--interpret", action="store_true",
+                        help="run --lowlat's Pallas kernel in interpret "
+                             "mode (debugging off-TPU; slow)")
     parser.add_argument("--n1", type=int, default=200,
                         help="differencing run length for --device-latency "
                              "(enqueues n1 then 3*n1 executions, 3 repeats)")
     args = parser.parse_args(argv)
+    if args.lowlat and not args.device_latency:
+        parser.error("--lowlat is a latency mode; combine with "
+                     "--device-latency (batched throughput stays on the "
+                     "per-layer --fastserve path, which wins at B>=16)")
+    if args.lowlat and not args.interpret:
+        # fail BEFORE the model load, like validate_fastserve (cli/common.py)
+        import jax
+        if jax.default_backend() != "tpu":
+            raise SystemExit(
+                "--lowlat runs a Pallas TPU kernel; on the "
+                f"'{jax.default_backend()}' backend add --interpret "
+                "(debugging mode) or drop --lowlat")
     setup_logging()
     cfg = resolve_config(args)
 
@@ -46,7 +65,18 @@ def main(argv=None):
         import jax
 
         from ..eval.runner import make_infer_fn
-        if args.fastserve:
+        if args.lowlat:
+            from ..models.fastserve import (prepare_lowlat,
+                                            serving_forward_lowlat)
+            from ..models.vit import fold_normalization
+            folded = fold_normalization(variables)
+            variables = prepare_lowlat(folded["params"])
+
+            @jax.jit
+            def infer(prepared, batch_u8):
+                return {"prob1": serving_forward_lowlat(
+                    prepared, batch_u8, interpret=args.interpret)}
+        elif args.fastserve:
             from ..models.fastserve import serving_forward
             from ..models.vit import fold_normalization
             variables = fold_normalization(variables)
