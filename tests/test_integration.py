@@ -100,6 +100,7 @@ def test_dispatcher_help(capsys):
         sys.argv = old
 
 
+@pytest.mark.slow  # consumes test_train_cli_tiny's checkpoint
 def test_test_cli_loads_orbax_checkpoint(workspace):
     """The checkpoint written by the train CLI must load through the
     test CLI (Orbax dir -> eval artifacts)."""
@@ -120,6 +121,7 @@ def test_test_cli_loads_orbax_checkpoint(workspace):
     assert any((workspace / "test_out").glob("test_metrics_*.csv"))
 
 
+@pytest.mark.slow  # consumes test_train_cli_tiny's checkpoint
 def test_export_cli_roundtrip(workspace):
     """Orbax checkpoint from the train CLI -> reference-format .pth via
     the export CLI -> torch strict-loadable state dict keyed like the

@@ -13,13 +13,23 @@ from vit_spoof_detection_pda_tpu.models.fastserve import (
     prepare_lowlat, serving_forward, serving_forward_lowlat)
 from vit_spoof_detection_pda_tpu.models.vit import (ViTAntiSpoof,
                                                     fold_normalization)
-from vit_spoof_detection_pda_tpu.ops.lowlat import pack_encoder_weights
+from vit_spoof_detection_pda_tpu.ops.lowlat import (pack_encoder_weights,
+                                                    pack_end_weights)
 
 
 def _small(depth=2, heads=2):
     m = ViTAntiSpoof(patch_size=16, embed_dim=64, depth=depth,
                      num_heads=heads, hidden=16, gelu="tanh")
     variables = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    return m, fold_normalization(variables)
+
+
+def _small_foldable(depth=2, heads=2):
+    """patch_dim == embed_dim (4*4*3 == 48) so the fold-ends packs apply
+    — the ViT-B/16 property (16*16*3 == 768) at test scale."""
+    m = ViTAntiSpoof(patch_size=4, embed_dim=48, depth=depth,
+                     num_heads=heads, hidden=16, gelu="tanh")
+    variables = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
     return m, fold_normalization(variables)
 
 
@@ -71,6 +81,106 @@ def test_lowlat_matches_serving_forward_f32(batch):
     got = np.asarray(serving_forward_lowlat(
         prepared, u8, num_heads=2, dtype=jnp.float32, interpret=True))
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
+def test_pack_end_weights_layout():
+    _, folded = _small_foldable()
+    params = folded["params"]
+    w, s, aux = pack_end_weights(params, dtype=jnp.float32)
+    d, hidden, hh = 48, 192, 16
+    assert w.shape == (1, d, d + hh) and s.shape == (1, 4, hidden)
+    assert aux.shape == (1, 8, d)
+    vit, head = params["vit"], params["head"]
+    np.testing.assert_array_equal(w[0, :, :d],
+                                  vit["patch_embed"]["kernel"])
+    np.testing.assert_array_equal(w[0, :, d:d + hh],
+                                  head["fc1"]["kernel"])
+    np.testing.assert_array_equal(s[0, 0, :d], vit["norm"]["scale"])
+    np.testing.assert_array_equal(s[0, 0, d:2 * d], head["norm"]["scale"])
+    np.testing.assert_array_equal(s[0, 2, :hh], head["fc1"]["bias"])
+    np.testing.assert_array_equal(s[0, 0, 2 * d:2 * d + hh],
+                                  head["fc2"]["kernel"][:, 0])
+    np.testing.assert_array_equal(s[0, 3, :2], head["fc2"]["bias"])
+    pos = np.asarray(vit["pos_embed"], np.float32).reshape(-1, d)
+    np.testing.assert_allclose(
+        aux[0, 0], pos[0] + np.asarray(vit["cls_token"],
+                                       np.float32).reshape(d), rtol=1e-6)
+    np.testing.assert_allclose(
+        aux[0, 1:5],
+        pos[1:] + np.asarray(vit["patch_embed"]["bias"], np.float32),
+        rtol=1e-6)
+    np.testing.assert_array_equal(aux[0, 5:], 0.0)
+
+
+def test_pack_end_weights_rejects_mismatched_patch_dim():
+    _, folded = _small()   # patch_dim 768 != embed 64
+    with pytest.raises(ValueError, match="patch_dim"):
+        pack_end_weights(folded["params"])
+
+
+def test_prepare_lowlat_fold_fallback():
+    """Shapes that can't ride the superblock silently drop to the
+    encoder-only kernel (no fold packs in the prepared dict)."""
+    _, folded = _small()
+    prepared = prepare_lowlat(folded["params"], depth=2)
+    assert "aux" not in prepared
+    assert prepared["packed_w"].shape[0] == 6
+
+
+@pytest.mark.parametrize("batch", [1, 3])
+def test_lowlat_e2e_matches_serving_forward_f32(batch):
+    """fold-ends single-kernel image->score equals the per-layer
+    fastserve path to accumulation-order tolerance (f32)."""
+    _, folded = _small_foldable(depth=2, heads=2)
+    u8 = jnp.asarray(np.random.default_rng(3).integers(
+        0, 256, (batch, 8, 8, 3), dtype=np.uint8))
+    want = np.asarray(serving_forward(
+        folded["params"], u8, num_heads=2, patch_size=4, depth=2,
+        dtype=jnp.float32, interpret=True))
+    prepared = prepare_lowlat(folded["params"], depth=2,
+                              dtype=jnp.float32)
+    assert "aux" in prepared and "end_w" in prepared
+    assert prepared["packed_w"].shape[0] == 6
+    got = np.asarray(serving_forward_lowlat(
+        prepared, u8, num_heads=2, patch_size=4, dtype=jnp.float32,
+        interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
+def test_lowlat_e2e_matches_module_bf16():
+    """bf16 fold-ends numerics stay within the fastserve drift envelope
+    of the module forward."""
+    m, folded = _small_foldable(depth=2, heads=2)
+    u8 = jnp.asarray(np.random.default_rng(4).integers(
+        0, 256, (2, 8, 8, 3), dtype=np.uint8))
+    logits = m.apply(folded, u8.astype(jnp.float32))
+    want = np.asarray(jax.nn.sigmoid(logits[:, 1] - logits[:, 0]))
+    prepared = prepare_lowlat(folded["params"], depth=2)
+    got = np.asarray(serving_forward_lowlat(
+        prepared, u8, num_heads=2, patch_size=4, interpret=True),
+        np.float32)
+    np.testing.assert_allclose(got, want, atol=0.02)
+    assert np.all((got >= 0) & (got <= 1))
+
+
+def test_lowlat_e2e_under_jit():
+    """The prepared dict must stay jit-safe as a pytree argument (no
+    static config leaking in as traced leaves) — the deployment shape:
+    ``jax.jit(lambda prep, batch: serving_forward_lowlat(prep, batch))``.
+    """
+    _, folded = _small_foldable(depth=2, heads=2)
+    prepared = prepare_lowlat(folded["params"], depth=2,
+                              dtype=jnp.float32)
+    u8 = jnp.asarray(np.random.default_rng(5).integers(
+        0, 256, (2, 8, 8, 3), dtype=np.uint8))
+    fn = jax.jit(lambda prep, b: serving_forward_lowlat(
+        prep, b, num_heads=2, patch_size=4, dtype=jnp.float32,
+        interpret=True))
+    got = np.asarray(fn(prepared, u8))
+    want = np.asarray(serving_forward_lowlat(
+        prepared, u8, num_heads=2, patch_size=4, dtype=jnp.float32,
+        interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-5)
 
 
 def test_lowlat_matches_module_bf16():

@@ -152,30 +152,64 @@ def _cls_head_scores(params, x, *, norm_eps: float, dtype):
     return jax.nn.sigmoid(logits[:, 1] - logits[:, 0])
 
 
-def prepare_lowlat(params, *, depth: int = 12, dtype=jnp.bfloat16):
+def prepare_lowlat(params, *, depth: int = 12, dtype=jnp.bfloat16,
+                   fold_ends: bool = True):
     """Pack a (normalization-folded) param tree for the single-kernel
     latency path.  Run ONCE outside the serving jit; the result feeds
-    :func:`serving_forward_lowlat`."""
-    from ..ops.lowlat import pack_encoder_weights
+    :func:`serving_forward_lowlat`.
+
+    With ``fold_ends`` (default) the patch-embed stem and the anti-spoof
+    head pack into one small VMEM-resident block so the WHOLE
+    image->logits forward runs as a single pallas_call (ops/lowlat.py
+    fold-ends mode); shapes that cannot ride the layout (patch_dim !=
+    embed_dim) silently fall back to the encoder-only kernel with XLA
+    ends."""
+    from ..ops.lowlat import pack_encoder_weights, pack_end_weights
 
     w, s = pack_encoder_weights(params["vit"], depth=depth, dtype=dtype)
-    return {"params": params, "packed_w": w, "packed_s": s}
+    out = {"params": params, "packed_w": w, "packed_s": s}
+    if fold_ends:
+        try:
+            w_end, s_end, aux = pack_end_weights(params, dtype=dtype)
+        except ValueError:
+            return out
+        out.update(end_w=w_end, end_s=s_end, aux=aux)
+    return out
 
 
 def serving_forward_lowlat(prepared, batch, *, num_heads: int = 12,
                            patch_size: int = 16, norm_eps: float = 1e-6,
                            dtype=jnp.bfloat16, interpret: bool = False):
-    """Small-batch latency path: the whole encoder as ONE Pallas program
+    """Small-batch latency path: the whole forward as ONE Pallas program
     (ops/lowlat.py — phase-gridded, weights double-buffered against the
     residual stream held in VMEM).  Same math/dtypes as
     :func:`serving_forward`; per-item weight re-streaming makes it the
     B<=8 choice — batch serving stays on :func:`serving_forward`.
 
-    ``prepared``: output of :func:`prepare_lowlat`.
+    ``prepared``: output of :func:`prepare_lowlat`.  When it carries the
+    fold-ends packs, patch extraction is the only op outside the kernel;
+    otherwise the embed/head run in XLA around the encoder kernel.
     """
-    from ..ops.lowlat import encoder_forward_lowlat
+    from ..ops.lowlat import encoder_forward_lowlat, forward_lowlat_e2e
 
     params = prepared["params"]
+    if "aux" in prepared:
+        b, h, w, c = batch.shape
+        p = patch_size
+        gh, gw = h // p, w // p
+        tp = prepared["aux"].shape[1]
+        x = batch.astype(dtype).reshape(b, gh, p, gw, p, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, p * p * c)
+        # row 0 = zero CLS slot (the kernel's aux carries cls + pos0);
+        # tail rows = zero padding to the 8-sublane stream height
+        x = jnp.pad(x, ((0, 0), (1, tp - 1 - gh * gw), (0, 0)))
+        logits = forward_lowlat_e2e(
+            x, prepared["packed_w"], prepared["packed_s"],
+            prepared["end_w"], prepared["end_s"], prepared["aux"],
+            num_heads=num_heads, eps=norm_eps,
+            valid_len=gh * gw + 1, interpret=interpret)
+        return jax.nn.sigmoid(logits[:, 1] - logits[:, 0])
+
     x = embed_patches(params["vit"], batch, dtype=dtype,
                       patch_size=patch_size)
     t = x.shape[1]

@@ -51,23 +51,100 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _encoder_kernel(x_ref, w_ref, s_ref, o_ref, h_ref, *, depth: int,
-                    num_heads: int, valid_len: int, eps: float):
+def _encoder_kernel(x_ref, w_ref, s_ref, *refs, depth: int,
+                    num_heads: int, valid_len: int, eps: float,
+                    fold_ends: bool = False, head_eps: float = 1e-5,
+                    head_hidden: int = 0):
     """One grid step = one phase of one layer for one batch item.
 
     o_ref (block-constant per item) IS the residual stream: initialized
     from x_ref at the item's first step, read+written by every phase,
     flushed to HBM when the item finishes.  h_ref (VMEM scratch) carries
-    the hidden activation from phase 1 to phase 2."""
+    the hidden activation from phase 1 to phase 2.
+
+    With ``fold_ends`` the grid grows by two steps: step 0 runs the
+    patch-embed GEMM (x_ref holds raw patch vectors, aux_ref the
+    pos-embed/cls/bias fold) and the last step runs final-LN + the
+    anti-spoof head, writing both logits into l_ref — the whole
+    image->logits forward is ONE Pallas program.  ``head_hidden`` is the
+    head fc1 width (512 for the reference ViTFaceAntiSpoofing,
+    train_advanced.py:193-200).  Both end phases read one small
+    VMEM-RESIDENT weight block we_ref ``[D, D+head_hidden]`` (embed W in
+    cols ``:D``, head fc1 in ``D:``) + its s block se_ref, both with
+    constant index maps so they are fetched ONCE per kernel — the
+    encoder superblock stream stays untouched (its index map clips to
+    the adjacent layer on the end steps, costing zero extra traffic)."""
+    if fold_ends:
+        we_ref, se_ref, aux_ref, o_ref, l_ref, h_ref = refs
+    else:
+        (o_ref, h_ref), we_ref, se_ref, aux_ref, l_ref = \
+            refs, None, None, None, None
     tp, d = o_ref.shape[1], o_ref.shape[2]
     head_dim = d // num_heads
     hidden = h_ref.shape[1]
     i = pl.program_id(1)
-    phase = jax.lax.rem(i, 3)
+    phase = jax.lax.rem(i - 1, 3) if fold_ends else jax.lax.rem(i, 3)
+    if fold_ends:
+        phase = jnp.where(i == 0, 3, phase)
+        phase = jnp.where(i == 3 * depth + 1, 4, phase)
 
-    @pl.when(i == 0)
-    def _init():
-        o_ref[...] = x_ref[...]
+    if fold_ends:
+        hh = head_hidden
+
+        @pl.when(phase == 3)
+        def _embed():
+            # x_ref rows: 0 = zeros (CLS slot), 1..N = patch vectors,
+            # N+1.. = zero padding; aux = pos_embed + embed bias folded
+            # (row 0 = cls_token + pos0, pad rows 0).
+            y = jax.lax.dot_general(
+                x_ref[0], we_ref[0, :, :d], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o_ref[0] = (y + aux_ref[0]).astype(o_ref.dtype)
+
+        @pl.when(phase == 4)
+        def _head():
+            cls = o_ref[0, :1, :].astype(jnp.float32)       # [1, D]
+            mu = jnp.mean(cls)
+            var = jnp.mean((cls - mu) ** 2)
+            xn = (cls - mu) * jax.lax.rsqrt(var + eps)
+            f = xn * se_ref[0, 0, :d] + se_ref[0, 1, :d]    # vit.norm
+            # fastserve rounds the backbone features through the serving
+            # dtype before the head LN (_cls_head_scores) — mirror it.
+            f = f.astype(o_ref.dtype).astype(jnp.float32)
+            mu2 = jnp.mean(f)
+            var2 = jnp.mean((f - mu2) ** 2)
+            fn = (f - mu2) * jax.lax.rsqrt(var2 + head_eps)
+            f = fn * se_ref[0, 0, d:2 * d] + se_ref[0, 1, d:2 * d]
+            h1 = jax.lax.dot_general(
+                f.astype(o_ref.dtype), we_ref[0, :, d:d + hh],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            h1 = h1 + se_ref[0, 2, :hh]
+            # head keeps erf GELU (models/vit.py) — but Mosaic has no
+            # erf/erfc lowering, so evaluate erf by Abramowitz-Stegun
+            # 7.1.26 (max |err| 1.5e-7, far below the bf16 rounding the
+            # result immediately passes through)
+            z = h1 * jnp.float32(0.7071067811865476)
+            az = jnp.abs(z)
+            t = 1.0 / (1.0 + 0.3275911 * az)
+            poly = t * (0.254829592 + t * (-0.284496736 + t * (
+                1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+            erf = jnp.sign(z) * (1.0 - poly * jnp.exp(-az * az))
+            h1 = 0.5 * h1 * (1.0 + erf)
+            h1 = h1.astype(o_ref.dtype).astype(jnp.float32)
+            l0 = jnp.sum(h1 * se_ref[0, 0, 2 * d:2 * d + hh]) \
+                + se_ref[0, 3, 0]
+            l1 = jnp.sum(h1 * se_ref[0, 1, 2 * d:2 * d + hh]) \
+                + se_ref[0, 3, 1]
+            row = jax.lax.broadcasted_iota(jnp.int32, l_ref.shape[1:], 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, l_ref.shape[1:], 1)
+            l_ref[0] = jnp.where((row == 0) & (col == 0), l0,
+                                 jnp.where((row == 0) & (col == 1), l1,
+                                           0.0))
+    else:
+        @pl.when(i == 0)
+        def _init():
+            o_ref[...] = x_ref[...]
 
     def _ln(x32, srow):
         mu = jnp.mean(x32, axis=-1, keepdims=True)
@@ -170,6 +247,136 @@ def pack_encoder_weights(vit_params, *, depth: int = 12,
         s2 = s2.at[0, :d].set(blk["mlp"]["fc2"]["bias"].astype(f32))
         ss.append(s2)
     return jnp.stack(ws), jnp.stack(ss)
+
+
+def pack_end_weights(params, *, dtype=jnp.bfloat16):
+    """Pack the patch-embed stem + anti-spoof head into one small
+    VMEM-resident weight block (+ s block + aux rows) for the fold-ends
+    image->logits kernel.  Unlike the per-phase encoder superblocks
+    (streamed once per image), these ride constant index maps and are
+    fetched ONCE per kernel invocation.
+
+    Layout (consumed by ``_encoder_kernel``'s phase-3/4 branches):
+
+    - ``w_end[:, :D]``       = patch-embed kernel (needs patch_dim == D,
+      true for ViT-B/16 where 16*16*3 == 768)
+    - ``w_end[:, D:]``       = head fc1 kernel  (Hh = head hidden, 512)
+    - ``s_end[0/1, :D]``     = vit.norm scale/bias
+    - ``s_end[0/1, D:2D]``   = head.norm scale/bias
+    - ``s_end[2, :Hh]``      = head fc1 bias
+    - ``s_end[0/1, 2D:2D+Hh]`` = head fc2 columns 0/1
+    - ``s_end[3, 0/1]``      = head fc2 bias 0/1
+    - ``aux``: [Tp, D] f32 = pos_embed + embed bias (row 0 =
+      cls_token + pos0; padding rows zero) — added to the embed GEMM
+      output whose row 0 input is zeros.
+
+    Returns ``(w_end [1,D,D+Hh] dtype, s_end [1,4,4D] f32,
+    aux [1,Tp,D] f32)``.
+
+    Raises ValueError when the model shapes cannot ride the layout
+    (patch_dim != D, or 2D + Hh > 4D); callers fall back to the
+    encoder-only kernel + XLA ends.
+    """
+    vit, head = params["vit"], params["head"]
+    pe_k = vit["patch_embed"]["kernel"]
+    patch_dim, d = pe_k.shape
+    hidden = vit["block0"]["mlp"]["fc1"]["kernel"].shape[1]
+    fc1_k = head["fc1"]["kernel"]
+    hh = fc1_k.shape[1]
+    fc2_k = head["fc2"]["kernel"]
+    if patch_dim != d:
+        raise ValueError(
+            f"fold-ends needs patch_dim == embed_dim ({patch_dim} != {d})"
+            " — the embed GEMM must share the head's resident block")
+    if 2 * d + hh > hidden or hh + 2 > hidden:
+        raise ValueError(
+            f"fold-ends needs 2*D + head_hidden <= 4*D "
+            f"({2 * d} + {hh} > {hidden})")
+    if fc2_k.shape[1] != 2:
+        raise ValueError("fold-ends supports the 2-logit anti-spoof head")
+    f32 = jnp.float32
+    w_end = jnp.concatenate(
+        [pe_k.astype(dtype), fc1_k.astype(dtype)], axis=1)
+    s_end = jnp.zeros((4, hidden), f32)
+    s_end = s_end.at[0, :d].set(vit["norm"]["scale"].astype(f32))
+    s_end = s_end.at[1, :d].set(vit["norm"]["bias"].astype(f32))
+    s_end = s_end.at[0, d:2 * d].set(head["norm"]["scale"].astype(f32))
+    s_end = s_end.at[1, d:2 * d].set(head["norm"]["bias"].astype(f32))
+    s_end = s_end.at[2, :hh].set(head["fc1"]["bias"].astype(f32))
+    s_end = s_end.at[0, 2 * d:2 * d + hh].set(fc2_k[:, 0].astype(f32))
+    s_end = s_end.at[1, 2 * d:2 * d + hh].set(fc2_k[:, 1].astype(f32))
+    s_end = s_end.at[3, :2].set(head["fc2"]["bias"].astype(f32))
+
+    pos = vit["pos_embed"].astype(f32).reshape(-1, d)     # [T, D]
+    t = pos.shape[0]
+    tp = -(-t // 8) * 8
+    aux = jnp.zeros((tp, d), f32)
+    aux = aux.at[1:t].set(pos[1:] + vit["patch_embed"]["bias"].astype(f32))
+    aux = aux.at[0].set(pos[0] + vit["cls_token"].astype(f32).reshape(d))
+    return w_end[None], s_end[None], aux[None]
+
+
+def forward_lowlat_e2e(xp, w_packed, s_packed, w_end, s_end, aux, *,
+                       num_heads: int, eps: float = 1e-6,
+                       head_eps: float = 1e-5, valid_len: int,
+                       interpret: bool = False):
+    """Patch rows [B, Tp, D] (row 0 zeros = CLS slot, tail rows zero
+    padding) -> anti-spoof logits [B, 2]: patch-embed + all layers +
+    final-LN + head as ONE pallas_call (grid = (B, depth*3 + 2)).
+
+    ``w_packed``/``s_packed``: encoder packs
+    (:func:`pack_encoder_weights`); ``w_end``/``s_end``/``aux``: the
+    stem+head block (:func:`pack_end_weights`), VMEM-resident via
+    constant index maps.  The encoder stream's index map CLIPS on the
+    two end steps (step 0 prefetches layer 0's superblock, the head step
+    re-addresses the last layer's) so folding the ends adds zero weight
+    re-streaming."""
+    b, tp, d = xp.shape
+    nsteps, _, hidden = w_packed.shape   # encoder phase count (3*depth)
+    depth = nsteps // 3
+    hh = w_end.shape[2] - d
+    kernel = functools.partial(_encoder_kernel, depth=depth,
+                               num_heads=num_heads, valid_len=valid_len,
+                               eps=eps, fold_ends=True, head_eps=head_eps,
+                               head_hidden=hh)
+
+    def _widx(bi, i):
+        return (jnp.clip(i - 1, 0, nsteps - 1), 0, 0)
+
+    _, logits = pl.pallas_call(
+        kernel,
+        grid=(b, nsteps + 2),
+        in_specs=[
+            pl.BlockSpec((1, tp, d), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, hidden), _widx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, hidden), _widx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, d + hh), lambda bi, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, hidden), lambda bi, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tp, d), lambda bi, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tp, d), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda bi, i: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((b, tp, d), xp.dtype),
+                   jax.ShapeDtypeStruct((b, 8, 128), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((tp, hidden), xp.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * depth * tp * d * (3 * d + d + 2 * hidden)
+            + 4 * b * depth * num_heads * tp * tp * (d // num_heads)
+            + 2 * b * tp * d * d,
+            bytes_accessed=b * nsteps * d * hidden
+            * w_packed.dtype.itemsize,
+            transcendentals=b * depth * (num_heads * tp * tp + tp * hidden)),
+        interpret=interpret,
+    )(xp, w_packed, s_packed, w_end, s_end, aux)
+    return logits[:, 0, :2]
 
 
 def encoder_forward_lowlat(xp, w_packed, s_packed, *, num_heads: int,
