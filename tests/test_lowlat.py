@@ -163,6 +163,19 @@ def test_lowlat_e2e_matches_module_bf16():
     assert np.all((got >= 0) & (got <= 1))
 
 
+def test_lowlat_e2e_rejects_wrong_image_size():
+    """A batch whose patch grid disagrees with the prepared pos-embed
+    must raise (not silently score with misaligned position rows)."""
+    _, folded = _small_foldable(depth=2, heads=2)
+    prepared = prepare_lowlat(folded["params"], depth=2,
+                              dtype=jnp.float32)
+    small = jnp.zeros((1, 4, 4, 3), jnp.uint8)   # 1+1 tokens != 5
+    with pytest.raises(ValueError, match="tokens"):
+        serving_forward_lowlat(prepared, small, num_heads=2,
+                               patch_size=4, dtype=jnp.float32,
+                               interpret=True)
+
+
 def test_lowlat_e2e_under_jit():
     """The prepared dict must stay jit-safe as a pytree argument (no
     static config leaking in as traced leaves) — the deployment shape:

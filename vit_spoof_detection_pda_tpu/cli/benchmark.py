@@ -30,9 +30,15 @@ def main(argv=None):
                              "(relay-differenced; bs=1 is the reference's "
                              "5.43 ms single-image protocol)")
     parser.add_argument("--lowlat", action="store_true",
-                        help="with --device-latency: time the whole-encoder "
-                             "single-kernel latency mode (ops/lowlat.py; "
-                             "0.377 ms at bs=1 on v5e) — flagship ViT only")
+                        help="with --device-latency: time the single-kernel "
+                             "latency mode (ops/lowlat.py; image->logits as "
+                             "ONE Pallas program when the shape allows "
+                             "fold-ends, else whole-encoder with XLA ends) "
+                             "— flagship ViT only")
+    parser.add_argument("--lowlat-encoder-only", action="store_true",
+                        help="with --lowlat: force the round-7 encoder-only "
+                             "kernel (XLA stem/head) instead of fold-ends, "
+                             "for A/B against archived numbers")
     parser.add_argument("--interpret", action="store_true",
                         help="run --lowlat's Pallas kernel in interpret "
                              "mode (debugging off-TPU; slow)")
@@ -70,7 +76,13 @@ def main(argv=None):
                                             serving_forward_lowlat)
             from ..models.vit import fold_normalization
             folded = fold_normalization(variables)
-            variables = prepare_lowlat(folded["params"])
+            variables = prepare_lowlat(
+                folded["params"],
+                fold_ends=not args.lowlat_encoder_only)
+            print("lowlat flavor:",
+                  "fold-ends (image->logits single kernel)"
+                  if "aux" in variables else
+                  "encoder-only (XLA stem/head)")
 
             @jax.jit
             def infer(prepared, batch_u8):

@@ -41,11 +41,27 @@ collectives are needed for pure data-parallel inference.
 
 from __future__ import annotations
 
+import logging
+
 import jax
 import jax.numpy as jnp
 
 from ..ops.attention import (_round_up, fused_attention_block_padded,
                              fused_mlp_block)
+
+log = logging.getLogger(__name__)
+
+
+def _patchify(batch, *, patch_size: int, dtype):
+    """[B,H,W,C] image -> [B, gh*gw, p*p*c] patch rows (the ViT stem's
+    im2row).  Shared by embed_patches and the fold-ends lowlat branch so
+    the patch layout cannot drift between the serving paths."""
+    b, h, w, c = batch.shape
+    p = patch_size
+    gh, gw = h // p, w // p
+    x = batch.astype(dtype)
+    x = x.reshape(b, gh, p, gw, p, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, p * p * c)
 
 
 def embed_patches(vit, batch, *, dtype, patch_size: int):
@@ -54,12 +70,8 @@ def embed_patches(vit, batch, *, dtype, patch_size: int):
     Used by both the serving forward here and the fused-block training
     forward (models/fasttrain.py) so the two functional paths cannot
     drift."""
-    b, h, w, c = batch.shape
-    p = patch_size
-    gh, gw = h // p, w // p
-    x = batch.astype(dtype)
-    x = x.reshape(b, gh, p, gw, p, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, p * p * c)
+    b = batch.shape[0]
+    x = _patchify(batch, patch_size=patch_size, dtype=dtype)
     pe = vit["patch_embed"]
     x = (jnp.dot(x, pe["kernel"].astype(dtype),
                  preferred_element_type=jnp.float32)
@@ -171,7 +183,9 @@ def prepare_lowlat(params, *, depth: int = 12, dtype=jnp.bfloat16,
     if fold_ends:
         try:
             w_end, s_end, aux = pack_end_weights(params, dtype=dtype)
-        except ValueError:
+        except ValueError as e:
+            log.warning("lowlat fold-ends unavailable (%s) — serving "
+                        "with the encoder-only kernel + XLA ends", e)
             return out
         out.update(end_w=w_end, end_s=s_end, aux=aux)
     return out
@@ -194,12 +208,16 @@ def serving_forward_lowlat(prepared, batch, *, num_heads: int = 12,
 
     params = prepared["params"]
     if "aux" in prepared:
-        b, h, w, c = batch.shape
-        p = patch_size
-        gh, gw = h // p, w // p
+        h, w = batch.shape[1], batch.shape[2]
+        gh, gw = h // patch_size, w // patch_size
+        t = params["vit"]["pos_embed"].shape[-2]
+        if gh * gw + 1 != t:
+            raise ValueError(
+                f"batch {h}x{w} yields {gh * gw + 1} tokens but the "
+                f"prepared fold-ends packs hold a {t}-token pos embed "
+                "(prepare_lowlat and the batch must share the image size)")
         tp = prepared["aux"].shape[1]
-        x = batch.astype(dtype).reshape(b, gh, p, gw, p, c)
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, p * p * c)
+        x = _patchify(batch, patch_size=patch_size, dtype=dtype)
         # row 0 = zero CLS slot (the kernel's aux carries cls + pos0);
         # tail rows = zero padding to the 8-sublane stream height
         x = jnp.pad(x, ((0, 0), (1, tp - 1 - gh * gw), (0, 0)))

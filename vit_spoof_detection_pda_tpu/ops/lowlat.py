@@ -115,8 +115,10 @@ def _encoder_kernel(x_ref, w_ref, s_ref, *refs, depth: int,
             var2 = jnp.mean((f - mu2) ** 2)
             fn = (f - mu2) * jax.lax.rsqrt(var2 + head_eps)
             f = fn * se_ref[0, 0, d:2 * d] + se_ref[0, 1, d:2 * d]
+            # fc1 mirrors _cls_head_scores: f32 activations x upcast
+            # weights (jnp.dot promotes the bf16 kernel to f32 there)
             h1 = jax.lax.dot_general(
-                f.astype(o_ref.dtype), we_ref[0, :, d:d + hh],
+                f, we_ref[0, :, d:d + hh].astype(jnp.float32),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             h1 = h1 + se_ref[0, 2, :hh]
@@ -288,7 +290,7 @@ def pack_end_weights(params, *, dtype=jnp.bfloat16):
         raise ValueError(
             f"fold-ends needs patch_dim == embed_dim ({patch_dim} != {d})"
             " — the embed GEMM must share the head's resident block")
-    if 2 * d + hh > hidden or hh + 2 > hidden:
+    if 2 * d + hh > hidden:
         raise ValueError(
             f"fold-ends needs 2*D + head_hidden <= 4*D "
             f"({2 * d} + {hh} > {hidden})")
@@ -303,8 +305,12 @@ def pack_end_weights(params, *, dtype=jnp.bfloat16):
     s_end = s_end.at[0, d:2 * d].set(head["norm"]["scale"].astype(f32))
     s_end = s_end.at[1, d:2 * d].set(head["norm"]["bias"].astype(f32))
     s_end = s_end.at[2, :hh].set(head["fc1"]["bias"].astype(f32))
-    s_end = s_end.at[0, 2 * d:2 * d + hh].set(fc2_k[:, 0].astype(f32))
-    s_end = s_end.at[1, 2 * d:2 * d + hh].set(fc2_k[:, 1].astype(f32))
+    # fc2 weights round through the serving dtype first, mirroring
+    # _cls_head_scores' kernel.astype(dtype) before its f32-accum dot
+    s_end = s_end.at[0, 2 * d:2 * d + hh].set(
+        fc2_k[:, 0].astype(dtype).astype(f32))
+    s_end = s_end.at[1, 2 * d:2 * d + hh].set(
+        fc2_k[:, 1].astype(dtype).astype(f32))
     s_end = s_end.at[3, :2].set(head["fc2"]["bias"].astype(f32))
 
     pos = vit["pos_embed"].astype(f32).reshape(-1, d)     # [T, D]
