@@ -54,6 +54,32 @@ def main():
             "build_plus_compile_s": round(time.time() - t0, 1),
         }
         print(name, json.dumps(out[name]), flush=True)
+
+    # the Base-ViT ablation also rides the fused trunk now
+    # (serving_forward_linear) — quote its fastserve B=1 point too
+    from vit_spoof_detection_pda_tpu.models.fastserve import (
+        serving_forward_linear)
+    from vit_spoof_detection_pda_tpu.models.vit import fold_normalization
+
+    module, variables = build_model("Base_ViT_Pretrained")
+    folded = fold_normalization(variables)
+
+    @jax.jit
+    def fast_linear(p, batch_u8):
+        return {"prob1": serving_forward_linear(p, batch_u8)[:, 1]}
+
+    runs = [benchmark_device_latency(fast_linear, folded["params"],
+                                     batch_size=1, n1=300)
+            for _ in range(3)]
+    ms = min(r["ms_per_image"] for r in runs[1:])
+    out["Base_ViT_Pretrained_fastserve"] = {
+        "ms_per_image": round(ms, 3), "fps": round(1000.0 / ms, 1),
+        "ref_ms": REF_MS["Base_ViT_Pretrained"],
+        "speedup_vs_ref": round(REF_MS["Base_ViT_Pretrained"] / ms, 2),
+        "series": [round(r["ms_per_image"], 3) for r in runs],
+    }
+    print("Base_ViT_Pretrained_fastserve",
+          json.dumps(out["Base_ViT_Pretrained_fastserve"]), flush=True)
     print(json.dumps(out))
 
 

@@ -165,3 +165,79 @@ def test_serving_forward_sharded_matches_single():
 
     with pytest.raises(ValueError):
         serving_forward_sharded(folded["params"], u8[:6], mesh, **kw)
+
+
+class _TinyLinearViT:
+    """ViTLinearHead's param-tree shape at test scale (the real module
+    is pinned to ViT-B/16; serving_forward_linear takes the geometry
+    explicitly so it can be oracle-tested small)."""
+
+    def __new__(cls):
+        import flax.linen as nn
+
+        from vit_spoof_detection_pda_tpu.models.vit import ViT
+
+        class M(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                feats = ViT(patch_size=16, embed_dim=64, depth=2,
+                            num_heads=2, norm_eps=1e-12, gelu="tanh",
+                            name="vit")(x)
+                return nn.Dense(2, dtype=jnp.float32,
+                                name="classifier")(
+                    feats.astype(jnp.float32))
+
+        return M()
+
+
+def test_serving_forward_linear_matches_module():
+    """serving_forward_linear == linear-head module forward (softmax
+    probs) on folded params + raw uint8 input (f32 tight bound)."""
+    from vit_spoof_detection_pda_tpu.models.fastserve import (
+        serving_forward_linear)
+
+    m = _TinyLinearViT()
+    variables = m.init(jax.random.PRNGKey(3), jnp.zeros((1, 32, 32, 3)))
+    folded = fold_normalization(variables)
+    u8 = jnp.asarray(np.random.default_rng(4).integers(
+        0, 256, (4, 32, 32, 3), dtype=np.uint8))
+
+    logits = m.apply(folded, u8.astype(jnp.float32))
+    want = np.asarray(jax.nn.softmax(logits, axis=-1))
+    got = np.asarray(serving_forward_linear(
+        folded["params"], u8, num_heads=2, depth=2, dtype=jnp.float32,
+        interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(got.sum(axis=-1), 1.0, atol=1e-6)
+
+
+def test_serving_forward_linear_sharded_matches_single():
+    """The generalized sharded dispatch runs the linear-head forward
+    over the data axis unchanged."""
+    from vit_spoof_detection_pda_tpu.models.fastserve import (
+        serving_forward_linear, serving_forward_sharded)
+    from vit_spoof_detection_pda_tpu.parallel.mesh import make_mesh
+
+    if jax.device_count() < 4:
+        pytest.skip("needs >=4 virtual devices")
+    m = _TinyLinearViT()
+    variables = m.init(jax.random.PRNGKey(5), jnp.zeros((1, 32, 32, 3)))
+    folded = fold_normalization(variables)
+    u8 = jnp.asarray(np.random.default_rng(6).integers(
+        0, 256, (8, 32, 32, 3), dtype=np.uint8))
+    mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    kw = dict(num_heads=2, depth=2, dtype=jnp.float32, interpret=True)
+    got = np.asarray(serving_forward_sharded(
+        folded["params"], u8, mesh, fn=serving_forward_linear, **kw))
+    want = np.asarray(serving_forward_linear(folded["params"], u8, **kw))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+def test_make_fastserve_infer_model_routing():
+    """ViTLinearHead is accepted (Base-ViT ablation rides the fused
+    trunk); non-ViT models are rejected before any compile."""
+    from vit_spoof_detection_pda_tpu.eval.runner import make_fastserve_infer
+    from vit_spoof_detection_pda_tpu.models.resnet import ResNet50
+
+    with pytest.raises(TypeError, match="ViTLinearHead"):
+        make_fastserve_infer(ResNet50(), {"params": {}}, interpret=True)

@@ -66,9 +66,10 @@ def run_cross_model_eval(records: Sequence[Record], *, output_dir: str,
     """Evaluate every registry model on `records`; returns
     {model_name: summary_dict}.
 
-    ``fastserve=True`` scores ViT-antispoof-family models through the
-    fused-kernel serving path (bf16 throughput mode, eval/runner.py);
-    other registry models keep the standard path."""
+    ``fastserve=True`` scores the ViT-family models (anti-spoof head
+    AND the Base-ViT linear head) through the fused-kernel serving path
+    (bf16 throughput mode, eval/runner.py); other registry models keep
+    the standard path."""
     outp = Path(output_dir)
     outp.mkdir(parents=True, exist_ok=True)
     pretrained_paths = pretrained_paths or {}
@@ -81,8 +82,9 @@ def run_cross_model_eval(records: Sequence[Record], *, output_dir: str,
                 name,
                 checkpoint_path=checkpoint_path,
                 pretrained_path=pretrained_paths.get(name))
-            from ..models.vit import ViTAntiSpoof
-            fs = fastserve and isinstance(module, ViTAntiSpoof)
+            from ..models.vit import ViTAntiSpoof, ViTLinearHead
+            fs = fastserve and isinstance(module,
+                                          (ViTAntiSpoof, ViTLinearHead))
             out = run_inference(module, variables, records,
                                 batch_size=batch_size, img_size=img_size,
                                 mesh=mesh, interpret=interpret,

@@ -63,31 +63,43 @@ def make_fastserve_infer(module, variables, *, mesh=None,
     normalization folded into the patch-embed GEMM, raw uint8 input).
 
     Returns (jitted infer(batch_u8) -> {prob1, pred}, folded_params).
-    Scores are P(live) = sigmoid(l1-l0) = softmax column 1, identical to
-    the module path's convention; numerics are the SERVING policy (~1e-2
-    score drift vs the f32 eval default — opt-in for that reason)."""
+    Scores are P(live) = softmax column 1 (sigmoid(l1-l0) for the
+    anti-spoof head), identical to the module path's convention;
+    numerics are the SERVING policy (~1e-2 score drift vs the f32 eval
+    default — opt-in for that reason).  ViTAntiSpoof and ViTLinearHead
+    (the Base-ViT ablation) ride the same fused trunk; ResNet stays on
+    the module path."""
     from ..models.fastserve import (serving_forward,
+                                    serving_forward_linear,
                                     serving_forward_sharded)
-    from ..models.vit import ViTAntiSpoof, fold_normalization
-    if not isinstance(module, ViTAntiSpoof):
-        raise TypeError("fastserve eval supports ViTAntiSpoof only; "
-                        f"got {type(module).__name__}")
+    from ..models.vit import (ViTAntiSpoof, ViTLinearHead,
+                              fold_normalization)
+    if isinstance(module, ViTAntiSpoof):
+        fn = serving_forward
+        kwargs = dict(num_heads=module.num_heads,
+                      patch_size=module.patch_size, depth=module.depth,
+                      norm_eps=module.norm_eps)
+    elif isinstance(module, ViTLinearHead):
+        fn = serving_forward_linear
+        kwargs = {}                      # ViT-B/16 defaults, HF eps
+    else:
+        raise TypeError("fastserve eval supports ViTAntiSpoof and "
+                        f"ViTLinearHead; got {type(module).__name__}")
     if not interpret and jax.default_backend() != "tpu":
         raise RuntimeError(
             "fastserve eval runs Pallas TPU kernels; on the "
             f"'{jax.default_backend()}' backend use the standard path "
             "(fastserve=False) or pass interpret=True (tests)")
     params = fold_normalization(variables)["params"]
-    kwargs = dict(num_heads=module.num_heads, patch_size=module.patch_size,
-                  depth=module.depth, norm_eps=module.norm_eps,
-                  dtype=jnp.bfloat16, interpret=interpret)
+    kwargs.update(dtype=jnp.bfloat16, interpret=interpret)
 
     def infer(params, batch):
         if mesh is not None and mesh.devices.size > 1:
-            score = serving_forward_sharded(params, batch, mesh, **kwargs)
+            out = serving_forward_sharded(params, batch, mesh, fn=fn,
+                                          **kwargs)
         else:
-            score = serving_forward(params, batch, **kwargs)
-        score = score.astype(jnp.float32)
+            out = fn(params, batch, **kwargs)
+        score = (out if out.ndim == 1 else out[:, 1]).astype(jnp.float32)
         return {"prob1": score, "pred": (score > 0.5).astype(jnp.int32)}
 
     return jax.jit(infer), params
@@ -102,7 +114,7 @@ def run_inference(module, variables, records: Sequence[Record], *,
     labels (canonical 1=live), prob1 (= softmax column 1), pred.
 
     ``fastserve=True`` scores through the bench.py serving path
-    (ViTAntiSpoof only; bf16 fused-kernel numerics — ~1e-2 score drift
+    (ViTAntiSpoof / ViTLinearHead; bf16 fused-kernel numerics — ~1e-2 score drift
     vs the f32 default, so it is opt-in throughput mode).
 
     Multi-device: pass a (data,) mesh — or, on a multi-chip TPU backend,

@@ -102,7 +102,20 @@ def serving_forward(params, batch, *, num_heads: int = 12,
     correct).  Matches ``ViTAntiSpoof(dtype=bf16, gelu="tanh")`` within
     bf16 resolution.
     """
-    vit = params["vit"]
+    x, t = _encode_stream(params["vit"], batch, num_heads=num_heads,
+                          patch_size=patch_size, depth=depth,
+                          norm_eps=norm_eps, dtype=dtype,
+                          fuse_mlp=fuse_mlp, interpret=interpret)
+    return _cls_head_scores(params, x, norm_eps=norm_eps, dtype=dtype)
+
+
+def _encode_stream(vit, batch, *, num_heads: int, patch_size: int,
+                   depth: int, norm_eps: float, dtype, fuse_mlp: bool,
+                   interpret: bool):
+    """Shared fused-kernel ViT trunk: image batch -> [B, Tp, D]
+    residual stream after the last block (8-sublane padded, pre
+    final-LN) + the valid token count.  Used by every fastserve head
+    (anti-spoof, linear classifier)."""
     x = embed_patches(vit, batch, dtype=dtype, patch_size=patch_size)
 
     # inter-layer stream stays padded to the 8-sublane granularity
@@ -143,7 +156,35 @@ def serving_forward(params, batch, *, num_heads: int = 12,
                    + mlp["fc2"]["bias"].astype(jnp.float32)).astype(dtype)
             x = x + out
 
-    return _cls_head_scores(params, x, norm_eps=norm_eps, dtype=dtype)
+    return x, t
+
+
+def serving_forward_linear(params, batch, *, num_heads: int = 12,
+                           patch_size: int = 16, depth: int = 12,
+                           norm_eps: float = 1e-12, dtype=jnp.bfloat16,
+                           fuse_mlp: bool = True,
+                           interpret: bool = False):
+    """uint8/raw-float [B, H, W, 3] -> softmax probabilities [B, C] for
+    the linear-head ViT (models/vit.py::ViTLinearHead — the frozen
+    Base_ViT_Pretrained ablation, reference
+    evaluate_all_models.py:307-318).
+
+    Same fused-kernel trunk as :func:`serving_forward`; the head is the
+    module's: final LN (HF eps=1e-12) on the CLS row, then the f32
+    classifier Dense.  Apply :func:`..models.vit.fold_normalization`
+    first so raw uint8 input is correct.
+    """
+    x, _ = _encode_stream(params["vit"], batch, num_heads=num_heads,
+                          patch_size=patch_size, depth=depth,
+                          norm_eps=norm_eps, dtype=dtype,
+                          fuse_mlp=fuse_mlp, interpret=interpret)
+    feats = _layernorm(x[:, :1], params["vit"]["norm"], norm_eps)[:, 0]
+    cls = params["classifier"]
+    logits = (jnp.dot(feats.astype(jnp.float32),
+                      cls["kernel"].astype(jnp.float32),
+                      preferred_element_type=jnp.float32)
+              + cls["bias"].astype(jnp.float32))
+    return jax.nn.softmax(logits, axis=-1)
 
 
 def _cls_head_scores(params, x, *, norm_eps: float, dtype):
@@ -240,14 +281,17 @@ def serving_forward_lowlat(prepared, batch, *, num_heads: int = 12,
     return _cls_head_scores(params, x, norm_eps=norm_eps, dtype=dtype)
 
 
-def serving_forward_sharded(params, batch, mesh, **kwargs):
-    """Data-parallel :func:`serving_forward` over ``mesh``'s data axis.
+def serving_forward_sharded(params, batch, mesh, *, fn=serving_forward,
+                            **kwargs):
+    """Data-parallel fastserve forward over ``mesh``'s data axis.
 
-    Each device runs the single-chip fused-kernel program on its batch
-    shard (params replicated); GSPMD cannot partition ``pallas_call``,
-    so the whole forward rides ``jax.shard_map``.  The global batch must
-    split evenly over the data axis into per-device shards of even size
-    (the attention kernel's block_b=2 batch blocking).
+    Each device runs the single-chip fused-kernel program (``fn``:
+    :func:`serving_forward` default, or
+    :func:`serving_forward_linear`) on its batch shard (params
+    replicated); GSPMD cannot partition ``pallas_call``, so the whole
+    forward rides ``jax.shard_map``.  The global batch must split
+    evenly over the data axis into per-device shards of even size (the
+    attention kernel's block_b=2 batch blocking).
     """
     from jax.sharding import PartitionSpec as P
 
@@ -258,7 +302,7 @@ def serving_forward_sharded(params, batch, mesh, **kwargs):
         raise ValueError(
             f"batch {batch.shape[0]} not divisible by data axis {ndata}")
     f = jax.shard_map(
-        lambda p, b: serving_forward(p, b, **kwargs),
+        lambda p, b: fn(p, b, **kwargs),
         mesh=mesh, in_specs=(P(), P(DATA_AXIS)), out_specs=P(DATA_AXIS),
         check_vma=False)
     return f(params, batch)
