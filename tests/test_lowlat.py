@@ -209,3 +209,39 @@ def test_lowlat_matches_module_bf16():
         prepared, u8, num_heads=2, interpret=True), np.float32)
     np.testing.assert_allclose(got, want, atol=0.02)
     assert np.all((got >= 0) & (got <= 1))
+
+
+def test_lowlat_linear_matches_serving_forward_linear():
+    """Linear-head lowlat (encoder kernel + XLA classifier ends) equals
+    serving_forward_linear; prepare_lowlat falls back to encoder-only
+    packs for the head-less tree."""
+    import flax.linen as nn
+
+    from vit_spoof_detection_pda_tpu.models.fastserve import (
+        serving_forward_linear, serving_forward_lowlat_linear)
+    from vit_spoof_detection_pda_tpu.models.vit import ViT
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            feats = ViT(patch_size=16, embed_dim=64, depth=2,
+                        num_heads=2, norm_eps=1e-12, gelu="tanh",
+                        name="vit")(x)
+            return nn.Dense(2, dtype=jnp.float32, name="classifier")(
+                feats.astype(jnp.float32))
+
+    m = M()
+    folded = fold_normalization(
+        m.init(jax.random.PRNGKey(2), jnp.zeros((1, 32, 32, 3))))
+    prepared = prepare_lowlat(folded["params"], depth=2,
+                              dtype=jnp.float32)
+    assert "aux" not in prepared     # head-less tree -> encoder-only
+    u8 = jnp.asarray(np.random.default_rng(7).integers(
+        0, 256, (2, 32, 32, 3), dtype=np.uint8))
+    kw = dict(num_heads=2, norm_eps=1e-12, dtype=jnp.float32,
+              interpret=True)
+    got = np.asarray(serving_forward_lowlat_linear(prepared, u8, **kw))
+    want = np.asarray(serving_forward_linear(
+        folded["params"], u8, num_heads=2, depth=2, norm_eps=1e-12,
+        dtype=jnp.float32, interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)

@@ -73,21 +73,33 @@ def main(argv=None):
         from ..eval.runner import make_infer_fn
         if args.lowlat:
             from ..models.fastserve import (prepare_lowlat,
-                                            serving_forward_lowlat)
-            from ..models.vit import fold_normalization
+                                            serving_forward_lowlat,
+                                            serving_forward_lowlat_linear)
+            from ..models.vit import (ViTAntiSpoof, ViTLinearHead,
+                                      fold_normalization)
+            if not isinstance(module, (ViTAntiSpoof, ViTLinearHead)):
+                parser.error("--lowlat supports the ViT-family models "
+                             f"only; got {type(module).__name__}")
             folded = fold_normalization(variables)
             variables = prepare_lowlat(
                 folded["params"],
-                fold_ends=not args.lowlat_encoder_only)
+                fold_ends=(isinstance(module, ViTAntiSpoof)
+                           and not args.lowlat_encoder_only))
             print("lowlat flavor:",
                   "fold-ends (image->logits single kernel)"
                   if "aux" in variables else
                   "encoder-only (XLA stem/head)")
-
-            @jax.jit
-            def infer(prepared, batch_u8):
-                return {"prob1": serving_forward_lowlat(
-                    prepared, batch_u8, interpret=args.interpret)}
+            if isinstance(module, ViTAntiSpoof):
+                @jax.jit
+                def infer(prepared, batch_u8):
+                    return {"prob1": serving_forward_lowlat(
+                        prepared, batch_u8, interpret=args.interpret)}
+            else:
+                @jax.jit
+                def infer(prepared, batch_u8):
+                    return {"prob1": serving_forward_lowlat_linear(
+                        prepared, batch_u8,
+                        interpret=args.interpret)[:, 1]}
         elif args.fastserve:
             from ..models.fastserve import serving_forward
             from ..models.vit import fold_normalization

@@ -245,7 +245,7 @@ def serving_forward_lowlat(prepared, batch, *, num_heads: int = 12,
     fold-ends packs, patch extraction is the only op outside the kernel;
     otherwise the embed/head run in XLA around the encoder kernel.
     """
-    from ..ops.lowlat import encoder_forward_lowlat, forward_lowlat_e2e
+    from ..ops.lowlat import forward_lowlat_e2e
 
     params = prepared["params"]
     if "aux" in prepared:
@@ -269,16 +269,53 @@ def serving_forward_lowlat(prepared, batch, *, num_heads: int = 12,
             valid_len=gh * gw + 1, interpret=interpret)
         return jax.nn.sigmoid(logits[:, 1] - logits[:, 0])
 
-    x = embed_patches(params["vit"], batch, dtype=dtype,
+    x = _lowlat_encode(prepared, batch, num_heads=num_heads,
+                       patch_size=patch_size, norm_eps=norm_eps,
+                       dtype=dtype, interpret=interpret)
+    return _cls_head_scores(params, x, norm_eps=norm_eps, dtype=dtype)
+
+
+def _lowlat_encode(prepared, batch, *, num_heads: int, patch_size: int,
+                   norm_eps: float, dtype, interpret: bool):
+    """XLA stem + the whole-encoder single-kernel pass (ops/lowlat.py)
+    -> [B, Tp, D] stream.  Shared by the anti-spoof and linear-head
+    lowlat tails."""
+    from ..ops.lowlat import encoder_forward_lowlat
+
+    x = embed_patches(prepared["params"]["vit"], batch, dtype=dtype,
                       patch_size=patch_size)
     t = x.shape[1]
     tp = _round_up(t, 8)
     x = jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
-    x = encoder_forward_lowlat(
+    return encoder_forward_lowlat(
         x, prepared["packed_w"], prepared["packed_s"],
         num_heads=num_heads, valid_len=t, eps=norm_eps,
         interpret=interpret)
-    return _cls_head_scores(params, x, norm_eps=norm_eps, dtype=dtype)
+
+
+def serving_forward_lowlat_linear(prepared, batch, *, num_heads: int = 12,
+                                  patch_size: int = 16,
+                                  norm_eps: float = 1e-12,
+                                  dtype=jnp.bfloat16,
+                                  interpret: bool = False):
+    """B<=8 latency path for the linear-head ViT (ViTLinearHead — the
+    Base_ViT_Pretrained ablation): whole encoder as ONE Pallas program,
+    with the tiny f32 classifier ends in XLA.  ``prepared``: output of
+    :func:`prepare_lowlat` on the linear-head param tree (the fold-ends
+    packs are anti-spoof-head-specific, so this model always uses the
+    encoder-only kernel).  Returns softmax probabilities [B, C] like
+    :func:`serving_forward_linear`."""
+    x = _lowlat_encode(prepared, batch, num_heads=num_heads,
+                       patch_size=patch_size, norm_eps=norm_eps,
+                       dtype=dtype, interpret=interpret)
+    params = prepared["params"]
+    feats = _layernorm(x[:, :1], params["vit"]["norm"], norm_eps)[:, 0]
+    cls = params["classifier"]
+    logits = (jnp.dot(feats.astype(jnp.float32),
+                      cls["kernel"].astype(jnp.float32),
+                      preferred_element_type=jnp.float32)
+              + cls["bias"].astype(jnp.float32))
+    return jax.nn.softmax(logits, axis=-1)
 
 
 def serving_forward_sharded(params, batch, mesh, *, fn=serving_forward,

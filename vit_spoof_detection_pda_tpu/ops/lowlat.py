@@ -279,6 +279,9 @@ def pack_end_weights(params, *, dtype=jnp.bfloat16):
     (patch_dim != D, or 2D + Hh > 4D); callers fall back to the
     encoder-only kernel + XLA ends.
     """
+    if "head" not in params:
+        raise ValueError("fold-ends needs the anti-spoof head "
+                         "(linear-head trees use the encoder-only kernel)")
     vit, head = params["vit"], params["head"]
     pe_k = vit["patch_embed"]["kernel"]
     patch_dim, d = pe_k.shape
