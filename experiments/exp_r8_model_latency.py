@@ -80,6 +80,28 @@ def main():
     }
     print("Base_ViT_Pretrained_fastserve",
           json.dumps(out["Base_ViT_Pretrained_fastserve"]), flush=True)
+
+    # ... and its single-kernel latency mode (encoder-only lowlat)
+    from vit_spoof_detection_pda_tpu.models.fastserve import (
+        prepare_lowlat, serving_forward_lowlat_linear)
+
+    prep = prepare_lowlat(folded["params"])
+
+    @jax.jit
+    def lowlat_linear(p, batch_u8):
+        return {"prob1": serving_forward_lowlat_linear(p, batch_u8)[:, 1]}
+
+    runs = [benchmark_device_latency(lowlat_linear, prep, batch_size=1,
+                                     n1=300) for _ in range(3)]
+    ms = min(r["ms_per_image"] for r in runs[1:])
+    out["Base_ViT_Pretrained_lowlat"] = {
+        "ms_per_image": round(ms, 3), "fps": round(1000.0 / ms, 1),
+        "ref_ms": REF_MS["Base_ViT_Pretrained"],
+        "speedup_vs_ref": round(REF_MS["Base_ViT_Pretrained"] / ms, 2),
+        "series": [round(r["ms_per_image"], 3) for r in runs],
+    }
+    print("Base_ViT_Pretrained_lowlat",
+          json.dumps(out["Base_ViT_Pretrained_lowlat"]), flush=True)
     print(json.dumps(out))
 
 
