@@ -245,3 +245,21 @@ def test_lowlat_linear_matches_serving_forward_linear():
         folded["params"], u8, num_heads=2, depth=2, norm_eps=1e-12,
         dtype=jnp.float32, interpret=True))
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
+def test_lowlat_e2e_bf16_tracks_fastserve():
+    """After the dtype-fidelity fixes the bf16 fold-ends path shares
+    every rounding point with serving_forward except the in-kernel f32
+    LayerNorm accumulations and the erf polynomial (1.5e-7) — pin the
+    A/B much tighter than the module-drift envelope."""
+    _, folded = _small_foldable(depth=2, heads=2)
+    u8 = jnp.asarray(np.random.default_rng(11).integers(
+        0, 256, (4, 8, 8, 3), dtype=np.uint8))
+    want = np.asarray(serving_forward(
+        folded["params"], u8, num_heads=2, patch_size=4, depth=2,
+        interpret=True), np.float32)
+    prepared = prepare_lowlat(folded["params"], depth=2)
+    got = np.asarray(serving_forward_lowlat(
+        prepared, u8, num_heads=2, patch_size=4, interpret=True),
+        np.float32)
+    np.testing.assert_allclose(got, want, atol=5e-3)
