@@ -138,3 +138,34 @@ def test_export_cli_roundtrip(workspace):
     # epoch + metrics come from the orbax checkpoint's metrics record
     assert obj["epoch"] >= 0
     assert "val_f1" in obj["metrics"]
+
+
+def test_benchmark_all_models_device_latency(monkeypatch):
+    """--all-models loops the reference benchmark rows through the
+    device-latency protocol and reports speedups vs the RTX numbers
+    (registry swapped for a tiny model; protocol logic is the target)."""
+    import jax
+    import jax.numpy as jnp
+
+    import vit_spoof_detection_pda_tpu.cli.benchmark as bench_cli
+    from vit_spoof_detection_pda_tpu.models.vit import ViTAntiSpoof
+
+    small = ViTAntiSpoof(patch_size=16, embed_dim=64, depth=1,
+                         num_heads=2, hidden=16)
+    sv = small.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    monkeypatch.setattr(bench_cli, "build_model",
+                        lambda name, **kw: (small, sv))
+    monkeypatch.setattr(bench_cli, "REF_B1_MS",
+                        {"Custom_ViT_FineTuned": 5.43})
+    out = bench_cli.main(["--device-latency", "--all-models", "--n1", "2",
+                          "--batch-size", "1", "--set",
+                          "data.img_size=32"])
+    row = out["Custom_ViT_FineTuned"]
+    assert row["ms_per_image"] > 0 and row["ref_ms_rtx_a4500"] == 5.43
+    assert row["speedup_vs_ref"] == round(5.43 / row["ms_per_image"], 2)
+
+    with pytest.raises(SystemExit):
+        bench_cli.main(["--all-models"])           # needs --device-latency
+    with pytest.raises(SystemExit):
+        bench_cli.main(["--all-models", "--device-latency",
+                        "--fastserve"])            # module-parity only

@@ -12,6 +12,13 @@ from ..analysis.latency import benchmark_device_latency, benchmark_throughput
 from ..models.registry import build_model
 from .common import add_config_args, resolve_config, setup_logging
 
+# the reference's per-model bs=1 benchmark rows
+# (results/inference_time_benchmark.json, RTX A4500,
+# additional_analysis.py:259-315) — the targets --all-models reports
+# against; SigNet_F is excluded like the reference's own table.
+REF_B1_MS = {"Custom_ViT_FineTuned": 5.43, "Base_ViT_Pretrained": 4.86,
+             "ResNet50_Pretrained": 4.96}
+
 
 def main(argv=None):
     parser = argparse.ArgumentParser(
@@ -45,7 +52,20 @@ def main(argv=None):
     parser.add_argument("--n1", type=int, default=200,
                         help="differencing run length for --device-latency "
                              "(enqueues n1 then 3*n1 executions, 3 repeats)")
+    parser.add_argument("--all-models", action="store_true",
+                        help="with --device-latency: measure EVERY row of "
+                             "the reference's per-model benchmark "
+                             "(Custom ViT / Base ViT / ResNet50) on the "
+                             "module-parity path and report speedups vs "
+                             "its RTX A4500 numbers")
     args = parser.parse_args(argv)
+    if args.all_models:
+        if not args.device_latency:
+            parser.error("--all-models is a --device-latency mode")
+        if args.fastserve or args.lowlat:
+            parser.error("--all-models times the module-parity path for "
+                         "every model; use --model with "
+                         "--fastserve/--lowlat for the fused flavors")
     if args.lowlat and not args.device_latency:
         parser.error("--lowlat is a latency mode; combine with "
                      "--device-latency (batched throughput stays on the "
@@ -60,6 +80,27 @@ def main(argv=None):
                 "(debugging mode) or drop --lowlat")
     setup_logging()
     cfg = resolve_config(args)
+
+    if args.all_models:
+        import jax
+
+        from ..eval.runner import make_infer_fn
+        out = {}
+        for name, ref_ms in REF_B1_MS.items():
+            module, variables = build_model(
+                name, checkpoint_path=cfg.eval.checkpoint_path,
+                dtype=jnp.bfloat16)
+            infer = jax.jit(make_infer_fn(module))
+            r = benchmark_device_latency(infer, variables,
+                                         batch_size=args.batch_size,
+                                         img_size=cfg.data.img_size,
+                                         n1=args.n1)
+            r["ref_ms_rtx_a4500"] = ref_ms
+            r["speedup_vs_ref"] = round(ref_ms / r["ms_per_image"], 2)
+            out[name] = r
+            print(name, json.dumps(r))
+        print(json.dumps(out))
+        return out
 
     module, variables = build_model(
         args.model, checkpoint_path=cfg.eval.checkpoint_path,
