@@ -263,3 +263,71 @@ def test_lowlat_e2e_bf16_tracks_fastserve():
         prepared, u8, num_heads=2, patch_size=4, interpret=True),
         np.float32)
     np.testing.assert_allclose(got, want, atol=5e-3)
+
+
+def test_pack_batchgrid_layout():
+    from vit_spoof_detection_pda_tpu.ops.lowlat import (
+        pack_encoder_weights_batchgrid)
+
+    _, folded = _small()
+    vit = folded["params"]["vit"]
+    w, s = pack_encoder_weights_batchgrid(vit, depth=2, dtype=jnp.float32)
+    d, hidden = 64, 256
+    assert w.shape == (6, d, hidden) and s.shape == (6, 4, hidden)
+    blk = vit["block0"]
+    fc1 = np.asarray(blk["mlp"]["fc1"]["kernel"])
+    fc2 = np.asarray(blk["mlp"]["fc2"]["kernel"])
+    # attn step identical to the per-item pack
+    np.testing.assert_array_equal(w[0, :, :3 * d],
+                                  blk["attn"]["qkv"]["kernel"])
+    # mlp halves: fc1 column half + the matching fc2 row chunks
+    np.testing.assert_array_equal(w[1, :, :2 * d], fc1[:, :2 * d])
+    np.testing.assert_array_equal(w[1, :, 2 * d:3 * d], fc2[:d, :])
+    np.testing.assert_array_equal(w[1, :, 3 * d:], fc2[d:2 * d, :])
+    np.testing.assert_array_equal(w[2, :, :2 * d], fc1[:, 2 * d:])
+    np.testing.assert_array_equal(w[2, :, 2 * d:3 * d], fc2[2 * d:3 * d, :])
+    np.testing.assert_array_equal(w[2, :, 3 * d:], fc2[3 * d:, :])
+    np.testing.assert_array_equal(s[1, 2, :2 * d],
+                                  blk["mlp"]["fc1"]["bias"][:2 * d])
+    np.testing.assert_array_equal(s[2, 2, :2 * d],
+                                  blk["mlp"]["fc1"]["bias"][2 * d:])
+    np.testing.assert_array_equal(s[1, 3, :d], 0.0)
+    np.testing.assert_array_equal(s[2, 3, :d], blk["mlp"]["fc2"]["bias"])
+
+
+@pytest.mark.parametrize("batch", [1, 3, 4, 6])
+def test_lowlat_batchgrid_matches_serving_forward_f32(batch):
+    """The batch-grid flavor (weights streamed once per chunk, items
+    unrolled in-kernel, split-MLP phases) equals the per-layer path —
+    including the padded-tail chunking at b=6."""
+    from vit_spoof_detection_pda_tpu.models.fastserve import (
+        serving_forward_lowlat_batch)
+
+    _, folded = _small(depth=2, heads=2)
+    u8 = jnp.asarray(np.random.default_rng(12).integers(
+        0, 256, (batch, 32, 32, 3), dtype=np.uint8))
+    want = np.asarray(serving_forward(
+        folded["params"], u8, num_heads=2, depth=2, dtype=jnp.float32,
+        interpret=True))
+    prepared = prepare_lowlat(folded["params"], depth=2,
+                              dtype=jnp.float32, batch_grid=True)
+    assert "bg_w" in prepared
+    got = np.asarray(serving_forward_lowlat_batch(
+        prepared, u8, num_heads=2, dtype=jnp.float32, interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
+def test_lowlat_batchgrid_bf16_tracks_fastserve():
+    from vit_spoof_detection_pda_tpu.models.fastserve import (
+        serving_forward_lowlat_batch)
+
+    _, folded = _small(depth=2, heads=2)
+    u8 = jnp.asarray(np.random.default_rng(13).integers(
+        0, 256, (4, 32, 32, 3), dtype=np.uint8))
+    want = np.asarray(serving_forward(
+        folded["params"], u8, num_heads=2, depth=2, interpret=True),
+        np.float32)
+    prepared = prepare_lowlat(folded["params"], depth=2, batch_grid=True)
+    got = np.asarray(serving_forward_lowlat_batch(
+        prepared, u8, num_heads=2, interpret=True), np.float32)
+    np.testing.assert_allclose(got, want, atol=5e-3)

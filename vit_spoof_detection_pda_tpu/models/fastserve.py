@@ -206,7 +206,7 @@ def _cls_head_scores(params, x, *, norm_eps: float, dtype):
 
 
 def prepare_lowlat(params, *, depth: int = 12, dtype=jnp.bfloat16,
-                   fold_ends: bool = True):
+                   fold_ends: bool = True, batch_grid: bool = False):
     """Pack a (normalization-folded) param tree for the single-kernel
     latency path.  Run ONCE outside the serving jit; the result feeds
     :func:`serving_forward_lowlat`.
@@ -216,11 +216,18 @@ def prepare_lowlat(params, *, depth: int = 12, dtype=jnp.bfloat16,
     image->logits forward runs as a single pallas_call (ops/lowlat.py
     fold-ends mode); shapes that cannot ride the layout (patch_dim !=
     embed_dim) silently fall back to the encoder-only kernel with XLA
-    ends."""
-    from ..ops.lowlat import pack_encoder_weights, pack_end_weights
+    ends.  ``batch_grid`` additionally packs the phase-walking layout
+    for :func:`serving_forward_lowlat_batch` (the B~2-16 regime)."""
+    from ..ops.lowlat import (pack_encoder_weights,
+                              pack_encoder_weights_batchgrid,
+                              pack_end_weights)
 
     w, s = pack_encoder_weights(params["vit"], depth=depth, dtype=dtype)
     out = {"params": params, "packed_w": w, "packed_s": s}
+    if batch_grid:
+        bg_w, bg_s = pack_encoder_weights_batchgrid(
+            params["vit"], depth=depth, dtype=dtype)
+        out.update(bg_w=bg_w, bg_s=bg_s)
     if fold_ends:
         try:
             w_end, s_end, aux = pack_end_weights(params, dtype=dtype)
@@ -291,6 +298,37 @@ def _lowlat_encode(prepared, batch, *, num_heads: int, patch_size: int,
         x, prepared["packed_w"], prepared["packed_s"],
         num_heads=num_heads, valid_len=t, eps=norm_eps,
         interpret=interpret)
+
+
+def serving_forward_lowlat_batch(prepared, batch, *, num_heads: int = 12,
+                                 patch_size: int = 16,
+                                 norm_eps: float = 1e-6,
+                                 dtype=jnp.bfloat16,
+                                 interpret: bool = False):
+    """Batch-grid latency path (B~2-16): the whole encoder is still ONE
+    Pallas program per <=4-item chunk, but the grid walks phases only,
+    so each weight superblock streams from HBM once per chunk instead
+    of once per image (ops/lowlat.py::encoder_forward_lowlat_batchgrid).
+    ``prepared``: :func:`prepare_lowlat` with ``batch_grid=True``.
+    Same anti-spoof scores as :func:`serving_forward_lowlat` within
+    f32-reassociation tolerance."""
+    from ..ops.lowlat import encoder_forward_lowlat_batchgrid
+
+    params = prepared["params"]
+    x = embed_patches(params["vit"], batch, dtype=dtype,
+                      patch_size=patch_size)
+    b, t = x.shape[0], x.shape[1]
+    tp = _round_up(t, 8)
+    x = jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
+    chunk = min(b, 4)
+    bp = -(-b // chunk) * chunk       # pad so every chunk reuses ONE
+    x = jnp.pad(x, ((0, bp - b), (0, 0), (0, 0)))   # compiled kernel
+    outs = [encoder_forward_lowlat_batchgrid(
+        x[c:c + chunk], prepared["bg_w"], prepared["bg_s"],
+        num_heads=num_heads, valid_len=t, eps=norm_eps,
+        interpret=interpret) for c in range(0, bp, chunk)]
+    x = jnp.concatenate(outs, axis=0)[:b]
+    return _cls_head_scores(params, x, norm_eps=norm_eps, dtype=dtype)
 
 
 def serving_forward_lowlat_linear(prepared, batch, *, num_heads: int = 12,

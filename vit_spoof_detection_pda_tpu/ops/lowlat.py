@@ -204,6 +204,200 @@ def _encoder_kernel(x_ref, w_ref, s_ref, *refs, depth: int,
         o_ref[0] = acc.astype(o_ref.dtype)
 
 
+def _encoder_batchgrid_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *,
+                              num_heads: int, valid_len: int, eps: float,
+                              batch: int):
+    """Batch-grid flavor: the grid walks PHASES ONLY (3 per layer) and
+    every item computes inside one grid step, so each weight superblock
+    streams from HBM once per BATCH instead of once per item — the
+    B=2..8 latency regime's win (per-item streaming costs B x 162 MB).
+
+    VMEM discipline: all B residual streams live in the output block
+    ([B, Tp, D], constant index map — never flushed mid-kernel); the
+    MLP is split into two HALF-HIDDEN phases (fc1/fc2 column- and
+    row-chunk halves in one [D, 4D] superblock each:
+    :func:`pack_encoder_weights_batchgrid`) so no [Tp, 4D] hidden ever
+    persists across grid steps — only a [B, Tp, D] f32 partial-sum
+    scratch (acc_ref) carries phase A's fc2 half into phase B, and the
+    LN2 activations are recomputed there (VPU-cheap).  At ViT-B/16,
+    B=4: 9 MB double-buffered weights + 1.2 o + 1.2 x + 2.4 acc
+    ~= 14 MB < 16 MB VMEM; the serving wrapper chunks larger batches.
+    """
+    tp, d = o_ref.shape[1], o_ref.shape[2]
+    head_dim = d // num_heads
+    i = pl.program_id(0)
+    phase = jax.lax.rem(i, 3)
+
+    @pl.when(i == 0)
+    def _init():
+        o_ref[...] = x_ref[...]
+
+    def _ln(x32):
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean((x32 - mu) ** 2, axis=-1, keepdims=True)
+        xn = (x32 - mu) * jax.lax.rsqrt(var + eps)
+        return xn * s_ref[0, 0, :d] + s_ref[0, 1, :d]
+
+    def _half_mlp(xn):
+        """gelu(xn @ fc1half) @ fc2half — both halves of the step's
+        superblock; returns the f32 [Tp, D] partial MLP output."""
+        h = jax.lax.dot_general(
+            xn.astype(o_ref.dtype), w_ref[0, :, :2 * d],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        h = jax.nn.gelu(h + s_ref[0, 2, :2 * d], approximate=True)
+        h = h.astype(o_ref.dtype)
+        out = jax.lax.dot_general(
+            h[:, :d], w_ref[0, :, 2 * d:3 * d],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        return out + jax.lax.dot_general(
+            h[:, d:], w_ref[0, :, 3 * d:],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(phase == 0)
+    def _attn():
+        scale = float(head_dim) ** -0.5
+        col = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
+        mask = col < valid_len
+        for bi in range(batch):
+            x = o_ref[bi].astype(jnp.float32)               # [Tp, D]
+            xn = _ln(x).astype(o_ref.dtype)
+            qkv = jax.lax.dot_general(
+                xn, w_ref[0, :, :3 * d], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            qkv = (qkv + s_ref[0, 2, :3 * d]).astype(o_ref.dtype)
+            heads = []
+            for h in range(num_heads):
+                q = qkv[:, h * head_dim:(h + 1) * head_dim]
+                k = qkv[:, d + h * head_dim:d + (h + 1) * head_dim]
+                v = qkv[:, 2 * d + h * head_dim:
+                        2 * d + (h + 1) * head_dim]
+                logits = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale
+                logits = jnp.where(mask, logits, -1e30)
+                w = jax.nn.softmax(logits, axis=-1)
+                heads.append(jnp.dot(w.astype(v.dtype), v,
+                                     preferred_element_type=jnp.float32))
+            attn_out = jnp.concatenate(heads, axis=1)
+            proj = jax.lax.dot_general(
+                attn_out.astype(o_ref.dtype), w_ref[0, :, 3 * d:4 * d],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o_ref[bi] = (x + proj + s_ref[0, 3, :d]).astype(o_ref.dtype)
+
+    @pl.when(phase == 1)
+    def _mlp_a():
+        for bi in range(batch):
+            xn = _ln(o_ref[bi].astype(jnp.float32))
+            acc_ref[bi] = _half_mlp(xn).astype(acc_ref.dtype)
+
+    @pl.when(phase == 2)
+    def _mlp_b():
+        for bi in range(batch):
+            x = o_ref[bi].astype(jnp.float32)
+            out = acc_ref[bi].astype(jnp.float32) + _half_mlp(_ln(x))
+            o_ref[bi] = (x + out + s_ref[0, 3, :d]).astype(o_ref.dtype)
+
+
+def pack_encoder_weights_batchgrid(vit_params, *, depth: int = 12,
+                                   dtype=jnp.bfloat16):
+    """Superblock packing for the batch-grid kernel: same
+    ``(W [depth*3, D, 4D], S [depth*3, 4, 4D])`` shapes as
+    :func:`pack_encoder_weights`, but the two MLP steps each carry HALF
+    the layer's MLP — ``[fc1[:, half] | fc2[half rows as 2 D-chunks]]``
+    — so the hidden activation never crosses a grid step.
+
+    Step layout (h = hidden = 4D, halves a/b = columns ``:2D`` /
+    ``2D:`` of fc1 and rows ``:2D`` / ``2D:`` of fc2):
+
+    - 3l   (attn):  as :func:`pack_encoder_weights` phase 0
+    - 3l+1 (mlp a): W = [fc1a | fc2[0:D,:] | fc2[D:2D,:]],
+      S = [ln2 scale, ln2 bias, fc1 bias[:2D], 0]
+    - 3l+2 (mlp b): W = [fc1b | fc2[2D:3D,:] | fc2[3D:,:]],
+      S = [ln2 scale, ln2 bias, fc1 bias[2D:], fc2 bias]
+    """
+    blk0 = vit_params["block0"]
+    d = blk0["attn"]["qkv"]["kernel"].shape[0]
+    hidden = blk0["mlp"]["fc1"]["kernel"].shape[1]
+    if hidden != 4 * d:
+        raise ValueError(
+            f"lowlat packing needs mlp hidden == 4*embed ({hidden} != "
+            f"4*{d}) — the uniform superblock relies on 3D+D == hidden")
+    ws, ss = [], []
+    f32 = jnp.float32
+    for i in range(depth):
+        blk = vit_params[f"block{i}"]
+        ws.append(jnp.concatenate(
+            [blk["attn"]["qkv"]["kernel"].astype(dtype),
+             blk["attn"]["proj"]["kernel"].astype(dtype)], axis=1))
+        s0 = jnp.zeros((4, hidden), f32)
+        s0 = s0.at[0, :d].set(blk["norm1"]["scale"].astype(f32))
+        s0 = s0.at[1, :d].set(blk["norm1"]["bias"].astype(f32))
+        s0 = s0.at[2, :3 * d].set(blk["attn"]["qkv"]["bias"].astype(f32))
+        s0 = s0.at[3, :d].set(blk["attn"]["proj"]["bias"].astype(f32))
+        ss.append(s0)
+        fc1 = blk["mlp"]["fc1"]["kernel"].astype(dtype)
+        fc1_b = blk["mlp"]["fc1"]["bias"].astype(f32)
+        fc2 = blk["mlp"]["fc2"]["kernel"].astype(dtype)
+        for half in range(2):
+            lo = half * 2 * d
+            ws.append(jnp.concatenate(
+                [fc1[:, lo:lo + 2 * d],
+                 fc2[lo:lo + d, :], fc2[lo + d:lo + 2 * d, :]], axis=1))
+            sh = jnp.zeros((4, hidden), f32)
+            sh = sh.at[0, :d].set(blk["norm2"]["scale"].astype(f32))
+            sh = sh.at[1, :d].set(blk["norm2"]["bias"].astype(f32))
+            sh = sh.at[2, :2 * d].set(fc1_b[lo:lo + 2 * d])
+            if half:
+                sh = sh.at[3, :d].set(blk["mlp"]["fc2"]["bias"].astype(f32))
+            ss.append(sh)
+    return jnp.stack(ws), jnp.stack(ss)
+
+
+def encoder_forward_lowlat_batchgrid(xp, w_packed, s_packed, *,
+                                     num_heads: int, valid_len: int,
+                                     eps: float = 1e-6,
+                                     interpret: bool = False):
+    """[B, Tp, D] embedded stream -> encoder output, one pallas_call
+    whose grid is (depth*3,) phases: every weight superblock streams
+    once per BATCH (vs once per item in
+    :func:`encoder_forward_lowlat`).  B <= 4 per call (VMEM budget —
+    see the kernel docstring); the serving wrapper chunks bigger
+    batches."""
+    b, tp, d = xp.shape
+    if b > 4:
+        raise ValueError(f"batch-grid kernel holds <= 4 residual "
+                         f"streams in VMEM (got {b}); chunk the batch")
+    nsteps, _, hidden = w_packed.shape
+    kernel = functools.partial(_encoder_batchgrid_kernel,
+                               num_heads=num_heads, valid_len=valid_len,
+                               eps=eps, batch=b)
+    return pl.pallas_call(
+        kernel,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((b, tp, d), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, hidden), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, hidden), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, tp, d), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, tp, d), xp.dtype),
+        scratch_shapes=[pltpu.VMEM((b, tp, d), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * (nsteps // 3) * tp * d * (4 * d + 4 * d)
+            + 4 * b * (nsteps // 3) * num_heads * tp * tp
+            * (d // num_heads),
+            bytes_accessed=nsteps * d * hidden * w_packed.dtype.itemsize,
+            transcendentals=b * (nsteps // 3)
+            * (num_heads * tp * tp + tp * hidden)),
+        interpret=interpret,
+    )(xp, w_packed, s_packed)
+
+
 def pack_encoder_weights(vit_params, *, depth: int = 12,
                          dtype=jnp.bfloat16):
     """Pack the per-layer encoder weights into the kernel's stacked
