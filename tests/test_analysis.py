@@ -170,6 +170,39 @@ def test_benchmark_cli_lowlat_validation():
         main(["--lowlat", "--device-latency"])  # CPU backend, no escape
 
 
+def test_benchmark_cli_lowlat_batch_grid(monkeypatch):
+    """--lowlat-batch-grid routes the device-latency protocol through
+    serving_forward_lowlat_batch (per-chunk weight streaming) and
+    rejects the linear-head models (the pack needs the anti-spoof
+    head)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    import vit_spoof_detection_pda_tpu.cli.benchmark as bench_cli
+    from vit_spoof_detection_pda_tpu.models.vit import (ViTAntiSpoof,
+                                                        ViTLinearHead)
+
+    small = ViTAntiSpoof(patch_size=16, embed_dim=64, depth=1,
+                         num_heads=2, hidden=16)
+    sv = small.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    monkeypatch.setattr(bench_cli, "build_model",
+                        lambda name, **kw: (small, sv))
+    out = bench_cli.main(["--device-latency", "--lowlat",
+                          "--lowlat-batch-grid", "--interpret",
+                          "--n1", "2", "--batch-size", "2",
+                          "--set", "data.img_size=32"])
+    assert out["ms_per_image"] > 0
+
+    monkeypatch.setattr(bench_cli, "build_model",
+                        lambda name, **kw: (ViTLinearHead(), sv))
+    with pytest.raises(SystemExit):       # parser.error -> exit code 2
+        bench_cli.main(["--device-latency", "--lowlat",
+                        "--lowlat-batch-grid", "--interpret",
+                        "--n1", "2", "--batch-size", "2",
+                        "--set", "data.img_size=32"])
+
+
 def test_reference_quirk_figures_and_publication_style(results_tree,
                                                        tmp_path):
     """Fig5/6 replicas (frr-as-APCER quirk, generate_figures.py:158-161)

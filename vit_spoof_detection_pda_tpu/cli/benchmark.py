@@ -46,6 +46,11 @@ def main(argv=None):
                         help="with --lowlat: force the round-7 encoder-only "
                              "kernel (XLA stem/head) instead of fold-ends, "
                              "for A/B against archived numbers")
+    parser.add_argument("--lowlat-batch-grid", action="store_true",
+                        help="with --lowlat: the batch-grid kernel (weights "
+                             "stream once per <=4-image chunk instead of "
+                             "once per image) — the B=2..16 regime; "
+                             "anti-spoof head only")
     parser.add_argument("--interpret", action="store_true",
                         help="run --lowlat's Pallas kernel in interpret "
                              "mode (debugging off-TPU; slow)")
@@ -115,26 +120,49 @@ def main(argv=None):
         if args.lowlat:
             from ..models.fastserve import (prepare_lowlat,
                                             serving_forward_lowlat,
+                                            serving_forward_lowlat_batch,
                                             serving_forward_lowlat_linear)
             from ..models.vit import (ViTAntiSpoof, ViTLinearHead,
                                       fold_normalization)
             if not isinstance(module, (ViTAntiSpoof, ViTLinearHead)):
                 parser.error("--lowlat supports the ViT-family models "
                              f"only; got {type(module).__name__}")
+            if (args.lowlat_batch_grid
+                    and not isinstance(module, ViTAntiSpoof)):
+                parser.error("--lowlat-batch-grid packs the anti-spoof "
+                             "head layout; use plain --lowlat for "
+                             f"{type(module).__name__}")
             folded = fold_normalization(variables)
+            if isinstance(module, ViTAntiSpoof):       # non-B/16 friendly
+                geom = dict(num_heads=module.num_heads,
+                            patch_size=module.patch_size,
+                            norm_eps=module.norm_eps)
+                depth = module.depth
+            else:
+                geom, depth = {}, 12          # ViTLinearHead is B/16-fixed
             variables = prepare_lowlat(
-                folded["params"],
+                folded["params"], depth=depth,
                 fold_ends=(isinstance(module, ViTAntiSpoof)
-                           and not args.lowlat_encoder_only))
+                           and not args.lowlat_encoder_only),
+                batch_grid=args.lowlat_batch_grid)
             print("lowlat flavor:",
+                  "batch-grid (per-chunk weight streaming)"
+                  if args.lowlat_batch_grid else
                   "fold-ends (image->logits single kernel)"
                   if "aux" in variables else
                   "encoder-only (XLA stem/head)")
-            if isinstance(module, ViTAntiSpoof):
+            if args.lowlat_batch_grid:
+                @jax.jit
+                def infer(prepared, batch_u8):
+                    return {"prob1": serving_forward_lowlat_batch(
+                        prepared, batch_u8, interpret=args.interpret,
+                        **geom)}
+            elif isinstance(module, ViTAntiSpoof):
                 @jax.jit
                 def infer(prepared, batch_u8):
                     return {"prob1": serving_forward_lowlat(
-                        prepared, batch_u8, interpret=args.interpret)}
+                        prepared, batch_u8, interpret=args.interpret,
+                        **geom)}
             else:
                 @jax.jit
                 def infer(prepared, batch_u8):
