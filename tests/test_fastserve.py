@@ -241,3 +241,47 @@ def test_make_fastserve_infer_model_routing():
 
     with pytest.raises(TypeError, match="ViTLinearHead"):
         make_fastserve_infer(ResNet50(), {"params": {}}, interpret=True)
+
+
+def test_make_serving_fn_regime_map_and_parity():
+    """The serving factory routes B=1 -> lowlat, 2..15 -> batch-grid,
+    >=16 -> fastserve (the measured regime winners, BENCH_NOTES rounds
+    7-9) and every route scores like serving_forward."""
+    from vit_spoof_detection_pda_tpu.models.fastserve import (
+        make_serving_fn, serving_forward)
+
+    m = ViTAntiSpoof(patch_size=4, embed_dim=64, depth=2, num_heads=2,
+                     hidden=16, gelu="tanh")
+    variables = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    folded = fold_normalization(variables)
+    rng = np.random.default_rng(0)
+
+    for bs, want_mode in [(1, "lowlat"), (3, "batch_grid"),
+                          (16, "fastserve")]:
+        u8 = jnp.asarray(rng.integers(0, 256, (bs, 32, 32, 3),
+                                      dtype=np.uint8))
+        fn = make_serving_fn(m, variables, batch_size=bs,
+                             dtype=jnp.float32, interpret=True)
+        got = np.asarray(fn(u8))
+        want = np.asarray(serving_forward(
+            folded["params"], u8, num_heads=2, depth=2, patch_size=4,
+            dtype=jnp.float32, interpret=True))
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4,
+                                   err_msg=f"bs={bs} ({want_mode})")
+        # explicit override takes the named path
+        fn2 = make_serving_fn(m, variables, batch_size=bs,
+                              mode=want_mode, dtype=jnp.float32,
+                              interpret=True)
+        np.testing.assert_allclose(np.asarray(fn2(u8)), want, atol=2e-4,
+                                   rtol=1e-4)
+
+    with pytest.raises(ValueError, match="unknown serving mode"):
+        make_serving_fn(m, variables, batch_size=4, mode="nope",
+                        interpret=True)
+    from vit_spoof_detection_pda_tpu.models.vit import ViTLinearHead
+    with pytest.raises(TypeError, match="anti-spoof"):
+        make_serving_fn(ViTLinearHead(), variables, batch_size=4,
+                        interpret=True)
+    if jax.default_backend() != "tpu":
+        with pytest.raises(RuntimeError, match="interpret"):
+            make_serving_fn(m, variables, batch_size=4)

@@ -304,12 +304,15 @@ def serving_forward_lowlat_batch(prepared, batch, *, num_heads: int = 12,
                                  patch_size: int = 16,
                                  norm_eps: float = 1e-6,
                                  dtype=jnp.bfloat16,
+                                 chunk_size: int = 4,
                                  interpret: bool = False):
     """Batch-grid latency path (B~2-16): the whole encoder is still ONE
     Pallas program per <=4-item chunk, but the grid walks phases only,
     so each weight superblock streams from HBM once per chunk instead
     of once per image (ops/lowlat.py::encoder_forward_lowlat_batchgrid).
     ``prepared``: :func:`prepare_lowlat` with ``batch_grid=True``.
+    ``chunk_size`` (<=4) trades VMEM residency / Mosaic program size
+    against weight re-streams: chunk 4 streams weights B/4 times.
     Same anti-spoof scores as :func:`serving_forward_lowlat` within
     f32-reassociation tolerance."""
     from ..ops.lowlat import encoder_forward_lowlat_batchgrid
@@ -320,7 +323,7 @@ def serving_forward_lowlat_batch(prepared, batch, *, num_heads: int = 12,
     b, t = x.shape[0], x.shape[1]
     tp = _round_up(t, 8)
     x = jnp.pad(x, ((0, 0), (0, tp - t), (0, 0)))
-    chunk = min(b, 4)
+    chunk = min(b, chunk_size)
     bp = -(-b // chunk) * chunk       # pad so every chunk reuses ONE
     x = jnp.pad(x, ((0, bp - b), (0, 0), (0, 0)))   # compiled kernel
     outs = [encoder_forward_lowlat_batchgrid(
@@ -381,3 +384,60 @@ def serving_forward_sharded(params, batch, mesh, *, fn=serving_forward,
         mesh=mesh, in_specs=(P(), P(DATA_AXIS)), out_specs=P(DATA_AXIS),
         check_vma=False)
     return f(params, batch)
+
+
+def make_serving_fn(module, variables, *, batch_size: int,
+                    mode: str = "auto", dtype=jnp.bfloat16,
+                    interpret: bool = False):
+    """Production serving factory: fold normalization, pack weights, and
+    return a jitted ``uint8 [B,H,W,3] -> P(live) [B]`` function on the
+    measured regime winner for ``batch_size`` (BENCH_NOTES rounds 7-9,
+    TPU v5e):
+
+    - ``B == 1``  -> ``lowlat`` (whole encoder as ONE Pallas program;
+      fold-ends image->logits single kernel when patch_dim == embed_dim)
+    - ``2..15``   -> ``batch_grid`` (same single-program encoder, weights
+      stream once per <=4-image chunk instead of once per image)
+    - ``B >= 16`` -> ``fastserve`` (per-layer fused kernels — the
+      throughput mode; 4,636 img/s/chip at B=128)
+
+    ``mode`` overrides the map ("fastserve" | "lowlat" | "batch_grid").
+    ``module``: the ``ViTAntiSpoof`` instance (geometry source);
+    ``variables``: its UNFOLDED variables (folding happens here).
+    Weights stay runtime arguments of the compiled program (closed over
+    the returned callable), so XLA does not bake them into the
+    executable.  Raises on a non-TPU backend unless ``interpret=True``
+    (CPU debugging)."""
+    from .vit import ViTAntiSpoof, fold_normalization
+
+    if not isinstance(module, ViTAntiSpoof):
+        raise TypeError("make_serving_fn packs the anti-spoof head; got "
+                        f"{type(module).__name__} (use "
+                        "eval.runner.make_fastserve_infer for the "
+                        "linear-head models)")
+    if not interpret and jax.default_backend() != "tpu":
+        raise RuntimeError(
+            "make_serving_fn builds Pallas TPU programs; on the "
+            f"'{jax.default_backend()}' backend pass interpret=True "
+            "(debugging) or use the module path")
+    if mode == "auto":
+        mode = ("lowlat" if batch_size == 1 else
+                "batch_grid" if batch_size < 16 else "fastserve")
+    geom = dict(num_heads=module.num_heads, patch_size=module.patch_size,
+                norm_eps=module.norm_eps)
+    folded = fold_normalization(variables)["params"]
+
+    if mode == "fastserve":
+        fn = jax.jit(lambda p, b: serving_forward(
+            p, b, depth=module.depth, dtype=dtype, interpret=interpret,
+            **geom))
+        return lambda batch_u8: fn(folded, batch_u8)
+    if mode not in ("lowlat", "batch_grid"):
+        raise ValueError(f"unknown serving mode {mode!r}")
+    prepared = prepare_lowlat(folded, depth=module.depth, dtype=dtype,
+                              batch_grid=(mode == "batch_grid"))
+    inner = (serving_forward_lowlat_batch if mode == "batch_grid"
+             else serving_forward_lowlat)
+    fn = jax.jit(lambda p, b: inner(p, b, dtype=dtype,
+                                    interpret=interpret, **geom))
+    return lambda batch_u8: fn(prepared, batch_u8)
