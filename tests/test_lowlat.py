@@ -331,3 +331,16 @@ def test_lowlat_batchgrid_bf16_tracks_fastserve():
     got = np.asarray(serving_forward_lowlat_batch(
         prepared, u8, num_heads=2, interpret=True), np.float32)
     np.testing.assert_allclose(got, want, atol=5e-3)
+
+
+def test_prepare_lowlat_pack_selection():
+    """per_item=False (batch-grid-only serving) skips the per-item and
+    fold-ends packs — neither should sit in device memory twice."""
+    from vit_spoof_detection_pda_tpu.models.fastserve import prepare_lowlat
+
+    _, folded = _small()
+    p = prepare_lowlat(folded["params"], depth=2, batch_grid=True,
+                       per_item=False)
+    assert "bg_w" in p and "packed_w" not in p and "aux" not in p
+    with pytest.raises(ValueError, match="nothing would be packed"):
+        prepare_lowlat(folded["params"], depth=2, per_item=False)

@@ -75,6 +75,13 @@ def main(argv=None):
         parser.error("--lowlat is a latency mode; combine with "
                      "--device-latency (batched throughput stays on the "
                      "per-layer --fastserve path, which wins at B>=16)")
+    if args.lowlat_batch_grid and not args.lowlat:
+        parser.error("--lowlat-batch-grid is a --lowlat flavor; add "
+                     "--lowlat (otherwise the module path would be "
+                     "timed and reported as batch-grid numbers)")
+    if args.lowlat_batch_grid and args.lowlat_encoder_only:
+        parser.error("--lowlat-batch-grid and --lowlat-encoder-only "
+                     "select different kernels; pick one")
     if args.lowlat and not args.interpret:
         # fail BEFORE the model load, like validate_fastserve (cli/common.py)
         import jax
@@ -144,7 +151,8 @@ def main(argv=None):
                 folded["params"], depth=depth,
                 fold_ends=(isinstance(module, ViTAntiSpoof)
                            and not args.lowlat_encoder_only),
-                batch_grid=args.lowlat_batch_grid)
+                batch_grid=args.lowlat_batch_grid,
+                per_item=not args.lowlat_batch_grid)
             print("lowlat flavor:",
                   "batch-grid (per-chunk weight streaming)"
                   if args.lowlat_batch_grid else

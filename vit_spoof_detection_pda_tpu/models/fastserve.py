@@ -206,7 +206,8 @@ def _cls_head_scores(params, x, *, norm_eps: float, dtype):
 
 
 def prepare_lowlat(params, *, depth: int = 12, dtype=jnp.bfloat16,
-                   fold_ends: bool = True, batch_grid: bool = False):
+                   fold_ends: bool = True, batch_grid: bool = False,
+                   per_item: bool = True):
     """Pack a (normalization-folded) param tree for the single-kernel
     latency path.  Run ONCE outside the serving jit; the result feeds
     :func:`serving_forward_lowlat`.
@@ -217,18 +218,28 @@ def prepare_lowlat(params, *, depth: int = 12, dtype=jnp.bfloat16,
     fold-ends mode); shapes that cannot ride the layout (patch_dim !=
     embed_dim) silently fall back to the encoder-only kernel with XLA
     ends.  ``batch_grid`` additionally packs the phase-walking layout
-    for :func:`serving_forward_lowlat_batch` (the B~2-16 regime)."""
+    for :func:`serving_forward_lowlat_batch` (the B~2-16 regime).
+    ``per_item=False`` skips the per-item (and fold-ends) packs when
+    only the batch-grid path will run — each pack is ~depth*12D² of
+    device memory (~54 MB bf16 at ViT-B/16), so a batch-grid-only
+    server should not hold both."""
     from ..ops.lowlat import (pack_encoder_weights,
                               pack_encoder_weights_batchgrid,
                               pack_end_weights)
 
-    w, s = pack_encoder_weights(params["vit"], depth=depth, dtype=dtype)
-    out = {"params": params, "packed_w": w, "packed_s": s}
+    if not (per_item or batch_grid):
+        raise ValueError("prepare_lowlat with per_item=False needs "
+                         "batch_grid=True — nothing would be packed")
+    out = {"params": params}
+    if per_item:
+        w, s = pack_encoder_weights(params["vit"], depth=depth,
+                                    dtype=dtype)
+        out.update(packed_w=w, packed_s=s)
     if batch_grid:
         bg_w, bg_s = pack_encoder_weights_batchgrid(
             params["vit"], depth=depth, dtype=dtype)
         out.update(bg_w=bg_w, bg_s=bg_s)
-    if fold_ends:
+    if fold_ends and per_item:
         try:
             w_end, s_end, aux = pack_end_weights(params, dtype=dtype)
         except ValueError as e:
@@ -435,7 +446,8 @@ def make_serving_fn(module, variables, *, batch_size: int,
     if mode not in ("lowlat", "batch_grid"):
         raise ValueError(f"unknown serving mode {mode!r}")
     prepared = prepare_lowlat(folded, depth=module.depth, dtype=dtype,
-                              batch_grid=(mode == "batch_grid"))
+                              batch_grid=(mode == "batch_grid"),
+                              per_item=(mode == "lowlat"))
     inner = (serving_forward_lowlat_batch if mode == "batch_grid"
              else serving_forward_lowlat)
     fn = jax.jit(lambda p, b: inner(p, b, dtype=dtype,

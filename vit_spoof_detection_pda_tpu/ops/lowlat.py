@@ -51,6 +51,46 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _attn_sublayer(x32, w_blk, s_blk, *, num_heads: int, valid_len: int,
+                   eps: float, out_dtype):
+    """One pre-LN attention sub-layer on a [Tp, D] f32 residual: LN1 ->
+    fused QKV GEMM -> per-head masked softmax attention -> proj ->
+    residual add.  Value-level (no refs), shared by the per-item and
+    batch-grid encoder kernels so the two latency paths cannot drift
+    numerically.  ``w_blk``: [D, 4D] phase-0 superblock (W_qkv | W_proj);
+    ``s_blk``: [4, 4D] (ln scale / ln bias / qkv bias / proj bias)."""
+    tp, d = x32.shape
+    head_dim = d // num_heads
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean((x32 - mu) ** 2, axis=-1, keepdims=True)
+    xn = ((x32 - mu) * jax.lax.rsqrt(var + eps)
+          * s_blk[0, :d] + s_blk[1, :d]).astype(out_dtype)
+    qkv = jax.lax.dot_general(
+        xn, w_blk[:, :3 * d], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    qkv = (qkv + s_blk[2, :3 * d]).astype(out_dtype)
+    scale = float(head_dim) ** -0.5
+    col = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
+    mask = col < valid_len
+    heads = []
+    for h in range(num_heads):
+        q = qkv[:, h * head_dim:(h + 1) * head_dim]
+        k = qkv[:, d + h * head_dim:d + (h + 1) * head_dim]
+        v = qkv[:, 2 * d + h * head_dim:2 * d + (h + 1) * head_dim]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        logits = jnp.where(mask, logits, -1e30)
+        w = jax.nn.softmax(logits, axis=-1)
+        heads.append(jnp.dot(w.astype(v.dtype), v,
+                             preferred_element_type=jnp.float32))
+    attn_out = jnp.concatenate(heads, axis=1)
+    proj = jax.lax.dot_general(
+        attn_out.astype(out_dtype), w_blk[:, 3 * d:4 * d],
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    return (x32 + proj + s_blk[3, :d]).astype(out_dtype)
+
+
 def _encoder_kernel(x_ref, w_ref, s_ref, *refs, depth: int,
                     num_heads: int, valid_len: int, eps: float,
                     fold_ends: bool = False, head_eps: float = 1e-5,
@@ -156,32 +196,10 @@ def _encoder_kernel(x_ref, w_ref, s_ref, *refs, depth: int,
 
     @pl.when(phase == 0)
     def _attn():
-        x = o_ref[0].astype(jnp.float32)                     # [Tp, D]
-        xn = _ln(x, 0).astype(o_ref.dtype)
-        qkv = jax.lax.dot_general(
-            xn, w_ref[0, :, :3 * d], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        qkv = (qkv + s_ref[0, 2, :3 * d]).astype(o_ref.dtype)
-        scale = float(head_dim) ** -0.5
-        col = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
-        mask = col < valid_len
-        heads = []
-        for h in range(num_heads):
-            q = qkv[:, h * head_dim:(h + 1) * head_dim]
-            k = qkv[:, d + h * head_dim:d + (h + 1) * head_dim]
-            v = qkv[:, 2 * d + h * head_dim:2 * d + (h + 1) * head_dim]
-            logits = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-            logits = jnp.where(mask, logits, -1e30)
-            w = jax.nn.softmax(logits, axis=-1)
-            heads.append(jnp.dot(w.astype(v.dtype), v,
-                                 preferred_element_type=jnp.float32))
-        attn_out = jnp.concatenate(heads, axis=1)
-        proj = jax.lax.dot_general(
-            attn_out.astype(o_ref.dtype), w_ref[0, :, 3 * d:4 * d],
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        o_ref[0] = (x + proj + s_ref[0, 3, :d]).astype(o_ref.dtype)
+        o_ref[0] = _attn_sublayer(
+            o_ref[0].astype(jnp.float32), w_ref[0], s_ref[0],
+            num_heads=num_heads, valid_len=valid_len, eps=eps,
+            out_dtype=o_ref.dtype)
 
     @pl.when(phase == 1)
     def _fc1():
@@ -223,8 +241,7 @@ def _encoder_batchgrid_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *,
     B=4: 9 MB double-buffered weights + 1.2 o + 1.2 x + 2.4 acc
     ~= 14 MB < 16 MB VMEM; the serving wrapper chunks larger batches.
     """
-    tp, d = o_ref.shape[1], o_ref.shape[2]
-    head_dim = d // num_heads
+    d = o_ref.shape[2]
     i = pl.program_id(0)
     phase = jax.lax.rem(i, 3)
 
@@ -255,35 +272,11 @@ def _encoder_batchgrid_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *,
 
     @pl.when(phase == 0)
     def _attn():
-        scale = float(head_dim) ** -0.5
-        col = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
-        mask = col < valid_len
         for bi in range(batch):
-            x = o_ref[bi].astype(jnp.float32)               # [Tp, D]
-            xn = _ln(x).astype(o_ref.dtype)
-            qkv = jax.lax.dot_general(
-                xn, w_ref[0, :, :3 * d], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            qkv = (qkv + s_ref[0, 2, :3 * d]).astype(o_ref.dtype)
-            heads = []
-            for h in range(num_heads):
-                q = qkv[:, h * head_dim:(h + 1) * head_dim]
-                k = qkv[:, d + h * head_dim:d + (h + 1) * head_dim]
-                v = qkv[:, 2 * d + h * head_dim:
-                        2 * d + (h + 1) * head_dim]
-                logits = jax.lax.dot_general(
-                    q, k, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) * scale
-                logits = jnp.where(mask, logits, -1e30)
-                w = jax.nn.softmax(logits, axis=-1)
-                heads.append(jnp.dot(w.astype(v.dtype), v,
-                                     preferred_element_type=jnp.float32))
-            attn_out = jnp.concatenate(heads, axis=1)
-            proj = jax.lax.dot_general(
-                attn_out.astype(o_ref.dtype), w_ref[0, :, 3 * d:4 * d],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            o_ref[bi] = (x + proj + s_ref[0, 3, :d]).astype(o_ref.dtype)
+            o_ref[bi] = _attn_sublayer(
+                o_ref[bi].astype(jnp.float32), w_ref[0], s_ref[0],
+                num_heads=num_heads, valid_len=valid_len, eps=eps,
+                out_dtype=o_ref.dtype)
 
     @pl.when(phase == 1)
     def _mlp_a():
@@ -316,25 +309,13 @@ def pack_encoder_weights_batchgrid(vit_params, *, depth: int = 12,
     - 3l+2 (mlp b): W = [fc1b | fc2[2D:3D,:] | fc2[3D:,:]],
       S = [ln2 scale, ln2 bias, fc1 bias[2D:], fc2 bias]
     """
-    blk0 = vit_params["block0"]
-    d = blk0["attn"]["qkv"]["kernel"].shape[0]
-    hidden = blk0["mlp"]["fc1"]["kernel"].shape[1]
-    if hidden != 4 * d:
-        raise ValueError(
-            f"lowlat packing needs mlp hidden == 4*embed ({hidden} != "
-            f"4*{d}) — the uniform superblock relies on 3D+D == hidden")
+    d, hidden = _pack_geom(vit_params)
     ws, ss = [], []
     f32 = jnp.float32
     for i in range(depth):
         blk = vit_params[f"block{i}"]
-        ws.append(jnp.concatenate(
-            [blk["attn"]["qkv"]["kernel"].astype(dtype),
-             blk["attn"]["proj"]["kernel"].astype(dtype)], axis=1))
-        s0 = jnp.zeros((4, hidden), f32)
-        s0 = s0.at[0, :d].set(blk["norm1"]["scale"].astype(f32))
-        s0 = s0.at[1, :d].set(blk["norm1"]["bias"].astype(f32))
-        s0 = s0.at[2, :3 * d].set(blk["attn"]["qkv"]["bias"].astype(f32))
-        s0 = s0.at[3, :d].set(blk["attn"]["proj"]["bias"].astype(f32))
+        w0, s0 = _pack_attn_step(blk, d, hidden, dtype)
+        ws.append(w0)
         ss.append(s0)
         fc1 = blk["mlp"]["fc1"]["kernel"].astype(dtype)
         fc1_b = blk["mlp"]["fc1"]["bias"].astype(f32)
@@ -388,7 +369,10 @@ def encoder_forward_lowlat_batchgrid(xp, w_packed, s_packed, *,
         out_shape=jax.ShapeDtypeStruct((b, tp, d), xp.dtype),
         scratch_shapes=[pltpu.VMEM((b, tp, d), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * (nsteps // 3) * tp * d * (4 * d + 4 * d)
+            # per layer per item: qkv (3D) + proj (D) + the two MLP
+            # halves (2*hidden = 8D) GEMM columns — same accounting as
+            # the per-item kernel — plus the [Tp, Tp] attention dots
+            flops=2 * b * (nsteps // 3) * tp * d * (3 * d + d + 8 * d)
             + 4 * b * (nsteps // 3) * num_heads * tp * tp
             * (d // num_heads),
             bytes_accessed=nsteps * d * hidden * w_packed.dtype.itemsize,
@@ -396,6 +380,34 @@ def encoder_forward_lowlat_batchgrid(xp, w_packed, s_packed, *,
             * (num_heads * tp * tp + tp * hidden)),
         interpret=interpret,
     )(xp, w_packed, s_packed)
+
+
+def _pack_geom(vit_params):
+    """(d, hidden) of the encoder, validating the uniform-superblock
+    invariant every lowlat pack relies on (3D+D == hidden)."""
+    blk0 = vit_params["block0"]
+    d = blk0["attn"]["qkv"]["kernel"].shape[0]
+    hidden = blk0["mlp"]["fc1"]["kernel"].shape[1]
+    if hidden != 4 * d:
+        raise ValueError(
+            f"lowlat packing needs mlp hidden == 4*embed ({hidden} != "
+            f"4*{d}) — the uniform superblock relies on 3D+D == hidden")
+    return d, hidden
+
+
+def _pack_attn_step(blk, d, hidden, dtype):
+    """Phase-0 superblock ``[wqkv | wproj]`` + its s block — identical
+    in the per-item and batch-grid layouts (only the MLP steps differ)."""
+    f32 = jnp.float32
+    w = jnp.concatenate(
+        [blk["attn"]["qkv"]["kernel"].astype(dtype),
+         blk["attn"]["proj"]["kernel"].astype(dtype)], axis=1)
+    s0 = jnp.zeros((4, hidden), f32)
+    s0 = s0.at[0, :d].set(blk["norm1"]["scale"].astype(f32))
+    s0 = s0.at[1, :d].set(blk["norm1"]["bias"].astype(f32))
+    s0 = s0.at[2, :3 * d].set(blk["attn"]["qkv"]["bias"].astype(f32))
+    s0 = s0.at[3, :d].set(blk["attn"]["proj"]["bias"].astype(f32))
+    return w, s0
 
 
 def pack_encoder_weights(vit_params, *, depth: int = 12,
@@ -406,26 +418,13 @@ def pack_encoder_weights(vit_params, *, depth: int = 12,
     Do this ONCE outside the serving jit (it is pure layout work); the
     packed arrays replace the per-layer tree for
     :func:`encoder_forward_lowlat`."""
-    blk0 = vit_params["block0"]
-    d = blk0["attn"]["qkv"]["kernel"].shape[0]
-    hidden = blk0["mlp"]["fc1"]["kernel"].shape[1]
-    if hidden != 4 * d:
-        raise ValueError(
-            f"lowlat packing needs mlp hidden == 4*embed ({hidden} != "
-            f"4*{d}) — the uniform superblock relies on 3D+D == hidden")
+    d, hidden = _pack_geom(vit_params)
     ws, ss = [], []
     f32 = jnp.float32
     for i in range(depth):
         blk = vit_params[f"block{i}"]
-        # phase 0: [wqkv | wproj]
-        ws.append(jnp.concatenate(
-            [blk["attn"]["qkv"]["kernel"].astype(dtype),
-             blk["attn"]["proj"]["kernel"].astype(dtype)], axis=1))
-        s0 = jnp.zeros((4, hidden), f32)
-        s0 = s0.at[0, :d].set(blk["norm1"]["scale"].astype(f32))
-        s0 = s0.at[1, :d].set(blk["norm1"]["bias"].astype(f32))
-        s0 = s0.at[2, :3 * d].set(blk["attn"]["qkv"]["bias"].astype(f32))
-        s0 = s0.at[3, :d].set(blk["attn"]["proj"]["bias"].astype(f32))
+        w0, s0 = _pack_attn_step(blk, d, hidden, dtype)
+        ws.append(w0)
         ss.append(s0)
         # phase 1: fc1
         ws.append(blk["mlp"]["fc1"]["kernel"].astype(dtype))
