@@ -146,13 +146,34 @@ def test_pp_inside_attention_sharding(setup):
     np.testing.assert_allclose(got, np.asarray(ref), atol=2e-5, rtol=2e-5)
 
 
-def test_pipe_param_specs(setup):
-    module, variables, _, _ = setup
-    from jax.sharding import PartitionSpec as P
-    stacked_spec, rest_spec = pipe_param_specs(variables["params"],
-                                               module.depth)
-    assert all(s == P("pipe") for s in jax.tree.leaves(stacked_spec))
-    assert all(s == P() for s in jax.tree.leaves(rest_spec))
+def test_pipe_param_specs_and_packed_layout(setup):
+    """pack_pipeline_params + pipe_param_specs place the stacked blocks
+    over pipe with NO replicated unstacked copy, and pipeline_apply
+    accepts the packed layout directly (same scores)."""
+    module, variables, x, ref = setup
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vit_spoof_detection_pda_tpu.parallel.pipeline import (
+        pack_pipeline_params)
+
+    packed = pack_pipeline_params(variables, module.depth)
+    specs = pipe_param_specs(variables, module.depth)
+    assert jax.tree.structure(packed) == jax.tree.structure(specs)
+    blocks_spec = specs["params"]["vit"]["blocks"]
+    assert all(s == P("pipe") for s in jax.tree.leaves(blocks_spec))
+    assert all(s == P() for s in jax.tree.leaves(
+        specs["params"]["vit"]["norm"]))
+
+    mesh = make_pipe_mesh(4, data=2)
+    placed = jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
+        packed, specs)
+    leaf = jax.tree.leaves(placed["params"]["vit"]["blocks"])[0]
+    assert not leaf.sharding.is_fully_replicated  # layer dim split
+    got = jax.jit(lambda v, im: pipeline_apply(
+        module, v, im, mesh, microbatches=4))(placed, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
 
 
 def test_forward_equivalence_flagship_depth():

@@ -244,8 +244,9 @@ class ShardingConfig(_Base):
     fsdp composes with pure DP only.
     """
 
-    data_axis: str = "data"
-    model_axis: str = "model"
+    # mesh axis NAMES are fixed package-wide (parallel.mesh.DATA_AXIS /
+    # MODEL_AXIS / SEQ_AXIS) — the attention dispatch and the TP/FSDP
+    # spec tables key on them, so they are deliberately not configurable
     data_parallel: int = -1                    # -1: all remaining devices
     model_parallel: int = 1                    # tensor-parallel axis size
     seq_parallel: int = 1                      # sequence/context-parallel

@@ -52,16 +52,9 @@ from ..ops.attention import (_round_up, fused_attention_block_padded,
 log = logging.getLogger(__name__)
 
 
-def _patchify(batch, *, patch_size: int, dtype):
-    """[B,H,W,C] image -> [B, gh*gw, p*p*c] patch rows (the ViT stem's
-    im2row).  Shared by embed_patches and the fold-ends lowlat branch so
-    the patch layout cannot drift between the serving paths."""
-    b, h, w, c = batch.shape
-    p = patch_size
-    gh, gw = h // p, w // p
-    x = batch.astype(dtype)
-    x = x.reshape(b, gh, p, gw, p, c)
-    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, p * p * c)
+# THE patch-layout definition lives next to the module (models/vit.py);
+# every serving path and the pipelined encoder share it.
+from .vit import patchify as _patchify  # noqa: E402
 
 
 def embed_patches(vit, batch, *, dtype, patch_size: int):

@@ -127,6 +127,19 @@ class EncoderBlock(nn.Module):
         return x
 
 
+def patchify(x, *, patch_size: int, dtype):
+    """[B, H, W, C] image -> [B, gh*gw, p*p*C] patch rows (the ViT
+    stem's im2row).  THE patch-layout definition: the module forward,
+    the serving paths (models/fastserve.py), and the pipelined encoder
+    (parallel/pipeline.py) all call this, so the layout cannot drift."""
+    b, h, w, c = x.shape
+    p = patch_size
+    gh, gw = h // p, w // p
+    x = x.astype(dtype)
+    x = x.reshape(b, gh, p, gw, p, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, p * p * c)
+
+
 class ViT(nn.Module):
     """ViT backbone; returns pooled features (timm ``num_classes=0`` mode:
     CLS token after the final LayerNorm)."""
@@ -144,14 +157,11 @@ class ViT(nn.Module):
     @nn.compact
     def __call__(self, x):
         """x: [B, H, W, 3] float (already normalized). Returns [B, D]."""
-        b, h, w, c = x.shape
-        p = self.patch_size
-        gh, gw = h // p, w // p
+        b = x.shape[0]
+        gh, gw = x.shape[1] // self.patch_size, x.shape[2] // self.patch_size
 
         # Patch embed as one GEMM: [B, gh, p, gw, p, C] -> [B, N, p*p*C] @ W
-        x = x.astype(self.dtype)
-        x = x.reshape(b, gh, p, gw, p, c)
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, p * p * c)
+        x = patchify(x, patch_size=self.patch_size, dtype=self.dtype)
         x = nn.Dense(self.embed_dim, dtype=self.dtype, name="patch_embed")(x)
 
         cls = self.param("cls_token", nn.initializers.zeros,

@@ -11,6 +11,7 @@ shardings, let GSPMD insert all-reduces.
 from .mesh import (
     batch_spec,
     fsdp_param_specs,
+    init_multi_host,
     make_mesh,
     make_seq_mesh,
     mesh_from_config,
@@ -21,15 +22,16 @@ from .mesh import (
 )
 from .pipeline import (
     make_pipe_mesh,
+    pack_pipeline_params,
     pipe_param_specs,
     pipeline_apply,
     stack_block_params,
     unstack_block_params,
 )
 
-__all__ = ["make_mesh", "make_seq_mesh", "mesh_from_config", "batch_spec",
-           "param_specs",
+__all__ = ["init_multi_host", "make_mesh", "make_seq_mesh",
+           "mesh_from_config", "batch_spec", "param_specs",
            "shard_batch", "shard_params", "fsdp_param_specs",
            "shard_params_fsdp", "make_pipe_mesh", "pipeline_apply",
-           "pipe_param_specs", "stack_block_params",
-           "unstack_block_params"]
+           "pack_pipeline_params", "pipe_param_specs",
+           "stack_block_params", "unstack_block_params"]

@@ -130,19 +130,13 @@ def _spec_for_path(path: str, leaf) -> P:
 
 def param_specs(params) -> dict:
     """PartitionSpec pytree for a model parameter tree."""
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
 
     def path_str(kp):
         return "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
                         for k in kp)
 
-    specs = {path_str(kp): _spec_for_path(path_str(kp), leaf)
-             for kp, leaf in flat}
-
-    def build(kp, leaf):
-        return specs[path_str(kp)]
-
-    return jax.tree_util.tree_map_with_path(build, params)
+    return jax.tree_util.tree_map_with_path(
+        lambda kp, leaf: _spec_for_path(path_str(kp), leaf), params)
 
 
 def shard_params(params, mesh: Mesh):

@@ -51,10 +51,17 @@ PIPE_AXIS = "pipe"
 
 def make_pipe_mesh(pipe: int, data: int = 1, devices=None) -> Mesh:
     """Build a (data, pipe) mesh.  Stages are laid out minor so each
-    pipeline ring's ppermute hops between mesh-adjacent devices."""
+    pipeline ring's ppermute hops between mesh-adjacent devices.
+    ``data=-1`` -> all remaining devices (same convention as
+    make_mesh / make_seq_mesh)."""
     devices = np.asarray(devices if devices is not None else jax.devices())
-    if data * pipe != devices.size:
-        raise ValueError(f"mesh {data}x{pipe} != {devices.size} devices")
+    n = devices.size
+    if data == -1:
+        if n % pipe:
+            raise ValueError(f"{n} devices not divisible by pipe={pipe}")
+        data = n // pipe
+    if data * pipe != n:
+        raise ValueError(f"mesh {data}x{pipe} != {n} devices")
     return Mesh(devices.reshape(data, pipe), (DATA_AXIS, PIPE_AXIS))
 
 
@@ -77,6 +84,22 @@ def stack_block_params(vit_params: dict, depth: int):
 def unstack_block_params(stacked) -> list:
     depth = jax.tree.leaves(stacked)[0].shape[0]
     return [jax.tree.map(lambda x: x[i], stacked) for i in range(depth)]
+
+
+def pack_pipeline_params(variables, depth: int):
+    """Repack module variables into the pipeline layout: the vit tree's
+    ``block{i}`` subtrees become ONE stacked subtree under ``"blocks"``
+    (leading layer dim — shard it over ``pipe`` with
+    :func:`pipe_param_specs`); everything else is untouched.
+
+    ``pipeline_apply`` accepts this layout directly, so a training setup
+    can `jax.device_put(pack_pipeline_params(v, depth),
+    pipe_param_specs(v, depth, mesh))` ONCE and never materialize the
+    replicated unstacked copy on any device."""
+    params = dict(variables["params"])
+    stacked, rest = stack_block_params(params["vit"], depth)
+    params["vit"] = {**rest, "blocks": stacked}
+    return {**variables, "params": params}
 
 
 def _pipeline_encoder(x, stacked, block_fn, mesh: Mesh, microbatches: int):
@@ -170,19 +193,27 @@ def pipeline_apply(module, variables, images, mesh: Mesh, *,
     Equivalent to ``module.apply(variables, images, train=train)`` (same
     flax submodules, applied functionally); the 12 encoder blocks run as
     a GPipe schedule over the mesh's ``pipe`` axis.  Differentiable —
-    wrap in jax.value_and_grad for a PP training step."""
+    wrap in jax.value_and_grad for a PP training step.
+
+    ``variables`` may be the plain module tree (block{i} subtrees —
+    stacked here, which materializes a replicated copy before GSPMD
+    re-lays it out) or the :func:`pack_pipeline_params` layout
+    (``"blocks"`` stacked subtree, already sharded over ``pipe`` — no
+    replicated copy ever exists)."""
+    from ..models.vit import patchify
+
     params = variables["params"]
     vit_params = params["vit"]
-    stacked, rest = stack_block_params(vit_params, module.depth)
+    if "blocks" in vit_params:                 # pack_pipeline_params layout
+        stacked = vit_params["blocks"]
+        rest = {k: v for k, v in vit_params.items() if k != "blocks"}
+    else:
+        stacked, rest = stack_block_params(vit_params, module.depth)
     dtype = module.dtype
 
     # --- embed (outside the pipe: data-sharded, replicated over pipe)
-    x = images.astype(dtype)
-    b, h, w, c = x.shape
-    p = module.patch_size
-    gh, gw = h // p, w // p
-    x = x.reshape(b, gh, p, gw, p, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, p * p * c)
+    b = images.shape[0]
+    x = patchify(images, patch_size=module.patch_size, dtype=dtype)
     x = nn.Dense(module.embed_dim, dtype=dtype, name="patch_embed").apply(
         {"params": rest["patch_embed"]}, x)
     cls = jnp.broadcast_to(rest["cls_token"].astype(dtype),
@@ -211,20 +242,34 @@ def pipeline_apply(module, variables, images, mesh: Mesh, *,
         train=train, rngs=rngs)
 
 
-def pipe_param_specs(params, depth: int):
-    """PartitionSpecs for the pipeline layout: stacked blocks over
-    ``pipe`` (leading layer dim), everything else replicated.  Returns
-    (stacked_spec_tree, rest_spec_tree) matching stack_block_params's
-    split of ``params['vit']``.  Derived from tree STRUCTURE only — the
-    stacked tree has block0's pytree structure with a leading layer dim
-    on every leaf, so no stacked copy is materialized here."""
+def pipe_param_specs(variables, depth: int):
+    """PartitionSpecs for the :func:`pack_pipeline_params` layout: the
+    ``"blocks"`` stacked subtree shards its leading layer dim over
+    ``pipe``; every other leaf (embed/cls/pos/norm/head) is replicated.
+    Returns a spec tree with the PACKED variables' structure, so
+
+        packed = pack_pipeline_params(variables, depth)
+        specs  = pipe_param_specs(variables, depth)
+        packed = jax.tree.map(lambda x, s: jax.device_put(
+            x, jax.sharding.NamedSharding(mesh, s)), packed, specs)
+        pipeline_apply(module, packed, ...)
+
+    places each device's layer slice directly (derived from tree
+    STRUCTURE only — the blocks spec mirrors block0's pytree, so no
+    stacked copy is materialized here)."""
+    params = variables["params"]
     vit_params = params["vit"]
     n_blocks = sum(1 for k in vit_params if _is_block_key(k))
     if n_blocks != depth:
         raise ValueError(f"param tree has {n_blocks} encoder blocks, "
                          f"expected depth={depth}")
-    stacked_spec = jax.tree.map(lambda _: P(PIPE_AXIS),
-                                vit_params["block0"])
-    rest = {k: v for k, v in vit_params.items() if not _is_block_key(k)}
-    rest_spec = jax.tree.map(lambda _: P(), rest)
-    return stacked_spec, rest_spec
+    vit_spec = {k: jax.tree.map(lambda _: P(), v)
+                for k, v in vit_params.items() if not _is_block_key(k)}
+    vit_spec["blocks"] = jax.tree.map(lambda _: P(PIPE_AXIS),
+                                      vit_params["block0"])
+    params_spec = {k: (vit_spec if k == "vit"
+                       else jax.tree.map(lambda _: P(), v))
+                   for k, v in params.items()}
+    return {**{k: jax.tree.map(lambda _: P(), v)
+               for k, v in variables.items() if k != "params"},
+            "params": params_spec}
