@@ -426,3 +426,49 @@ def test_checkpoint_async_overwrite_drains_pending(tmp_path):
     assert mgr.save(3, state, metrics={"val_f1": 0.4})
     assert mgr.restore_metrics(3)["val_f1"] == 0.4
     mgr.close()
+
+
+def test_lr_horizon_counts_updates_not_microsteps(tmp_path):
+    """optax.MultiSteps advances the inner adamw schedule once per
+    ACCUMULATED update — the cosine horizon must be sized in updates or
+    it never completes (review finding: accum=4 left the run at
+    ~cos(pi/4) of base lr)."""
+    cfg = Config().with_overrides({
+        "optim.num_epochs": 2,
+        "optim.warmup_epochs": 0,   # t_max = total - warmup (ref quirk)
+        "optim.gradient_accumulation_steps": 4,
+        "optim.min_lr": 1e-6,
+        "data.img_size": 16,
+    })
+    trainer = Trainer(cfg, TinyNet(),
+                      train_batches=lambda e: iter(()),
+                      val_batches=lambda: iter(()),
+                      steps_per_epoch=8)
+    assert trainer._accum == 4
+    # horizon = 8 * 2 / 4 = 4 updates; the reference-style cosine hits
+    # min_lr exactly at the horizon
+    assert float(trainer.lr_schedule(4)) == pytest.approx(1e-6)
+    assert float(trainer.lr_schedule(2)) == pytest.approx(
+        1e-6 + (cfg.optim.learning_rate - 1e-6) / 2)
+
+
+def test_sweep_missing_metric_raises():
+    """A misnamed sweep metric must fail loudly, not silently rank N
+    full training runs at -inf."""
+    from vit_spoof_detection_pda_tpu.train.sweep import run_sweep
+
+    with pytest.raises(KeyError, match="optimal_f1"):
+        run_sweep(Config(), lambda cfg: {"val_f1": 0.5}, count=2, seed=0)
+
+
+def test_wandb_space_derived_from_default():
+    """The wandb sweep searches exactly DEFAULT_SPACE (module docstring
+    promise) — derived, not restated."""
+    from vit_spoof_detection_pda_tpu.train.sweep import (
+        DEFAULT_SPACE, _wandb_parameters)
+
+    params = _wandb_parameters(DEFAULT_SPACE)
+    assert set(params) == {p.split(".")[-1] for p in DEFAULT_SPACE}
+    assert params["learning_rate"] == {
+        "distribution": "log_uniform_values", "min": 5e-5, "max": 5e-4}
+    assert params["batch_size"] == {"values": [96, 128, 160]}

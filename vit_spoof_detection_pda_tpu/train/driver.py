@@ -165,6 +165,25 @@ def _run_training(cfg: Config, train_batches, val_recs, steps, counts,
             "Custom_ViT_FineTuned",
             checkpoint_path=cfg.model.pretrained_path,
             dropout=cfg.model.dropout, dtype=dtype)
+        # the registry path loads the FLAGSHIP tree; a cfg.model with a
+        # different geometry would otherwise die at the first train
+        # step with a cryptic flax scope error (or silently train the
+        # wrong architecture on subtly compatible trees)
+        want = jax.eval_shape(
+            module.init, jax.random.PRNGKey(0),
+            jnp.zeros((1, cfg.data.img_size, cfg.data.img_size, 3),
+                      jnp.float32))["params"]
+        got = variables["params"]
+        same = (jax.tree.structure(want) == jax.tree.structure(got)
+                and all(w.shape == g.shape for w, g in
+                        zip(jax.tree.leaves(want), jax.tree.leaves(got))))
+        if not same:
+            raise ValueError(
+                "model.pretrained_path loads the flagship "
+                "Custom_ViT_FineTuned architecture, but cfg.model "
+                "describes a different parameter tree — drop the "
+                "non-default model geometry or convert the checkpoint "
+                "explicitly (models.convert)")
 
     ckpt = CheckpointManager(
         cfg.checkpoint.save_dir,

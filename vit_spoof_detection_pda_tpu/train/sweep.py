@@ -186,7 +186,15 @@ def run_sweep(base_config: Config,
                 "checkpoint.save_dir":
                     f"{cfg.checkpoint.save_dir}/trial_{i:02d}"})
         metrics = train_fn(cfg)
-        score = float(metrics.get(metric, float("-inf")))
+        if metric not in metrics:
+            # -inf here would silently degrade the whole sweep to random
+            # order (the GP never sees a finite point and `best` becomes
+            # arbitrary) — after N full training runs, that must be loud
+            raise KeyError(
+                f"sweep metric {metric!r} missing from train_fn result "
+                f"(got {sorted(metrics)}); optimal_* keys need "
+                "threshold.optimize=True — use metric='val_f1' otherwise")
+        score = float(metrics[metric])
         results.append(SweepResult(overrides, score, i, dict(metrics)))
         log.info("sweep run %d/%d %s=%.5f %s", i + 1, count, metric, score,
                  overrides)
@@ -195,45 +203,65 @@ def run_sweep(base_config: Config,
     return results
 
 
+def _wandb_parameters(space):
+    """Translate a sampler-spec space to wandb sweep parameters.
+
+    Both sweeps must search the SAME space (module docstring); deriving
+    the wandb config from the spec instead of restating it keeps them
+    from drifting.  wandb param names are the dotted path's leaf (the
+    reference's flat names, train_advanced.py:699-719)."""
+    out = {}
+    for path, spec in space.items():
+        name = path.split(".")[-1]
+        if name in out:
+            raise ValueError(f"space has colliding leaf name {name!r}")
+        if spec[0] == "log_uniform":
+            out[name] = {"distribution": "log_uniform_values",
+                         "min": spec[1], "max": spec[2]}
+        elif spec[0] == "uniform":
+            out[name] = {"distribution": "uniform",
+                         "min": spec[1], "max": spec[2]}
+        elif spec[0] == "choice":
+            out[name] = {"values": list(spec[1])}
+        else:
+            raise ValueError(f"unknown sampler {spec[0]}")
+    return out
+
+
 def run_wandb_sweep(base_config: Config,
                     train_fn: Callable[[Config], Dict[str, float]],
                     *, metric: str = "optimal_f1", count: int = 12,
-                    project: str = "face-antispoofing-tpu"):
+                    project: str = "face-antispoofing-tpu", space=None):
     """Drive the same space through a wandb Bayesian sweep (only when
     wandb is installed; reference train_advanced.py:697-744)."""
     import wandb  # raises ImportError when absent — caller gates
 
+    space = space or DEFAULT_SPACE
     sweep_config = {
         "method": "bayes",
         "metric": {"name": f"val/{metric}", "goal": "maximize"},
-        "parameters": {
-            "learning_rate": {"distribution": "log_uniform_values",
-                              "min": 5e-5, "max": 5e-4},
-            "batch_size": {"values": [96, 128, 160]},
-            "weight_decay": {"distribution": "log_uniform_values",
-                             "min": 0.01, "max": 0.1},
-            "dropout": {"values": [0.0, 0.1, 0.2]},
-            "loss_type": {"values": ["focal", "weighted_ce"]},
-            "focal_alpha": {"values": [0.15, 0.25, 0.35]},
-            "focal_gamma": {"values": [1.5, 2.0, 2.5]},
-        },
+        "parameters": _wandb_parameters(space),
     }
     sweep_id = wandb.sweep(sweep_config, project=project)
 
     def agent_fn():
         run = wandb.init()
-        w = run.config
-        cfg = base_config.with_overrides({
-            "optim.learning_rate": w.learning_rate,
-            "data.batch_size": w.batch_size,
-            "optim.weight_decay": w.weight_decay,
-            "model.dropout": w.dropout,
-            "loss.loss_type": w.loss_type,
-            "loss.focal_alpha": w.focal_alpha,
-            "loss.focal_gamma": w.focal_gamma,
-        })
+        overrides = {path: getattr(run.config, path.split(".")[-1])
+                     for path in space}
+        cfg = base_config.with_overrides(overrides)
+        if hasattr(cfg, "checkpoint") and cfg.checkpoint.save_dir:
+            # per-run checkpoint dir — same cross-trial purge hazard
+            # run_sweep's trial_%02d subdirs fix; the reference
+            # disambiguates with the wandb run id too (:660-664)
+            cfg = cfg.with_overrides({
+                "checkpoint.save_dir":
+                    f"{cfg.checkpoint.save_dir}/{run.id}"})
         metrics = train_fn(cfg)
-        wandb.log({f"val/{metric}": metrics.get(metric)})
+        if metric not in metrics:
+            raise KeyError(
+                f"sweep metric {metric!r} missing from train_fn result "
+                f"(got {sorted(metrics)})")
+        wandb.log({f"val/{metric}": metrics[metric]})
 
     wandb.agent(sweep_id, function=agent_fn, count=count)
     return sweep_id

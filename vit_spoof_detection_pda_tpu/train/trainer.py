@@ -28,7 +28,7 @@ from ..metrics import device as dmetrics
 from ..ops import losses
 from ..parallel import (mesh_from_config, shard_batch, shard_params,
                         shard_params_fsdp)
-from ..parallel.mesh import MODEL_AXIS
+from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
 from ..utils.checkpoint import CheckpointManager
 from ..utils.telemetry import MetricLogger
 from .early_stop import EarlyStopping
@@ -64,8 +64,14 @@ class Trainer:
             config=config.to_dict())
         self.checkpoints = checkpoints
 
-        total_steps = steps_per_epoch * config.optim.num_epochs
-        warmup_steps = steps_per_epoch * config.optim.warmup_epochs
+        # the schedule inside optax.MultiSteps advances once per
+        # ACCUMULATED update, not per micro-step — size the horizon in
+        # updates or the cosine never completes under accumulation
+        self._accum = max(config.optim.gradient_accumulation_steps, 1)
+        total_steps = steps_per_epoch * config.optim.num_epochs \
+            // self._accum
+        warmup_steps = steps_per_epoch * config.optim.warmup_epochs \
+            // self._accum
         self.lr_schedule = make_lr_schedule(
             config.optim.learning_rate, total_steps, warmup_steps,
             config.optim.min_lr, config.optim.true_warmup)
@@ -139,8 +145,6 @@ class Trainer:
             tag: make_train_step(loss_fn, has_batch_stats=has_stats,
                                  mesh=self.mesh, batch_prep=prep)
             for tag, prep in preps.items()}
-        self.train_step = self.train_steps.get(
-            None) or next(iter(self.train_steps.values()))
         self.eval_step = make_eval_step(
             module.apply, has_batch_stats=has_stats, mesh=self.mesh)
 
@@ -215,6 +219,11 @@ class Trainer:
         count = 0
         pending = None
         timer = StepTimer()
+        # host-side step mirror: int(self.state.step) inside the loop
+        # would block on the step just enqueued (the same-step sync this
+        # loop exists to avoid); one fetch at epoch start is free (queue
+        # empty) and micro-steps advance by exactly 1 per batch
+        step0 = int(self.state.step)
         for i, batch in enumerate(self.train_batches(epoch)):
             batch = dict(batch)
             group = batch.pop("group", None)
@@ -228,22 +237,29 @@ class Trainer:
                 raise KeyError(
                     f"batch tagged group={group!r} but batch_prep only "
                     f"defines {sorted(map(str, self.train_steps))}")
-            self.state, metrics = step_fn(self.state, batch)
+            prev = pending
+            self.state, pending = step_fn(self.state, batch)
             rate = timer.tick()
             # fetch the *previous* step's metrics: keeps the device queue
             # busy (no same-step sync, unlike the reference's `.item()`
             # every batch, train_advanced.py:341-352)
-            if pending is not None:
-                self._accumulate(meters, pending)
+            if prev is not None:
+                self._accumulate(meters, prev)
                 count += 1
-            pending = metrics
-            if (i + 1) % self.config.telemetry.log_interval == 0:
-                step = int(self.state.step)
+            if ((i + 1) % self.config.telemetry.log_interval == 0
+                    and prev is not None):
+                step = step0 + i        # prev's micro-step index
                 record = {
-                    "train/loss": float(metrics["loss"]),
-                    "train/acc": float(metrics["accuracy"]),
-                    "train/lr": float(self.lr_schedule(step)),
+                    "train/loss": float(prev["loss"]),
+                    "train/acc": float(prev["accuracy"]),
+                    # the LR the optimizer applied at that micro-step:
+                    # MultiSteps advances the inner schedule once per
+                    # accumulated update
+                    "train/lr": float(self.lr_schedule(
+                        step // self._accum)),
                 }
+                if "grad_norm" in prev:
+                    record["train/grad_norm"] = float(prev["grad_norm"])
                 if rate:
                     record["train/steps_per_sec"] = rate
                 self.logger.log(record, step=step)
@@ -270,7 +286,10 @@ class Trainer:
         one device-side threshold table instead of host sklearn
         round-trips.
         """
-        dsize = int(self.mesh.devices.shape[0])
+        # data-axis size by NAME — a caller-built mesh need not put the
+        # data axis first (shard_params_fsdp does the same lookup)
+        dsize = dict(zip(self.mesh.axis_names,
+                         self.mesh.devices.shape)).get(DATA_AXIS, 1)
         scores, labels, losses = [], [], []
         n_seen = 0
         for batch in self.val_batches():
@@ -341,7 +360,20 @@ class Trainer:
                 "optimal_fp": sweep["fp"][bi],
                 "optimal_fn": sweep["fn"][bi],
             })
-        return {k: float(v) for k, v in out.items()}
+        out = {k: float(v) for k, v in out.items()}
+        if jax.process_count() > 1:
+            # multi-host: each process validated its own shard
+            # (data/loader.py::shard_for_host), so per-host metrics
+            # differ — every process must adopt ONE value or the
+            # early-stop / best-checkpoint decisions in fit() diverge
+            # and the next epoch's SPMD step deadlocks (one host joins
+            # the gradient all-reduce, another has stopped)
+            from jax.experimental import multihost_utils
+            keys = sorted(out)
+            vals = multihost_utils.broadcast_one_to_all(
+                np.asarray([out[k] for k in keys], np.float32))
+            out = {k: float(v) for k, v in zip(keys, vals)}
+        return out
 
     # ------------------------------------------------------------------
 
