@@ -116,3 +116,59 @@ def test_conventions():
     assert to_canonical("spoof") == 0
     np.testing.assert_array_equal(harness_labels([1, 0, 1]), [0, 1, 0])
     np.testing.assert_allclose(harness_scores([0.9, 0.2]), [0.1, 0.8])
+
+
+def test_pipeline_producer_failure_surfaces(tmp_path, monkeypatch):
+    """An exception escaping the producer thread must raise in the
+    consumer, not hang q.get() forever (review finding: the sentinel
+    was not in a finally)."""
+    import vit_spoof_detection_pda_tpu.data.loader as loader_mod
+
+    make_flat_tree(tmp_path, per_class=2, size=16)
+    recs = scan_augmented(str(tmp_path))
+
+    def boom(path, size, resize="exact"):
+        raise MemoryError("synthetic decode failure")
+
+    monkeypatch.setattr(loader_mod, "decode_image", boom)
+    pipe = DataPipeline(recs, batch_size=2, img_size=16, num_workers=2)
+    import pytest
+    with pytest.raises(RuntimeError, match="producer failed"):
+        list(pipe.batches())
+
+
+def test_pipeline_early_exit_no_stuck_producer(tmp_path):
+    """Breaking out of an epoch with prefetch_depth=1 must not wedge
+    the producer in a blocking put (thread + batch leak)."""
+    import threading
+
+    make_flat_tree(tmp_path, per_class=8, size=16)
+    recs = scan_augmented(str(tmp_path))
+    pipe = DataPipeline(recs, batch_size=2, img_size=16, num_workers=2,
+                        prefetch_depth=1)
+    before = threading.active_count()
+    for _ in range(3):
+        gen = pipe.batches()
+        next(gen)
+        gen.close()                      # early teardown mid-epoch
+    # producers exited (no accumulating daemon threads)
+    assert threading.active_count() <= before + 1
+
+
+def test_shard_for_host_equal_shares(monkeypatch):
+    """Hosts must see IDENTICAL record counts (a 1-record skew can
+    desync per-host steps_per_epoch and deadlock collectives)."""
+    import jax
+
+    from vit_spoof_detection_pda_tpu.data.loader import shard_for_host
+    from vit_spoof_detection_pda_tpu.data.manifest import Record
+
+    recs = [Record(path=f"p{i}", label=i % 2) for i in range(999)]
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    shares = []
+    for idx in range(2):
+        monkeypatch.setattr(jax, "process_index", lambda i=idx: i)
+        shares.append(shard_for_host(recs))
+    assert len(shares[0]) == len(shares[1]) == 499
+    # disjoint coverage
+    assert not ({r.path for r in shares[0]} & {r.path for r in shares[1]})

@@ -87,3 +87,72 @@ def test_driver_trains_from_shard_cache(tmp_path):
     best, _ = train_from_config(cfg, max_steps_per_epoch=2)
     assert np.isfinite(best["val_f1"])
     assert (tmp_path / "cache" / "shards.json").exists()
+
+
+def test_build_lock_stale_steal(tmp_path):
+    """A leftover lock (crashed builder) older than build_timeout is
+    stolen instead of blocking forever."""
+    import os
+
+    records = _records(tmp_path)
+    d = tmp_path / "shards"
+    d.mkdir()
+    lock = d / ".building.lock"
+    lock.write_text("12345")
+    os.utime(lock, (0, 0))                        # ancient mtime
+    store = ShardStore.build(records, str(d), img_size=32,
+                             resize="exact", build_timeout=1.0)
+    assert len(store) == len(records)
+    assert not lock.exists()
+
+
+def test_build_lock_adopts_concurrent_build(tmp_path):
+    """While another process holds the lock, build() waits and adopts
+    the finished store when the fingerprints match — never a second
+    writer over live memmaps."""
+    import threading
+    import time
+
+    records = _records(tmp_path)
+    d = tmp_path / "shards"
+    first = ShardStore.build(records, str(d), img_size=32, resize="exact")
+    assert len(first) == len(records)
+    lock = d / ".building.lock"
+    lock.write_text("99999")                      # fresh foreign lock
+
+    def release():
+        time.sleep(0.6)
+        lock.unlink()
+
+    t = threading.Thread(target=release)
+    t.start()
+    store = ShardStore.build(records, str(d), img_size=32,
+                             resize="exact", build_timeout=30.0)
+    t.join()
+    assert len(store) == len(records)
+
+
+def test_build_lock_foreign_store_raises(tmp_path):
+    """Two writers with DIFFERENT record lists on one directory is a
+    configuration error — loud, not alternating clobbering rebuilds."""
+    import threading
+    import time
+
+    import pytest
+
+    records = _records(tmp_path)
+    d = tmp_path / "shards"
+    ShardStore.build(records, str(d), img_size=32, resize="exact")
+    lock = d / ".building.lock"
+    lock.write_text("99999")
+
+    def release():
+        time.sleep(0.6)
+        lock.unlink()
+
+    t = threading.Thread(target=release)
+    t.start()
+    with pytest.raises(RuntimeError, match="DIFFERENT record list"):
+        ShardStore.build(records[:4], str(d), img_size=32,
+                         resize="exact", build_timeout=30.0)
+    t.join()

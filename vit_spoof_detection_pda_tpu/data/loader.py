@@ -30,15 +30,15 @@ log = logging.getLogger(__name__)
 
 
 def decode_image(path: str, size: int, resize: str = "exact") -> np.ndarray:
-    """Decode to uint8 RGB and resize.
+    """Decode to uint8 RGB and resize; always returns (size, size, 3).
 
     resize="exact": (size, size) — the eval transform's Resize((S,S))
-    (test.py:158).  resize="shorter": shorter side -> size, keeping aspect
-    (the train transform's Resize(256) before RandomCrop,
-    train_advanced.py:167) then center-crop the long side to `size` x
-    `size`... no: for train we return (size, size) after shorter-side
-    resize + center crop of the longer side to keep static shapes; the
-    on-device RandomCrop(224) then crops within it.
+    (test.py:158).  resize="shorter": shorter side -> size keeping
+    aspect (the train transform's Resize(256) before RandomCrop,
+    train_advanced.py:167), then center-crop the LONGER side to size —
+    an intentional deviation: torch crops at batch time, but the device
+    pipeline needs static shapes, so the crop-to-square happens here and
+    the on-device RandomCrop(224) crops within the 256x256 result.
 
     Black-image fallback on any decode failure.
 
@@ -59,10 +59,14 @@ def decode_image(path: str, size: int, resize: str = "exact") -> np.ndarray:
                 im = im.resize((size, size), Image.BILINEAR)
             else:
                 w, h = im.size
+                # half-away-from-zero like the native path's lround
+                # (decoder.cpp) — Python round() is banker's rounding
+                # and disagrees on exact .5 scales (e.g. 65*32/64),
+                # which would give the two decoders different grids
                 if w <= h:
-                    nw, nh = size, max(1, round(h * size / w))
+                    nw, nh = size, max(1, int(h * size / w + 0.5))
                 else:
-                    nw, nh = max(1, round(w * size / h)), size
+                    nw, nh = max(1, int(w * size / h + 0.5)), size
                 im = im.resize((nw, nh), Image.BILINEAR)
                 left = (nw - size) // 2
                 top = (nh - size) // 2
@@ -74,13 +78,20 @@ def decode_image(path: str, size: int, resize: str = "exact") -> np.ndarray:
 
 
 def shard_for_host(records: Sequence[Record]) -> List[Record]:
-    """Slice the dataset for this host in a multi-host run."""
+    """Slice the dataset for this host in a multi-host run.
+
+    Every host gets EXACTLY ``n // process_count`` records (the tail
+    remainder, < process_count records, is dropped): a 1-record skew
+    would make per-host steps_per_epoch differ whenever the sizes
+    straddle a batch boundary, and the host with one extra step would
+    hang in its gradient all-reduce while the others have moved on."""
     import jax
     n_proc = jax.process_count()
     if n_proc == 1:
         return list(records)
     idx = jax.process_index()
-    return list(records)[idx::n_proc]
+    per = len(records) // n_proc
+    return list(records)[idx::n_proc][:per]
 
 
 class DataPipeline:
@@ -131,24 +142,45 @@ class DataPipeline:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
         stop = threading.Event()
+        err: list = []
+
+        def _put(item) -> bool:
+            """Bounded put that gives up when the consumer is gone —
+            a plain q.put would wedge the producer forever on a full
+            queue after an aborted epoch (thread + batch leak)."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             import concurrent.futures as futures
-            with futures.ThreadPoolExecutor(self.num_workers) as pool:
-                for s in starts:
-                    if stop.is_set():
-                        break
-                    idxs = order[s:s + self.batch_size]
-                    imgs = list(pool.map(
-                        lambda i: decode_image(
-                            self.records[i].path, self.img_size, self.resize),
-                        idxs))
-                    labels = np.asarray(
-                        [self.records[i].label for i in idxs], np.int32)
-                    q.put({"image": np.stack(imgs),
-                           "label": labels,
-                           "index": idxs.astype(np.int64)})
-            q.put(None)
+            try:
+                with futures.ThreadPoolExecutor(self.num_workers) as pool:
+                    for s in starts:
+                        if stop.is_set():
+                            break
+                        idxs = order[s:s + self.batch_size]
+                        imgs = list(pool.map(
+                            lambda i: decode_image(
+                                self.records[i].path, self.img_size,
+                                self.resize),
+                            idxs))
+                        labels = np.asarray(
+                            [self.records[i].label for i in idxs], np.int32)
+                        if not _put({"image": np.stack(imgs),
+                                     "label": labels,
+                                     "index": idxs.astype(np.int64)}):
+                            break
+            except BaseException as e:          # surfaced in the consumer
+                err.append(e)
+            finally:
+                # the sentinel MUST land even if the body raised —
+                # otherwise the consumer blocks forever on q.get()
+                _put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -156,6 +188,9 @@ class DataPipeline:
             while True:
                 item = q.get()
                 if item is None:
+                    if err:
+                        raise RuntimeError(
+                            "decode producer failed") from err[0]
                     break
                 yield item
         finally:

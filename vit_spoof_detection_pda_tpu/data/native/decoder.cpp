@@ -182,6 +182,13 @@ int decode_jpeg(const uint8_t* data, size_t len, int target, int mode,
                 uint8_t* out) {
   jpeg_decompress_struct cinfo;
   JpegErrorMgr jerr;
+  // declared BEFORE setjmp: the error longjmp lands at the setjmp
+  // below and the function returns NORMALLY, so this destructor runs.
+  // Declared after, the longjmp would jump across the live vector's
+  // scope and the early return would skip its destructor — UB per the
+  // standard and a decode-buffer heap leak per corrupt file (the
+  // pipeline re-decodes every epoch).
+  std::vector<uint8_t> buf;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = jpeg_error_exit;
   if (setjmp(jerr.jump)) {
@@ -211,7 +218,7 @@ int decode_jpeg(const uint8_t* data, size_t len, int target, int mode,
     jpeg_destroy_decompress(&cinfo);
     return 3;
   }
-  std::vector<uint8_t> buf(static_cast<size_t>(sh) * sw * 3);
+  buf.resize(static_cast<size_t>(sh) * sw * 3);
   while (cinfo.output_scanline < cinfo.output_height) {
     uint8_t* row = buf.data() + static_cast<size_t>(cinfo.output_scanline)
                    * sw * 3;
@@ -252,6 +259,10 @@ int decode_png(const uint8_t* data, size_t len, int target, int mode,
     png_destroy_read_struct(&png, nullptr, nullptr);
     return 1;
   }
+  // before setjmp for the same destructor-skipping reason as the
+  // JPEG path's buf (png_error longjmps here from png_read_image)
+  std::vector<uint8_t> buf;
+  std::vector<png_bytep> rows;
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     return 1;
@@ -276,8 +287,8 @@ int decode_png(const uint8_t* data, size_t len, int target, int mode,
   png_set_strip_alpha(png);
   png_read_update_info(png, info);
 
-  std::vector<uint8_t> buf(static_cast<size_t>(h) * w * 3);
-  std::vector<png_bytep> rows(h);
+  buf.resize(static_cast<size_t>(h) * w * 3);
+  rows.resize(h);
   for (png_uint_32 y = 0; y < h; ++y)
     rows[y] = buf.data() + static_cast<size_t>(y) * w * 3;
   png_read_image(png, rows.data());

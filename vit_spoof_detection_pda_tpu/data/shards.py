@@ -62,30 +62,95 @@ class ShardStore:
                 "digest": h.hexdigest()}
 
     @classmethod
+    def _try_reuse(cls, d: Path, fp: dict):
+        """Existing up-to-date store at ``d``, or None."""
+        if not (d / MANIFEST).exists():
+            return None
+        try:
+            store = cls(str(d))
+            if (all(store.meta.get(k) == v for k, v in fp.items())
+                    and store._shards_intact()):
+                log.info("shard store up to date: %s (%d images)",
+                         d, len(store))
+                return store
+        except Exception:       # noqa: BLE001 — corrupt store: rebuild
+            pass
+        return None
+
+    @classmethod
     def build(cls, records: Sequence[Record], directory: str, *,
               img_size: int, resize: str = "shorter",
-              shard_size: int = 2048, num_workers: int = 8) -> "ShardStore":
+              shard_size: int = 2048, num_workers: int = 8,
+              build_timeout: float = 3600.0) -> "ShardStore":
         """Decode `records` into shards under `directory` (reused if an
-        up-to-date store already exists)."""
+        up-to-date store already exists).
+
+        Concurrent builds of the SAME store (multi-process launch on a
+        shared filesystem) are serialized by an O_EXCL lock file: one
+        process builds, the others adopt its manifest.  Two processes
+        with DIFFERENT record lists pointed at one directory is a
+        configuration error and raises (their alternating rebuilds
+        would feed each other's live memmaps garbage); the training
+        driver gives each host its own subdirectory."""
+        import os
+        import time
+
         records = list(records)
         d = Path(directory)
         fp = cls._fingerprint(records, img_size, resize)
-        if (d / MANIFEST).exists():
+        store = cls._try_reuse(d, fp)
+        if store is not None:
+            return store
+        d.mkdir(parents=True, exist_ok=True)
+        lock = d / ".building.lock"
+        while True:
             try:
-                store = cls(str(d))
-                if (all(store.meta.get(k) == v for k, v in fp.items())
-                        and store._shards_intact()):
-                    log.info("shard store up to date: %s (%d images)",
-                             d, len(store))
-                    return store
-            except Exception:   # noqa: BLE001 — corrupt store: rebuild
-                pass
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    stale = (time.time() - lock.stat().st_mtime
+                             > build_timeout)
+                except OSError:
+                    continue    # holder just released it — retry acquire
+                if stale:
+                    log.warning("stealing stale shard-store lock %s", lock)
+                    lock.unlink(missing_ok=True)
+                    continue
+                time.sleep(0.2)
+                if not lock.exists():
+                    # holder finished: adopt its store if it is ours
+                    store = cls._try_reuse(d, fp)
+                    if store is not None:
+                        return store
+                    raise RuntimeError(
+                        f"shard store at {d} was concurrently built with "
+                        "a DIFFERENT record list/params — point each "
+                        "writer at its own cache directory")
+        try:
+            # re-check under the lock: another process may have finished
+            # the build while this one waited to acquire
+            store = cls._try_reuse(d, fp)
+            if store is not None:
+                return store
+            return cls._build_locked(records, d, fp, img_size=img_size,
+                                     resize=resize, shard_size=shard_size,
+                                     num_workers=num_workers)
+        finally:
+            lock.unlink(missing_ok=True)
+
+    @classmethod
+    def _build_locked(cls, records, d: Path, fp: dict, *, img_size: int,
+                      resize: str, shard_size: int,
+                      num_workers: int) -> "ShardStore":
+        if (d / MANIFEST).exists():
             log.info("shard store stale — rebuilding %s", d)
             # drop the old manifest FIRST: an interrupted rebuild must
             # leave an invalid store, not shard files that fingerprint-
             # match the previous parameters
             (d / MANIFEST).unlink()
-        d.mkdir(parents=True, exist_ok=True)
 
         shards = []
         with ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:

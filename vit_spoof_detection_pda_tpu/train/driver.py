@@ -234,8 +234,14 @@ def train_from_config(cfg: Config, *, mesh=None, records=None,
         # decode once into the memmapped shard store; epochs gather from
         # memory (data/shards.py — the SURVEY §2.1 shard equivalent)
         from ..data.shards import ShardStore
+        cache_dir = cfg.data.shard_cache
+        if jax.process_count() > 1:
+            # each host's record shard differs (shard_for_host above) —
+            # a shared directory would alternate "stale" rebuilds and
+            # clobber the store other hosts are actively memmapping
+            cache_dir = f"{cache_dir}/host{jax.process_index()}"
         store = ShardStore.build(
-            train_recs, cfg.data.shard_cache, img_size=size,
+            train_recs, cache_dir, img_size=size,
             resize=resize, num_workers=cfg.data.num_workers)
         steps = store.steps_per_epoch(cfg.data.batch_size,
                                       cfg.data.drop_last_train)
