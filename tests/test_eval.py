@@ -271,3 +271,49 @@ def test_cross_model_eval_fastserve_flag(tmp_path, monkeypatch):
         interpret=True, fastserve=True)
     assert "Custom_ViT_FineTuned" in res
     assert np.isfinite(res["Custom_ViT_FineTuned"]["roc_auc"])
+
+
+def test_artifact_contract_sort_and_keys(tmp_path):
+    """Reference artifact contract details the goldens pin: the
+    threshold_analysis rows sort by threshold (EER row INTERLEAVED,
+    evaluate_all_models.py:202), model_comparison.json uses the
+    best_model_by_* key names (:399-401), the comparison CSV ranks by
+    roc_auc descending (:386), and the per-model report uses the
+    two-line confusion-matrix layout (:276-277)."""
+    import numpy as np
+
+    from vit_spoof_detection_pda_tpu.eval.harness import (
+        create_comparison_reports, evaluate_scores, save_model_results)
+
+    rng = np.random.default_rng(0)
+    y = (rng.random(60) > 0.5).astype(int)
+    s = np.clip(rng.normal(0.35 + 0.25 * y, 0.18), 0, 1)  # EER thr ~0.4ish
+    from vit_spoof_detection_pda_tpu.data.manifest import Record
+    recs = [Record(path=f"img{i}.jpg", label=int(lbl))
+            for i, lbl in enumerate(y)]
+    ev = evaluate_scores(y, s)
+    summary = save_model_results("M1", recs, y, s, ev, tmp_path)
+
+    with open(tmp_path / "M1" / "threshold_analysis.csv") as f:
+        rows = list(csv.DictReader(f))
+    ts = [float(r["threshold"]) for r in rows]
+    assert ts == sorted(ts) and len(ts) == 10   # EER row interleaved
+
+    report = (tmp_path / "M1" / "evaluation_report.txt").read_text()
+    assert "(EER)" not in report
+    assert ", FP: " in report and "\n    FN: " in report
+
+    summary2 = dict(summary, model_name="M2", roc_auc=summary["roc_auc"]
+                    + 0.1)
+    create_comparison_reports({"M1": summary, "M2": summary2}, tmp_path,
+                              n_samples=60)
+    comp = json.load(open(tmp_path / "model_comparison.json"))
+    assert {"best_model_by_auc", "best_model_by_eer",
+            "best_model_by_accuracy"} <= set(comp)
+    assert comp["best_model_by_auc"] == "M2"
+    import pandas as pd
+    df = pd.read_csv(tmp_path / "model_comparison.csv")
+    assert list(df["roc_auc"]) == sorted(df["roc_auc"], reverse=True)
+    txt = (tmp_path / "comparison_report.txt").read_text()
+    assert "Test Dataset: test_inf/" in txt
+    assert "DETAILED COMPARISON AT EER POINT" in txt

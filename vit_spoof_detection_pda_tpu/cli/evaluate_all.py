@@ -31,7 +31,9 @@ def main(argv=None):
         checkpoint_path=args.checkpoint or cfg.eval.checkpoint_path,
         model_names=args.models, batch_size=cfg.eval.batch_size,
         img_size=cfg.data.img_size, fastserve=args.fastserve,
-        interpret=args.interpret)
+        interpret=args.interpret,
+        thresholds=cfg.eval.thresholds,
+        cm_thresholds=cfg.eval.extra_cm_thresholds)
     for name, s in results.items():
         print(f"{name}: AUC={s['roc_auc']:.4f} EER={s['eer']:.4f}")
     return results

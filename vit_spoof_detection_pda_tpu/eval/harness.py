@@ -35,17 +35,23 @@ from .runner import run_inference
 
 log = logging.getLogger(__name__)
 
+# reference defaults (evaluate_all_models.py:38, :243); the config tree
+# (EvalConfig.thresholds / extra_cm_thresholds) overrides them through
+# run_cross_model_eval
 THRESHOLDS = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+CM_THRESHOLDS = (0.5, 0.7)
 
 
-def evaluate_scores(y_true_spoof, spoof_scores) -> Dict:
+def evaluate_scores(y_true_spoof, spoof_scores, *,
+                    thresholds: Optional[Sequence[float]] = None) -> Dict:
     """All harness metrics from (1=spoof labels, P(spoof) scores)."""
+    thresholds = list(thresholds) if thresholds is not None else THRESHOLDS
     fpr, tpr, thr = parity.np_roc_curve(y_true_spoof, spoof_scores)
     roc_auc = parity.np_auc_trapezoid(fpr, tpr)
     eer, eer_threshold = parity.find_eer_threshold(y_true_spoof, spoof_scores)
     threshold_rows = [
         parity.calculate_metrics_at_threshold(y_true_spoof, spoof_scores, t)
-        for t in THRESHOLDS + [eer_threshold]]
+        for t in thresholds + [eer_threshold]]
     return {
         "roc": (fpr, tpr, thr),
         "roc_auc": roc_auc,
@@ -62,7 +68,10 @@ def run_cross_model_eval(records: Sequence[Record], *, output_dir: str,
                          batch_size: int = 32, img_size: int = 224,
                          write_reports: bool = True, mesh=None,
                          interpret: bool = False,
-                         fastserve: bool = False) -> Dict[str, dict]:
+                         fastserve: bool = False,
+                         thresholds: Optional[Sequence[float]] = None,
+                         cm_thresholds: Optional[Sequence[float]] = None,
+                         ) -> Dict[str, dict]:
     """Evaluate every registry model on `records`; returns
     {model_name: summary_dict}.
 
@@ -95,9 +104,11 @@ def run_cross_model_eval(records: Sequence[Record], *, output_dir: str,
             # 1=live, so col 1 = P(live).  Harness view flips both.
             y_spoof = harness_labels(out["labels"])
             spoof_scores = harness_scores(out["prob1"]).astype(np.float64)
-            ev = evaluate_scores(y_spoof, spoof_scores)
+            ev = evaluate_scores(y_spoof, spoof_scores,
+                                 thresholds=thresholds)
             summary = save_model_results(
-                name, records, y_spoof, spoof_scores, ev, outp)
+                name, records, y_spoof, spoof_scores, ev, outp,
+                cm_thresholds=cm_thresholds)
             results[name] = summary
         except Exception as e:                   # noqa: BLE001
             log.exception("model %s failed: %s — continuing", name, e)
@@ -113,8 +124,13 @@ def run_cross_model_eval(records: Sequence[Record], *, output_dir: str,
 
 
 def save_model_results(name, records, y_spoof, spoof_scores, ev,
-                       output_dir: Path) -> dict:
+                       output_dir: Path,
+                       cm_thresholds: Optional[Sequence[float]] = None,
+                       ) -> dict:
     import pandas as pd
+
+    cm_thresholds = tuple(cm_thresholds) if cm_thresholds is not None \
+        else CM_THRESHOLDS
 
     mdir = output_dir / name
     mdir.mkdir(parents=True, exist_ok=True)
@@ -130,12 +146,25 @@ def save_model_results(name, records, y_spoof, spoof_scores, ev,
     pd.DataFrame({"fpr": fpr, "tpr": tpr, "threshold": thr}).to_csv(
         mdir / "roc_curve_data.csv", index=False)
 
-    pd.DataFrame(ev["threshold_rows"]).to_csv(
+    # the reference sorts by threshold, interleaving the EER row
+    # (evaluate_all_models.py:202) — golden artifacts pin the order
+    pd.DataFrame(ev["threshold_rows"]).sort_values("threshold").to_csv(
         mdir / "threshold_analysis.csv", index=False)
 
+    by_t = {r["threshold"]: r for r in ev["threshold_rows"]}
+
+    def _row_at(t):
+        # rows for grid members were already computed in evaluate_scores
+        row = by_t.get(t)
+        if row is None:
+            row = parity.calculate_metrics_at_threshold(
+                y_spoof, spoof_scores, t)
+            by_t[t] = row
+        return row
+
     cms = {}
-    for t in (0.5, 0.7, ev["eer_threshold"]):
-        row = parity.calculate_metrics_at_threshold(y_spoof, spoof_scores, t)
+    for t in (*cm_thresholds, ev["eer_threshold"]):
+        row = _row_at(t)
         cms[f"threshold_{t:.3f}"] = {
             "confusion_matrix": [[row["tn"], row["fp"]],
                                  [row["fn"], row["tp"]]],
@@ -144,7 +173,6 @@ def save_model_results(name, records, y_spoof, spoof_scores, ev,
     with open(mdir / "confusion_matrices.json", "w") as f:
         json.dump(cms, f, indent=2)
 
-    by_t = {r["threshold"]: r for r in ev["threshold_rows"]}
     n_live = int(np.sum(y_spoof == 0))
     n_spoof = int(np.sum(y_spoof == 1))
     summary = {
@@ -163,9 +191,9 @@ def save_model_results(name, records, y_spoof, spoof_scores, ev,
             "max": float(np.max(spoof_scores)),
         },
         "operating_points": {
-            "threshold_0.5": by_t[0.5],
-            "threshold_0.7": by_t[0.7],
-            "eer_point": by_t[ev["eer_threshold"]],
+            "threshold_0.5": _row_at(0.5),
+            "threshold_0.7": _row_at(0.7),
+            "eer_point": _row_at(ev["eer_threshold"]),
         },
     }
     with open(mdir / "evaluation_summary.json", "w") as f:
@@ -191,12 +219,12 @@ def _write_report_txt(path: Path, s: dict):
         f.write(f"ROC AUC:         {s['roc_auc']:.4f}\n")
         f.write(f"EER:             {s['eer']:.4f} ({s['eer'] * 100:.2f}%)\n")
         f.write(f"EER Threshold:   {s['eer_threshold']:.4f}\n\n")
-        f.write(f"METRICS AT KEY THRESHOLDS\n{sub}\n")
-        for key, label in (("threshold_0.5", "0.5000"),
-                           ("threshold_0.7", "0.7000"),
-                           ("eer_point", f"{s['eer_threshold']:.4f} (EER)")):
+        # exact reference layout (evaluate_all_models.py:261-277): plain
+        # 'Threshold: {t:.4f}' headings and the two-line CM
+        f.write(f"METRICS AT KEY THRESHOLDS\n{sub}\n\n")
+        for key in ("threshold_0.5", "threshold_0.7", "eer_point"):
             m = s["operating_points"][key]
-            f.write(f"\nThreshold: {label}\n")
+            f.write(f"Threshold: {m['threshold']:.4f}\n")
             f.write(f"  Accuracy:        {m['accuracy']:.4f} "
                     f"({m['accuracy'] * 100:.2f}%)\n")
             f.write(f"  F1-Score:        {m['f1_score']:.4f}\n")
@@ -207,8 +235,8 @@ def _write_report_txt(path: Path, s: dict):
             f.write(f"  BPCER (FRR):     {m['bpcer']:.4f} "
                     f"({m['bpcer'] * 100:.2f}%)\n")
             f.write(f"  Confusion Matrix:\n")
-            f.write(f"    TN={m['tn']} FP={m['fp']} "
-                    f"FN={m['fn']} TP={m['tp']}\n")
+            f.write(f"    TN: {m['tn']}, FP: {m['fp']}\n")
+            f.write(f"    FN: {m['fn']}, TP: {m['tp']}\n\n")
 
 
 # --------------------------------------------------------------------------
@@ -243,16 +271,22 @@ def create_comparison_reports(results: Dict[str, dict], output_dir: Path,
             "t0.7_bpcer": t7["bpcer"],
             "t0.7_f1": t7["f1_score"],
         })
-    df = pd.DataFrame(rows)
+    # reference contract (evaluate_all_models.py:385-434): the CSV and
+    # every report table iterate the roc_auc-DESCENDING order; the JSON
+    # comparison_table keeps insertion order and the best_model_by_*
+    # keys come from the sorted frame
+    ranked = sorted(rows, key=lambda r: -r["roc_auc"])
+    df = pd.DataFrame(ranked)
     df.to_csv(output_dir / "model_comparison.csv", index=False)
     with open(output_dir / "model_comparison.json", "w") as f:
         json.dump({
             "comparison_timestamp": datetime.now().isoformat(),
             "models_evaluated": list(results),
             "comparison_table": rows,
-            "best_by_auc": max(rows, key=lambda r: r["roc_auc"])["model_name"],
-            "best_by_eer": min(rows, key=lambda r: r["eer"])["model_name"],
-            "best_by_accuracy": max(
+            "best_model_by_auc": ranked[0]["model_name"],
+            "best_model_by_eer": min(
+                rows, key=lambda r: r["eer"])["model_name"],
+            "best_model_by_accuracy": max(
                 rows, key=lambda r: r["t0.5_accuracy"])["model_name"],
         }, f, indent=2)
 
@@ -262,21 +296,24 @@ def create_comparison_reports(results: Dict[str, dict], output_dir: Path,
         f.write(f"{bar}\nMODEL COMPARISON REPORT\n{bar}\n\n")
         f.write(f"Evaluation Date: "
                 f"{datetime.now().strftime('%Y-%m-%d %H:%M:%S')}\n")
+        f.write("Test Dataset: test_inf/\n")
         f.write(f"Total Samples: {n_samples}\n\n")
         f.write(f"RANKING BY ROC AUC\n{sub}\n")
-        for i, r in enumerate(
-                sorted(rows, key=lambda r: -r["roc_auc"]), 1):
-            f.write(f"{i}. {r['model_name']:<40} "
+        for i, r in enumerate(ranked, 1):
+            f.write(f"{i}. {r['model_name']:40s} "
                     f"AUC: {r['roc_auc']:.4f}\n")
         f.write(f"\n\nDETAILED COMPARISON AT THRESHOLD = 0.5\n{sub}\n")
-        f.write(f"{'Model':<40} {'Accuracy':<12} {'APCER':<12} "
-                f"{'BPCER':<12} {'F1':<12}\n{sub}\n")
-        for r in rows:
-            f.write(f"{r['model_name']:<40} {r['t0.5_accuracy']:<12.4f} "
+        f.write(f"{'Model':<40s} {'Accuracy':<12s} {'APCER':<12s} "
+                f"{'BPCER':<12s} {'F1':<12s}\n{sub}\n")
+        for r in ranked:
+            f.write(f"{r['model_name']:<40s} {r['t0.5_accuracy']:<12.4f} "
                     f"{r['t0.5_apcer']:<12.4f} {r['t0.5_bpcer']:<12.4f} "
                     f"{r['t0.5_f1']:<12.4f}\n")
-        f.write(f"\n\nEER COMPARISON\n{sub}\n")
-        for r in sorted(rows, key=lambda r: r["eer"]):
-            f.write(f"{r['model_name']:<40} EER: {r['eer']:.4f} "
-                    f"@ threshold {r['eer_threshold']:.4f}\n")
+        f.write(f"\n\nDETAILED COMPARISON AT EER POINT\n{sub}\n")
+        f.write(f"{'Model':<40s} {'EER':<12s} {'Threshold':<12s} "
+                f"{'Accuracy':<12s} {'F1':<12s}\n{sub}\n")
+        for r in ranked:
+            f.write(f"{r['model_name']:<40s} {r['eer']:<12.4f} "
+                    f"{r['eer_threshold']:<12.4f} {r['eer_accuracy']:<12.4f} "
+                    f"{r['eer_f1']:<12.4f}\n")
     return df

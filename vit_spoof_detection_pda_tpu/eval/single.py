@@ -42,7 +42,10 @@ def run_single_model_eval(module, variables, records: Sequence[Record], *,
                         fastserve=fastserve)
     y_true = out["labels"]
     y_prob = out["prob1"]           # P(live)
-    y_pred = out["pred"]
+    # decisions at the requested operating point (reference test.py uses
+    # 0.5; out["pred"] is the same 0.5 cut, reused when default)
+    y_pred = (out["pred"] if threshold == 0.5 else
+              (np.asarray(y_prob) > threshold).astype(np.int32))
 
     metrics, cm = parity.calculate_metrics(y_true, y_pred, y_prob)
     paths = _save_results(metrics, cm, y_true, y_pred, y_prob, records,

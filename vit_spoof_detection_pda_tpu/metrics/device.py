@@ -192,8 +192,15 @@ def masked_roc(scores, labels, *, drop_intermediate: bool = True) -> MaskedRoc:
 
     n_pos = tps[-1]
     n_neg = fps[-1]
-    fpr = jnp.concatenate([jnp.zeros((1,)), _safe_div(fps, n_neg)])
-    tpr = jnp.concatenate([jnp.zeros((1,)), _safe_div(tps, n_pos)])
+    # sklearn returns NaN rates when a class is absent (roc_curve warns
+    # and divides by zero); zero_division-style 0s here would make the
+    # downstream EER look like a confident 0.0 on single-class input,
+    # where the host parity path correctly degrades to NaN
+    nan = jnp.full((), jnp.nan, jnp.float32)
+    fpr = jnp.concatenate([jnp.zeros((1,)),
+                           jnp.where(n_neg > 0, _safe_div(fps, n_neg), nan)])
+    tpr = jnp.concatenate([jnp.zeros((1,)),
+                           jnp.where(n_pos > 0, _safe_div(tps, n_pos), nan)])
     thr = jnp.concatenate([jnp.full((1,), jnp.inf, jnp.float32), s])
     valid = jnp.concatenate([jnp.ones((1,), bool), keep])
     return MaskedRoc(fpr, tpr, thr, valid)

@@ -74,7 +74,9 @@ def np_auc_trapezoid(x, y):
             direction = -1.0
         else:
             raise ValueError("x is neither increasing nor decreasing")
-    return float(direction * np.trapezoid(y, x))
+    # np.trapezoid is numpy>=2 (same math as the 1.x trapz)
+    trapezoid = getattr(np, "trapezoid", None) or np.trapz
+    return float(direction * trapezoid(y, x))
 
 
 def np_roc_auc_score(y_true, y_score):
