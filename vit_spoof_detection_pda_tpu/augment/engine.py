@@ -70,13 +70,28 @@ class AugmentEngine:
 
         `batches`: iterator of (paths, uint8 [B,S,S,3]) from the data
         layer.  JPEG encoding overlaps device compute via a thread pool.
+
+        Output names key on the path STEM (the reference's contract,
+        augment_data.py:201-204) — duplicate stems across nested input
+        dirs would overwrite each other, so collisions are detected and
+        logged loudly (the reference silently loses those images).
         """
         out_dir = Path(output_dir) / class_name
         out_dir.mkdir(parents=True, exist_ok=True)
         saved = 0
+        seen_stems: dict = {}
         with futures.ThreadPoolExecutor(encode_workers) as pool:
             jobs = []
             for paths, u8 in batches:
+                for p in paths:
+                    stem = Path(p).stem
+                    prev = seen_stems.setdefault(stem, p)
+                    if prev != p:
+                        log.error(
+                            "stem collision: %s and %s both write %s_*.jpg"
+                            " — the later encode overwrites the earlier"
+                            " (rename inputs or flatten the tree)",
+                            prev, p, stem)
                 batch01 = I.to_float(jnp.asarray(u8))
                 if copy_originals:
                     for p, arr in zip(paths, np.asarray(u8)):
@@ -114,14 +129,20 @@ class AugmentEngine:
                 yield batch01, labels
             # group by class for the differential multiplier
             labels = np.asarray(labels)
+            b_full = batch01.shape[0]
             for cls in ("live", "spoof"):
-                mask = np.asarray(
-                    [class_of_label(int(l)) == cls for l in labels])
-                if not mask.any():
+                idx = np.where(np.asarray(
+                    [class_of_label(int(l)) == cls for l in labels]))[0]
+                n = len(idx)
+                if n == 0:
                     continue
-                sub = batch01[np.where(mask)[0]]
-                for _idx, _lvl, aug in self.augment_copies(sub, cls):
-                    yield aug, labels[mask]
+                # pad the sub-batch to the FULL batch size by wrapping
+                # indices: the augmenters are jitted, and a data-
+                # dependent leading dim would recompile (~40s-8min on
+                # the tunneled TPU) for nearly every live/spoof mix
+                padded = batch01[np.resize(idx, b_full)]
+                for _idx, _lvl, aug in self.augment_copies(padded, cls):
+                    yield aug[:n], labels[idx]
 
 
 def _write_jpeg(arr_u8: np.ndarray, path: Path, quality: int) -> int:
@@ -144,15 +165,19 @@ def print_statistics(input_dir: str, output_dir: str):
         total_bytes = 0
         for cls in ("live", "spoof"):
             n = 0
-            for pattern in ("**/%s/*.png" % cls, "%s/*.jpg" % cls):
+            # both extensions at any depth (nested session dirs count)
+            for pattern in (f"**/{cls}/*.png", f"**/{cls}/*.jpg",
+                            f"**/{cls}/*.jpeg"):
                 for f in rootp.glob(pattern):
                     n += 1
                     total_bytes += f.stat().st_size
             counts[cls] = n
+        # the reference prints "1:{spoof/live} (spoof:live)"
+        # (augment_data.py:293) — key named for what it holds
         ratio = counts["spoof"] / counts["live"] if counts["live"] else 0.0
-        stats[name] = {**counts, "ratio_live_to_spoof": ratio,
+        stats[name] = {**counts, "ratio_spoof_to_live": ratio,
                        "gb": total_bytes / 1024 ** 3}
-        log.info("%s: live=%d spoof=%d ratio=1:%.2f size=%.2fGB",
-                 name, counts["live"], counts["spoof"], ratio,
-                 stats[name]["gb"])
+        log.info("%s: live=%d spoof=%d ratio=1:%.2f (spoof:live) "
+                 "size=%.2fGB", name, counts["live"], counts["spoof"],
+                 ratio, stats[name]["gb"])
     return stats

@@ -130,9 +130,13 @@ def train_time_chain(resize_to: int = 256, crop_size=224,
     if crop_size is not None:      # None: inputs already at target size
         chain.append(lambda k, im: A.random_crop(k, im, crop_size))
     chain += [
-        lambda k, im: A.composed_geometric(
-            k, im, hflip_p=hflip_prob, rotation=(rotation_deg, 1.0)),
+        # reference order: jitter sees the UN-rotated crop — rotating
+        # first would feed the zero-filled corners into the contrast
+        # op's gray-world mean and tint them toward it
+        lambda k, im: A.random_hflip(k, im, p=hflip_prob),
         lambda k, im: A.color_jitter(k, im, b, c, s, h, p=1.0),
+        lambda k, im: A.composed_geometric(
+            k, im, rotation=(rotation_deg, 1.0)),
         lambda k, im: A.random_erasing(k, im, p=random_erase_prob),
     ]
     return chain

@@ -98,22 +98,44 @@ def random_crop(key, img, size: int):
                                  (size, size, img.shape[2]))
 
 
+def _perspective_homography(k, h, w, distortion_scale):
+    """Sample the Kornia-semantics dest->src homography: dst corners at
+    the frame, src corners displaced inward by U[0, d*half].  THE corner
+    geometry — random_perspective and composed_geometric both call this
+    so their distributions cannot drift."""
+    off = jax.random.uniform(k, (4, 2))
+    dxm = distortion_scale * (w - 1) / 2.0
+    dym = distortion_scale * (h - 1) / 2.0
+    dst = jnp.asarray([[0.0, 0.0], [w - 1.0, 0.0],
+                       [w - 1.0, h - 1.0], [0.0, h - 1.0]])
+    inward = jnp.asarray([[1.0, 1.0], [-1.0, 1.0],
+                          [-1.0, -1.0], [1.0, -1.0]])
+    src = dst + off * jnp.asarray([dxm, dym]) * inward
+    return warp.homography_from_points(src, dst)
+
+
+def _elastic_fields(k, h, w, *, alpha, sigma, kernel_size, noise_dtype,
+                    kern_dtype):
+    """Sample the (dy, dx) smoothed displacement fields — shared by
+    elastic_transform and composed_geometric (``noise_dtype`` differs:
+    f32 standalone, the image's compute dtype in the fused chain so the
+    63-tap blur honors the bf16 aug policy)."""
+    kx, ky = jax.random.split(k)
+    nx = jax.random.uniform(kx, (h, w), noise_dtype, -1.0, 1.0)
+    ny = jax.random.uniform(ky, (h, w), noise_dtype, -1.0, 1.0)
+    kern = _gaussian_kernel1d(kernel_size, sigma, kern_dtype)
+    dx = _separable_blur2d(nx[..., None], kern)[..., 0] * alpha * (w / 2.0)
+    dy = _separable_blur2d(ny[..., None], kern)[..., 0] * alpha * (h / 2.0)
+    return dy, dx
+
+
 def random_perspective(key, img, distortion_scale: float, p: float = 0.5):
     """Displace the 4 corners inward by U[0, d*half] and warp
     (K.RandomPerspective / transforms.RandomPerspective)."""
 
     def persp(k, im):
         h, w = im.shape[0], im.shape[1]
-        dx = distortion_scale * (w - 1) / 2.0
-        dy = distortion_scale * (h - 1) / 2.0
-        off = jax.random.uniform(k, (4, 2))
-        # dest corners stay at the frame; src corners move inward
-        dst = jnp.asarray([[0.0, 0.0], [w - 1.0, 0.0],
-                           [w - 1.0, h - 1.0], [0.0, h - 1.0]])
-        inward = jnp.asarray([[1.0, 1.0], [-1.0, 1.0],
-                              [-1.0, -1.0], [1.0, -1.0]])
-        src = dst + off * jnp.asarray([dx, dy]) * inward
-        hm = warp.homography_from_points(src, dst)   # dest -> src
+        hm = _perspective_homography(k, h, w, distortion_scale)
         return warp.perspective_warp(im, hm)
 
     return _gate(key, p, img, persp)
@@ -127,12 +149,10 @@ def elastic_transform(key, img, alpha: float = 1.0, sigma: float = 32.0,
 
     def elastic(k, im):
         h, w = im.shape[0], im.shape[1]
-        kx, ky = jax.random.split(k)
-        nx = jax.random.uniform(kx, (h, w), minval=-1.0, maxval=1.0)
-        ny = jax.random.uniform(ky, (h, w), minval=-1.0, maxval=1.0)
-        kern = _gaussian_kernel1d(kernel_size, sigma, img.dtype)
-        dx = _separable_blur2d(nx[..., None], kern)[..., 0] * alpha * (w / 2.0)
-        dy = _separable_blur2d(ny[..., None], kern)[..., 0] * alpha * (h / 2.0)
+        dy, dx = _elastic_fields(k, h, w, alpha=alpha, sigma=sigma,
+                                 kernel_size=kernel_size,
+                                 noise_dtype=jnp.float32,
+                                 kern_dtype=img.dtype)
         return warp.displacement_warp(im, dy, dx)
 
     return _gate(key, p, img, elastic)
@@ -475,35 +495,30 @@ def composed_geometric(key, img, *,
             out = warp.rotate_3shear(out, jnp.deg2rad(angle), degrees)
         return out
 
+    if sampler not in ("tower", "gather"):
+        raise ValueError(f"unknown sampler {sampler!r} (tower | gather) — "
+                         "a silent fallback would select the retired "
+                         "100-300 ms/batch gather path")
+
     # --- sample all random parameters (IDENTICAL key layout for both
     # samplers, so distribution semantics do not depend on the path) ---
     elastic_fields = None
     if elastic is not None:
         alpha, sigma, ksize, p = elastic
-        kex, key_ = jax.random.split(ke)
         # noise fields in the image's compute dtype so the 63-tap blur
         # honors the bf16 aug policy (an f32 field would promote the
         # chain's most expensive conv)
-        nx = jax.random.uniform(kex, (h, w), img.dtype, -1.0, 1.0)
-        ny = jax.random.uniform(key_, (h, w), img.dtype, -1.0, 1.0)
-        kern = _gaussian_kernel1d(ksize, sigma, img.dtype)
-        dx = _separable_blur2d(nx[..., None], kern)[..., 0] * alpha * (w / 2)
-        dy = _separable_blur2d(ny[..., None], kern)[..., 0] * alpha * (h / 2)
+        dy, dx = _elastic_fields(ke, h, w, alpha=alpha, sigma=sigma,
+                                 kernel_size=ksize,
+                                 noise_dtype=img.dtype,
+                                 kern_dtype=img.dtype)
         gate = jax.random.bernoulli(ke_gate, p).astype(img.dtype)
         elastic_fields = (dy * gate, dx * gate)
 
     hm = None
     if perspective is not None:
         scale, p = perspective
-        off = jax.random.uniform(kp, (4, 2))
-        dxm = scale * (w - 1) / 2.0
-        dym = scale * (h - 1) / 2.0
-        dst = jnp.asarray([[0.0, 0.0], [w - 1.0, 0.0],
-                           [w - 1.0, h - 1.0], [0.0, h - 1.0]])
-        inward = jnp.asarray([[1.0, 1.0], [-1.0, 1.0],
-                              [-1.0, -1.0], [1.0, -1.0]])
-        src = dst + off * jnp.asarray([dxm, dym]) * inward
-        hm = warp.homography_from_points(src, dst)
+        hm = _perspective_homography(kp, h, w, scale)
         eye = jnp.eye(3, dtype=hm.dtype)
         hm = jnp.where(jax.random.bernoulli(kp_gate, p), hm, eye)
 
@@ -566,11 +581,6 @@ def composed_geometric(key, img, *,
 # --------------------------------------------------------------------------
 # batching
 # --------------------------------------------------------------------------
-
-
-def batched(op, *static_args, **static_kwargs):
-    """Lift a per-sample op to a batch: op(keys[B], imgs[B,H,W,C])."""
-    return jax.vmap(lambda k, im: op(k, im, *static_args, **static_kwargs))
 
 
 def apply_chain(key, batch, chain: Sequence):

@@ -109,7 +109,11 @@ def _resample_rows_roll(img, shifts, kmax: int):
     i0 = jnp.floor(shifts).astype(jnp.int32)            # [h]
     f = (shifts - i0).astype(img.dtype)                 # [h]
     acc = jnp.zeros_like(img)
-    for k in range(-kmax, kmax + 2):
+    # terms up to kmax suffice: callers bound shift < kmax
+    # (clip to kmax-1e-3 / shear kmax-1 by construction), so
+    # i0 <= kmax-1 and the k=kmax+1 weight is identically 0 —
+    # one full-image roll+FMA of dead work per pass otherwise
+    for k in range(-kmax, kmax + 1):
         sel = ((i0 == k).astype(img.dtype) * (1 - f)
                + (i0 == k - 1).astype(img.dtype) * f)   # [h]
         acc = acc + sel[:, None, None] * jnp.roll(img, -k, axis=1)
@@ -130,7 +134,11 @@ def _resample_cols_roll(img, shifts, kmax: int):
     i0 = jnp.floor(shifts).astype(jnp.int32)            # [w]
     f = (shifts - i0).astype(img.dtype)                 # [w]
     acc = jnp.zeros_like(img)
-    for k in range(-kmax, kmax + 2):
+    # terms up to kmax suffice: callers bound shift < kmax
+    # (clip to kmax-1e-3 / shear kmax-1 by construction), so
+    # i0 <= kmax-1 and the k=kmax+1 weight is identically 0 —
+    # one full-image roll+FMA of dead work per pass otherwise
+    for k in range(-kmax, kmax + 1):
         sel = ((i0 == k).astype(img.dtype) * (1 - f)
                + (i0 == k - 1).astype(img.dtype) * f)   # [w]
         acc = acc + sel[None, :, None] * jnp.roll(img, -k, axis=0)
@@ -176,7 +184,11 @@ def _resample_rows_field(img, shift, kmax: int):
     i0 = jnp.floor(shift).astype(jnp.int32)             # [h, w]
     f = (shift - i0).astype(img.dtype)
     acc = jnp.zeros_like(img)
-    for k in range(-kmax, kmax + 2):
+    # terms up to kmax suffice: callers bound shift < kmax
+    # (clip to kmax-1e-3 / shear kmax-1 by construction), so
+    # i0 <= kmax-1 and the k=kmax+1 weight is identically 0 —
+    # one full-image roll+FMA of dead work per pass otherwise
+    for k in range(-kmax, kmax + 1):
         sel = ((i0 == k).astype(img.dtype) * (1 - f)
                + (i0 == k - 1).astype(img.dtype) * f)   # [h, w]
         acc = acc + sel[..., None] * jnp.roll(img, -k, axis=1)
@@ -196,7 +208,11 @@ def _resample_cols_field(img, shift, kmax: int):
     i0 = jnp.floor(shift).astype(jnp.int32)
     f = (shift - i0).astype(img.dtype)
     acc = jnp.zeros_like(img)
-    for k in range(-kmax, kmax + 2):
+    # terms up to kmax suffice: callers bound shift < kmax
+    # (clip to kmax-1e-3 / shear kmax-1 by construction), so
+    # i0 <= kmax-1 and the k=kmax+1 weight is identically 0 —
+    # one full-image roll+FMA of dead work per pass otherwise
+    for k in range(-kmax, kmax + 1):
         sel = ((i0 == k).astype(img.dtype) * (1 - f)
                + (i0 == k - 1).astype(img.dtype) * f)
         acc = acc + sel[..., None] * jnp.roll(img, -k, axis=0)

@@ -56,7 +56,9 @@ def _pass_kernel(img_ref, f_ref, o_ref, *, kmax: int, chans: int,
     img = img_ref[...]
     f = f_ref[...]
     acc = jnp.zeros_like(img)
-    for k in range(-kmax, kmax + 2):
+    # k=kmax+1 dropped like the XLA form: |f| < kmax by caller
+    # contract, so its tent weight is identically zero
+    for k in range(-kmax, kmax + 1):
         sel = jnp.maximum(0.0, 1.0 - jnp.abs(f - k))
         acc = acc + sel * pltpu.roll(img, (-chans * k) % width, 1)
     o_ref[...] = acc
