@@ -300,3 +300,45 @@ def test_gelu_tanh_serving_mode_close_to_erf():
     b = np.asarray(m_tanh.apply(variables, x))
     np.testing.assert_allclose(a, b, atol=5e-3, rtol=1e-3)
     assert not np.array_equal(a, b)   # the approximation is actually used
+
+
+def test_registry_drops_mismatched_checkpoint_tensors(tmp_path, caplog):
+    """A stock upstream checkpoint with a 1000-way classifier must fall
+    back to the module's random 2-way head (reference
+    ignore_mismatched_sizes / fresh-fc semantics) instead of silently
+    producing [B, 1000] logits scored as P(live)."""
+    import logging
+
+    import numpy as np
+
+    import vit_spoof_detection_pda_tpu.models.registry as R
+
+    entry = R.MODEL_REGISTRY["Base_ViT_Pretrained"]
+    module = entry.build(dropout=0.1, dtype=jnp.float32)
+    good = module.init(jax.random.PRNGKey(3),
+                       jnp.zeros((1, 224, 224, 3), jnp.float32))
+
+    def bad_converter(sd):
+        p = jax.tree.map(lambda x: x, good)     # shallow copy
+        cls = dict(p["params"]["classifier"])
+        cls["kernel"] = jnp.zeros((768, 1000), jnp.float32)
+        cls["bias"] = jnp.zeros((1000,), jnp.float32)
+        params = dict(p["params"])
+        params["classifier"] = cls
+        return {"params": params}
+
+    fake = R.ModelEntry(name="Base_ViT_Pretrained", build=entry.build,
+                        weights="pretrained",
+                        weight_converter=bad_converter)
+    path = tmp_path / "w.npz"
+    np.savez(path, dummy=np.zeros(1))
+    old = R.MODEL_REGISTRY["Base_ViT_Pretrained"]
+    R.MODEL_REGISTRY["Base_ViT_Pretrained"] = fake
+    try:
+        with caplog.at_level(logging.WARNING):
+            _, variables = R.build_model("Base_ViT_Pretrained",
+                                         pretrained_path=str(path))
+    finally:
+        R.MODEL_REGISTRY["Base_ViT_Pretrained"] = old
+    assert variables["params"]["classifier"]["kernel"].shape == (768, 2)
+    assert any("mismatched shapes" in r.message for r in caplog.records)

@@ -135,6 +135,19 @@ def build_model(name: str, *, checkpoint_path: Optional[str] = None,
             log.warning("%s: state dict at %s was incomplete; %d tensors "
                         "kept init values", name, path, len(missing))
         variables = jax.tree.map(jnp.asarray, variables)
+        # reference semantics for stock upstream checkpoints: HF loads
+        # with ignore_mismatched_sizes=True and torchvision's fc is
+        # replaced by a fresh 2-way layer (evaluate_all_models.py:
+        # 307-318, 327-331) — a 1000-way classifier tensor must fall
+        # back to the module's random head, NOT flow through and score
+        # P(ImageNet class 1) as P(live)
+        variables, dropped = _drop_mismatched(variables, module, seed)
+        if dropped:
+            log.warning(
+                "%s: %d tensors in %s have mismatched shapes %s — kept "
+                "random init for them (reference "
+                "ignore_mismatched_sizes / fresh-head semantics)",
+                name, len(dropped), path, dropped[:4])
         log.info("loaded %s weights from %s", name, path)
     else:
         if entry.placeholder:
@@ -148,11 +161,38 @@ def build_model(name: str, *, checkpoint_path: Optional[str] = None,
     return module, variables
 
 
+def _drop_mismatched(variables, module, seed):
+    """Replace converted leaves whose shape disagrees with the module's
+    tree by a freshly-initialized leaf.  Shape checking costs nothing
+    (jax.eval_shape); the real init only runs when something actually
+    mismatched.  Returns (variables, dropped_paths)."""
+    def init_fn():
+        return module.init(jax.random.PRNGKey(seed),
+                           jnp.zeros((1, 224, 224, 3), jnp.float32))
+
+    want = jax.eval_shape(init_fn)
+    dropped = []
+    jax.tree_util.tree_map_with_path(
+        lambda kp, got, w: dropped.append("/".join(
+            str(getattr(k, "key", k)) for k in kp))
+        if got.shape != w.shape else None, variables, want)
+    if not dropped:
+        return variables, []
+    init = init_fn()
+    merged = jax.tree.map(
+        lambda got, w, ini: ini if got.shape != w.shape else got,
+        variables, want, init)
+    return merged, dropped
+
+
 def _load_state_dict(path: str):
     if path.endswith(".safetensors"):
         from safetensors.numpy import load_file
         return load_file(path)
     if path.endswith((".npz", ".npy")):
         import numpy as np
-        return dict(np.load(path, allow_pickle=True))
+        obj = np.load(path, allow_pickle=True)
+        if hasattr(obj, "files"):               # NpzFile is a Mapping
+            return dict(obj)
+        return obj.item()   # 0-d object array holding the state dict
     return convert.load_torch_checkpoint(path)

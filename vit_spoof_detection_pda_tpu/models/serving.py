@@ -125,11 +125,10 @@ def vit_antispoof_int8_apply(qp: Dict, x, *, num_heads: int = 12,
                              interpret: bool = False):
     """Quantized inference forward.  x: [B, H, W, 3] normalized floats.
     Returns float32 logits [B, num_classes]."""
-    b, h, w, c = x.shape
-    p = patch_size
-    gh, gw = h // p, w // p
-    x = x.astype(jnp.float32).reshape(b, gh, p, gw, p, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * gw, p * p * c)
+    from .vit import patchify
+
+    b = x.shape[0]
+    x = patchify(x, patch_size=patch_size, dtype=jnp.float32)
     x = dense_int8(x, qp["patch_embed"])
 
     cls = jnp.broadcast_to(qp["cls_token"], (b, 1, x.shape[-1]))

@@ -43,9 +43,13 @@ class CheckpointManager:
         self.best_mode = best_mode
         self.save_every_epochs = save_every_epochs
         self.async_save = async_save
+        # a metric-less save must rank WORST for the configured mode —
+        # -inf under best_mode='min' would rank it best and evict the
+        # genuinely best checkpoints at max_to_keep
+        worst = -np.inf if best_mode == "max" else np.inf
         options = ocp.CheckpointManagerOptions(
             max_to_keep=max_to_keep,
-            best_fn=(lambda m: m.get(best_metric, -np.inf)),
+            best_fn=(lambda m: m.get(best_metric, worst)),
             best_mode=best_mode,
             enable_async_checkpointing=async_save,
         )
@@ -89,7 +93,9 @@ class CheckpointManager:
                         "previous run (fresh run now at step %d)",
                         stale, step)
                     self._mgr.delete(stale)
-            else:
+            elif any(s > step for s in existing):
+                # plain same-step overwrite (existing was just deleted
+                # or nothing is later) needs no branch-resume warning
                 log.warning(
                     "saving step %d below the directory's latest step %d"
                     " — later checkpoints are kept (branch resume?); "

@@ -29,6 +29,10 @@ def seed_everything(seed: int):
 
     random.seed(seed)
     np.random.seed(seed)
+    # NOTE: only affects CHILD processes — CPython reads PYTHONHASHSEED
+    # at interpreter startup, so the current process's str/set hash
+    # order is already fixed.  Nothing in this framework's compute path
+    # depends on hash order; exported so spawned workers inherit it.
     os.environ.setdefault("PYTHONHASHSEED", str(seed))
     return jax.random.PRNGKey(seed)
 

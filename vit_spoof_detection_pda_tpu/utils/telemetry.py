@@ -49,6 +49,11 @@ class MetricLogger:
                 self.run_id = self._wandb.id
             except ImportError:
                 log.info("wandb not installed; metrics go to JSONL/console")
+            except Exception as e:              # noqa: BLE001
+                # wandb is an OPTIONAL sink: an offline host or missing
+                # auth (CommError/UsageError) must not abort training
+                log.warning("wandb.init failed (%s); metrics go to "
+                            "JSONL/console", e)
 
     def log(self, metrics: Mapping, step: Optional[int] = None):
         record = {k: _to_py(v) for k, v in metrics.items()}
