@@ -1,0 +1,187 @@
+"""Portable serving artifacts (models/artifact.py): jax.export
+round-trip, symbolic batch, the raw-bytes weight codec, and the
+TPU-Pallas export path (lowering only — execution needs a chip)."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vit_spoof_detection_pda_tpu.eval.runner import make_infer_fn
+from vit_spoof_detection_pda_tpu.models import artifact as A
+from vit_spoof_detection_pda_tpu.models.vit import ViTAntiSpoof
+
+
+def _tiny():
+    m = ViTAntiSpoof(patch_size=16, embed_dim=64, depth=2, num_heads=2,
+                     hidden=16)
+    variables = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    return m, variables
+
+
+def _u8(b, rng_seed=1):
+    rng = np.random.default_rng(rng_seed)
+    return jnp.asarray(rng.integers(0, 256, (b, 32, 32, 3),
+                                    dtype=np.uint8))
+
+
+def test_module_artifact_symbolic_batch_roundtrip(tmp_path):
+    """save -> load -> call at two batch sizes == the live infer fn."""
+    m, variables = _tiny()
+    meta = A.save_serving_artifact(tmp_path / "art", m, variables,
+                                   mode="module", batch_size=None,
+                                   img_size=32)
+    assert meta["batch_size"] is None
+    assert "tpu" in meta["platforms"] and "cpu" in meta["platforms"]
+
+    art = A.load_serving_artifact(tmp_path / "art")
+    infer = make_infer_fn(m)
+    for b in (3, 5):
+        batch = _u8(b, rng_seed=b)
+        got = art(batch)
+        want = infer(variables, batch)
+        np.testing.assert_allclose(np.asarray(got["prob1"]),
+                                   np.asarray(want["prob1"]), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(got["pred"]),
+                                      np.asarray(want["pred"]))
+
+
+def test_module_artifact_fixed_batch_shape_check(tmp_path):
+    m, variables = _tiny()
+    A.save_serving_artifact(tmp_path / "art", m, variables,
+                            mode="module", batch_size=4, img_size=32,
+                            platforms=("cpu",))
+    art = A.load_serving_artifact(tmp_path / "art")
+    assert art(_u8(4))["prob1"].shape == (4,)
+    with pytest.raises(ValueError):
+        art(_u8(2))
+
+
+def test_weights_codec_preserves_dtypes_and_structure(tmp_path):
+    tree = {
+        "a": {"w": jnp.asarray(np.arange(6).reshape(2, 3), jnp.bfloat16),
+              "b": jnp.asarray([1.5, -2.25], jnp.float32)},
+        "t": (jnp.asarray([[7]], jnp.int32),
+              jnp.asarray(np.float16([0.5, 0.25]))),
+        "l": [jnp.asarray([True, False])],
+    }
+    spec = A._save_weights(tmp_path / "w.npz", tree)
+    back = A._load_weights(tmp_path / "w.npz", spec)
+    assert isinstance(back["t"], tuple) and isinstance(back["l"], list)
+    flat_a, _ = jax.tree.flatten(tree)
+    flat_b, _ = jax.tree.flatten(back)
+    for want, got in zip(flat_a, flat_b):
+        assert np.asarray(want).dtype == got.dtype
+        np.testing.assert_array_equal(np.asarray(want), got)
+
+
+def test_weights_codec_json_spec_is_serializable(tmp_path):
+    _, variables = _tiny()
+    spec = A._save_weights(tmp_path / "w.npz", variables)
+    json.dumps(spec)          # meta.json embeds it verbatim
+    back = A._load_weights(tmp_path / "w.npz", spec)
+    flat_a, td_a = jax.tree.flatten(variables)
+    flat_b, td_b = jax.tree.flatten(back)
+    assert td_a == td_b
+    for want, got in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_pallas_mode_exports_tpu_program_from_cpu_host(tmp_path):
+    """Cross-platform lowering: the fused fastserve program (Mosaic
+    custom calls inside) serializes for TPU from this CPU host; the
+    artifact deserializes and reports the right contract.  Execution is
+    covered on hardware (experiments/exp_r10_artifact.py)."""
+    m, variables = _tiny()
+    meta = A.save_serving_artifact(tmp_path / "art", m, variables,
+                                   mode="fastserve", batch_size=4,
+                                   img_size=32)
+    assert meta["platforms"] == ["tpu"]
+    assert meta["compute_dtype"] == "bfloat16"
+    art = A.load_serving_artifact(tmp_path / "art")
+    assert art.exported.platforms == ("tpu",)
+    in_aval = art.exported.in_avals[-1]
+    assert tuple(in_aval.shape) == (4, 32, 32, 3)
+
+
+def test_lowlat_modes_export_from_cpu_host(tmp_path):
+    m, variables = _tiny()
+    for mode in ("lowlat", "batch_grid"):
+        meta = A.save_serving_artifact(tmp_path / mode, m, variables,
+                                       mode=mode, batch_size=2,
+                                       img_size=32)
+        assert meta["mode"] == mode
+        A.load_serving_artifact(tmp_path / mode)
+
+
+def test_pallas_mode_rejects_symbolic_batch_and_bad_platforms(tmp_path):
+    m, variables = _tiny()
+    with pytest.raises(ValueError, match="concrete batch_size"):
+        A.export_serving(m, variables, mode="fastserve", batch_size=None)
+    with pytest.raises(ValueError, match="platforms"):
+        A.export_serving(m, variables, mode="fastserve", batch_size=2,
+                         platforms=("cpu",))
+    with pytest.raises(ValueError, match="unknown serving mode"):
+        A.export_serving(m, variables, mode="warp9", batch_size=2)
+
+
+def test_format_version_check(tmp_path):
+    m, variables = _tiny()
+    A.save_serving_artifact(tmp_path / "art", m, variables,
+                            mode="module", batch_size=2, img_size=32,
+                            platforms=("cpu",))
+    meta_path = tmp_path / "art" / "meta.json"
+    meta = json.loads(meta_path.read_text())
+    meta["format_version"] = 99
+    meta_path.write_text(json.dumps(meta))
+    with pytest.raises(ValueError, match="format 99"):
+        A.load_serving_artifact(tmp_path / "art")
+
+
+def test_score_records_and_predict_cli(tmp_path):
+    """Frozen artifact + image directory -> CSV scores through the
+    predict CLI; score_records pads the tail to one compiled shape and
+    matches direct artifact calls."""
+    from util_synthetic import make_subject_tree
+
+    from vit_spoof_detection_pda_tpu.cli.predict import main as predict
+    from vit_spoof_detection_pda_tpu.data.manifest import Record
+
+    m, variables = _tiny()
+    A.save_serving_artifact(tmp_path / "art", m, variables,
+                            mode="module", batch_size=4, img_size=32,
+                            platforms=("cpu",))
+    paths = make_subject_tree(tmp_path / "imgs", subjects=1,
+                              per_class=3, size=32)
+    assert len(paths) == 6            # 4-batch + tail of 2
+
+    art = A.load_serving_artifact(tmp_path / "art")
+    records = [Record(path=str(p), label=-1) for p in sorted(paths)]
+    out = A.score_records(art, records, num_workers=2)
+    assert out["prob1"].shape == (6,)
+
+    csv_path = tmp_path / "scores.csv"
+    rows = predict([str(tmp_path / "art"), str(tmp_path / "imgs"),
+                    "--output", str(csv_path), "--num-workers", "2"])
+    assert len(rows) == 6
+    got = {p: s for p, s, _ in rows}
+    for rec, want in zip(records, out["prob1"]):
+        np.testing.assert_allclose(got[rec.path], want, atol=1e-6)
+    lines = csv_path.read_text().strip().splitlines()
+    assert lines[0] == "path,prob_live,pred" and len(lines) == 7
+
+
+def test_predict_cli_rejects_empty_and_missing(tmp_path):
+    from vit_spoof_detection_pda_tpu.cli.predict import main as predict
+    m, variables = _tiny()
+    A.save_serving_artifact(tmp_path / "art", m, variables,
+                            mode="module", batch_size=2, img_size=32,
+                            platforms=("cpu",))
+    (tmp_path / "empty").mkdir()
+    with pytest.raises(SystemExit):
+        predict([str(tmp_path / "art"), str(tmp_path / "empty")])
+    with pytest.raises(FileNotFoundError):
+        predict([str(tmp_path / "art"), str(tmp_path / "nowhere")])

@@ -169,3 +169,31 @@ def test_benchmark_all_models_device_latency(monkeypatch):
     with pytest.raises(SystemExit):
         bench_cli.main(["--all-models", "--device-latency",
                         "--fastserve"])            # module-parity only
+
+
+@pytest.mark.slow  # consumes test_train_cli_tiny's checkpoint
+def test_export_serving_cli(workspace):
+    """Orbax checkpoint -> portable serving artifact via the CLI; the
+    loaded artifact scores a batch with no module/config on the consumer
+    side (models/artifact.py)."""
+    import jax.numpy as jnp
+
+    from vit_spoof_detection_pda_tpu.cli.export_serving import main
+    from vit_spoof_detection_pda_tpu.models.artifact import (
+        load_serving_artifact)
+
+    out = workspace / "serve_art"
+    main([str(workspace / "ckpts"), str(out),
+          "--set", "data.img_size=32",
+          "--set", "model.embed_dim=64",
+          "--set", "model.depth=1",
+          "--set", "model.num_heads=2",
+          "--set", "model.head_hidden=16"])
+    art = load_serving_artifact(out)
+    assert art.meta["batch_size"] is None          # symbolic default
+    batch = jnp.asarray(np.random.default_rng(0).integers(
+        0, 256, (2, 32, 32, 3), dtype=np.uint8))
+    got = art(batch)
+    assert got["prob1"].shape == (2,)
+    assert np.all((np.asarray(got["prob1"]) >= 0)
+                  & (np.asarray(got["prob1"]) <= 1))

@@ -10,6 +10,8 @@ COMMANDS = {
     "analyze": "vit_spoof_detection_pda_tpu.cli.analyze",
     "benchmark": "vit_spoof_detection_pda_tpu.cli.benchmark",
     "export": "vit_spoof_detection_pda_tpu.cli.export",
+    "export-serving": "vit_spoof_detection_pda_tpu.cli.export_serving",
+    "predict": "vit_spoof_detection_pda_tpu.cli.predict",
 }
 
 

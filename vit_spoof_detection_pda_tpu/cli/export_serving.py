@@ -1,0 +1,72 @@
+"""`export-serving` command: freeze a checkpoint into a portable
+serving-artifact directory (models/artifact.py — serialized StableHLO
+program + raw-bytes weights + JSON descriptor).
+
+The deployment-side counterpart of `export` (which hands weights back
+to the reference's PyTorch stack): the artifact runs under any JAX
+runtime via ``load_serving_artifact`` with no model code, transform
+recipe, or label-convention knowledge on the consumer side."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from .common import add_config_args, resolve_config, setup_logging
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Freeze a checkpoint into a portable serving artifact")
+    add_config_args(parser)
+    parser.add_argument("checkpoint",
+                        help="orbax checkpoint dir (Trainer output) or "
+                        "torch/safetensors file loadable by the registry")
+    parser.add_argument("output", help="destination artifact directory")
+    parser.add_argument("--mode", default="module",
+                        choices=("module", "fastserve", "lowlat",
+                                 "batch_grid"),
+                        help="module = portable cpu+tpu f32 program; the "
+                        "rest are the fused Pallas TPU serving regimes")
+    parser.add_argument("--batch-size", type=int, default=None,
+                        help="freeze a static batch (required for the "
+                        "Pallas modes); default: symbolic — one program, "
+                        "any batch (module mode only)")
+    args = parser.parse_args(argv)
+    setup_logging()
+    cfg = resolve_config(args)
+
+    if not os.path.exists(args.checkpoint):
+        parser.error(f"checkpoint not found: {args.checkpoint}")
+    if args.mode != "module" and args.batch_size is None:
+        parser.error(f"--mode {args.mode} compiles static Mosaic "
+                     "kernels; pass --batch-size")
+
+    import jax.numpy as jnp
+
+    from ..models import convert
+    from ..models.artifact import save_serving_artifact
+    from ..models.registry import build_vit_from_config
+
+    module = build_vit_from_config(cfg.model, jnp.float32)
+    # strict loading, same rationale as the `export` CLI: never freeze
+    # a silently-random model from a bad checkpoint path
+    if os.path.isdir(args.checkpoint):
+        from ..utils.checkpoint import load_checkpoint_bundle
+        variables, _step, _metrics = load_checkpoint_bundle(args.checkpoint)
+    else:
+        from ..models.registry import _load_state_dict
+        variables = convert.antispoof_from_torch(
+            _load_state_dict(args.checkpoint))
+
+    meta = save_serving_artifact(
+        args.output, module, variables, mode=args.mode,
+        batch_size=args.batch_size, img_size=cfg.data.img_size)
+    b = meta["batch_size"] if meta["batch_size"] is not None else "symbolic"
+    print(f"serving artifact ({meta['mode']}, batch={b}, "
+          f"platforms={','.join(meta['platforms'])}) -> {args.output}")
+    return args.output
+
+
+if __name__ == "__main__":
+    main()

@@ -15,6 +15,8 @@
                 single Pallas programs (the bench.py headline).
 `fasttrain.py`— the same fused attention-block kernel as the TRAIN-step
                 forward (custom VJP, recompute-free backward).
+`artifact.py` — portable serving artifacts: jax.export StableHLO
+                program + weights + descriptor (`export-serving` CLI).
 """
 
 from .registry import MODEL_REGISTRY, build_model  # noqa: F401

@@ -1,0 +1,300 @@
+"""Portable serving artifacts: freeze a serving program to disk and run
+it anywhere JAX runs — without this package, the Flax module tree, or
+any retracing.
+
+The reference's deployment story is "ship the ``.pth`` and re-run the
+PyTorch scripts" (test.py:167-188 ``load_checkpoint`` +
+``test_model``); its HF-hub distribution ships weights only
+(evaluate_all_models.py:282-304), so every consumer must reconstruct
+the exact preprocessing + model code.  The TPU-native equivalent
+serializes the COMPILED CONTRACT instead: one StableHLO program
+(``jax.export``) that maps raw ``uint8 [B,224,224,3]`` images to
+``{"prob1": P(live), "pred"}`` — normalization folded in, score
+convention pinned (1 = live, `data/conventions.py`) — plus the weight
+tree and a JSON descriptor.  Loading is ``deserialize -> call``; no
+model class, no transform recipe, no convention guesswork.
+
+Artifact directory layout (versioned, see ``meta.json``):
+
+- ``serving.stablehlo`` — ``jax.export`` serialization of
+  ``fn(weights, batch_u8)``.  Weights stay call-time ARGUMENTS (not
+  baked constants) so the same program serves fine-tuned variants and
+  the artifact stays small (~KBs + the weight file).
+- ``weights.npz`` — flattened leaves as raw little-endian bytes
+  (uint8), sidestepping numpy's lossy ``V2`` handling of bfloat16;
+  dtype/shape/tree structure recorded in the descriptor.
+- ``meta.json`` — format version, serving mode, platforms, input spec,
+  geometry, score convention, jax version.
+
+Modes mirror the measured serving regimes (models/fastserve.py):
+
+- ``"module"`` — the f32-parity eval program (eval/runner.py
+  ``make_infer_fn`` body).  Exports MULTI-PLATFORM (cpu+tpu) and
+  supports a SYMBOLIC batch dimension: one artifact serves any B.
+- ``"fastserve"`` / ``"lowlat"`` / ``"batch_grid"`` — the fused Pallas
+  kernel paths (throughput / B=1 latency / B=2-16).  TPU-only, fixed
+  batch (Mosaic needs static shapes); the Mosaic kernels ride inside
+  the StableHLO as custom calls, and cross-lowering works from a CPU
+  host — artifacts for the TPU fleet can be built anywhere.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ARTIFACT_VERSION = 1
+_EXPORTED_FILE = "serving.stablehlo"
+_WEIGHTS_FILE = "weights.npz"
+_META_FILE = "meta.json"
+
+_PALLAS_MODES = ("fastserve", "lowlat", "batch_grid")
+
+
+# ---------------------------------------------------------------------------
+# pytree <-> flat-bytes codec (dict/list/tuple trees of arrays)
+
+def _tree_spec(tree, leaves_out, path=""):
+    """JSON-able structure descriptor; appends (key, leaf) to leaves_out."""
+    if isinstance(tree, dict):
+        return {"kind": "dict",
+                "items": {k: _tree_spec(tree[k], leaves_out,
+                                        f"{path}/{k}" if path else str(k))
+                          for k in sorted(tree)}}
+    if isinstance(tree, (list, tuple)):
+        return {"kind": "list" if isinstance(tree, list) else "tuple",
+                "items": [_tree_spec(v, leaves_out, f"{path}/{i}")
+                          for i, v in enumerate(tree)]}
+    arr = np.asarray(jax.device_get(tree))
+    key = f"leaf_{len(leaves_out):05d}"
+    leaves_out.append((key, arr))
+    return {"kind": "leaf", "key": key, "path": path,
+            "dtype": arr.dtype.name, "shape": list(arr.shape)}
+
+
+def _tree_unspec(spec, leaves):
+    if spec["kind"] == "dict":
+        return {k: _tree_unspec(v, leaves)
+                for k, v in spec["items"].items()}
+    if spec["kind"] in ("list", "tuple"):
+        seq = [_tree_unspec(v, leaves) for v in spec["items"]]
+        return seq if spec["kind"] == "list" else tuple(seq)
+    raw = leaves[spec["key"]]
+    dtype = np.dtype(jnp.bfloat16) if spec["dtype"] == "bfloat16" \
+        else np.dtype(spec["dtype"])
+    return np.frombuffer(raw.tobytes(), dtype=dtype).reshape(spec["shape"])
+
+
+def _save_weights(path: Path, tree):
+    leaves: list = []
+    spec = _tree_spec(tree, leaves)
+    buf = io.BytesIO()
+    # raw bytes as uint8 entries: np.savez would silently store bf16 as
+    # opaque void ("V2") and np.load hands back unusable arrays
+    np.savez(buf, **{k: np.frombuffer(
+        np.ascontiguousarray(a).tobytes(), dtype=np.uint8)
+        for k, a in leaves})
+    path.write_bytes(buf.getvalue())
+    return spec
+
+
+def _load_weights(path: Path, spec):
+    with np.load(io.BytesIO(path.read_bytes())) as z:
+        leaves = {k: z[k] for k in z.files}
+    return _tree_unspec(spec, leaves)
+
+
+# ---------------------------------------------------------------------------
+# export
+
+def _module_infer_fn(module, input_dtype):
+    from ..ops import image as I
+
+    def infer(variables, batch_u8):
+        x = I.normalize_u8_fused(batch_u8, dtype=input_dtype)
+        logits = module.apply(variables, x)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        return {"prob1": probs[:, 1],
+                "pred": jnp.argmax(logits, axis=-1)}
+    return infer
+
+
+def _score_infer_fn(raw_fn, **kwargs):
+    def infer(weights, batch_u8):
+        out = raw_fn(weights, batch_u8, **kwargs)
+        score = (out if out.ndim == 1 else out[:, 1]).astype(jnp.float32)
+        return {"prob1": score, "pred": (score > 0.5).astype(jnp.int32)}
+    return infer
+
+
+def export_serving(module, variables, *, mode: str = "module",
+                   batch_size=None, img_size: int = 224,
+                   input_dtype=jnp.float32, platforms=None):
+    """Build (exported, weights, meta) for a serving program.
+
+    ``batch_size=None`` exports a symbolic batch dimension (one program,
+    any B) — available only in ``mode="module"`` (the Pallas kernels
+    need static shapes).  ``input_dtype`` is the module-path compute
+    dtype (f32 = eval parity; the Pallas modes are bf16 by design).
+    """
+    from .vit import ViTAntiSpoof, fold_normalization
+
+    geom = {}
+    if isinstance(module, ViTAntiSpoof):
+        geom = dict(num_heads=module.num_heads, depth=module.depth,
+                    patch_size=module.patch_size, norm_eps=module.norm_eps)
+
+    if mode == "module":
+        infer = _module_infer_fn(module, input_dtype)
+        weights = variables
+        if platforms is None:
+            platforms = ("cpu", "tpu")
+    elif mode in _PALLAS_MODES:
+        if not isinstance(module, ViTAntiSpoof):
+            raise TypeError(
+                "Pallas serving modes pack the anti-spoof head; got "
+                f"{type(module).__name__} — use mode='module'")
+        if batch_size is None:
+            raise ValueError(
+                f"mode={mode!r} compiles static Mosaic kernels; pass a "
+                "concrete batch_size (symbolic batch needs mode='module')")
+        if platforms is None:
+            platforms = ("tpu",)
+        elif tuple(platforms) != ("tpu",):
+            raise ValueError(f"mode={mode!r} runs TPU Mosaic kernels; "
+                             f"platforms must be ('tpu',), got {platforms}")
+        from . import fastserve as FS
+        folded = fold_normalization(variables)["params"]
+        kw = dict(geom, dtype=jnp.bfloat16)
+        if mode == "fastserve":
+            weights = folded
+            infer = _score_infer_fn(FS.serving_forward, **kw)
+        else:
+            kw.pop("depth")
+            weights = FS.prepare_lowlat(
+                folded, depth=module.depth, dtype=jnp.bfloat16,
+                batch_grid=(mode == "batch_grid"),
+                per_item=(mode == "lowlat"))
+            raw = (FS.serving_forward_lowlat_batch if mode == "batch_grid"
+                   else FS.serving_forward_lowlat)
+            infer = _score_infer_fn(raw, **kw)
+    else:
+        raise ValueError(f"unknown serving mode {mode!r}")
+
+    if batch_size is None:
+        b = jax.export.symbolic_shape("b")[0]
+    else:
+        b = int(batch_size)
+    batch_spec = jax.ShapeDtypeStruct((b, img_size, img_size, 3),
+                                      jnp.uint8)
+    weight_specs = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
+        weights)
+    exported = jax.export.export(jax.jit(infer),
+                                 platforms=list(platforms))(
+        weight_specs, batch_spec)
+
+    meta = {
+        "format_version": ARTIFACT_VERSION,
+        "mode": mode,
+        "platforms": list(platforms),
+        "batch_size": None if batch_size is None else int(batch_size),
+        "img_size": int(img_size),
+        "input": {"dtype": "uint8",
+                  "layout": "[B, H, W, 3] RGB, raw 0-255 (normalization "
+                            "is inside the program)"},
+        "output": {"prob1": "P(live); 1 = live (data/conventions.py)",
+                   "pred": "argmax label, 1 = live"},
+        "compute_dtype": ("bfloat16" if mode in _PALLAS_MODES
+                          else np.dtype(input_dtype).name),
+        "model": type(module).__name__,
+        "geometry": geom,
+        "jax_version": jax.__version__,
+    }
+    return exported, weights, meta
+
+
+def save_serving_artifact(out_dir, module, variables, **kwargs):
+    """Export + write the 3-file artifact directory.  Returns meta."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    exported, weights, meta = export_serving(module, variables, **kwargs)
+    (out / _EXPORTED_FILE).write_bytes(exported.serialize())
+    meta["weights_spec"] = _save_weights(out / _WEIGHTS_FILE, weights)
+    (out / _META_FILE).write_text(json.dumps(meta, indent=1))
+    return meta
+
+
+class ServingArtifact:
+    """A loaded artifact: ``artifact(batch_u8) -> {"prob1", "pred"}``.
+
+    ``meta`` carries the descriptor; ``exported`` the jax.export object
+    (for shape/platform introspection); ``weights`` the restored tree
+    (numpy, device-put lazily by jit on first call).
+    """
+
+    def __init__(self, exported, weights, meta):
+        self.exported, self.weights, self.meta = exported, weights, meta
+        self._call = jax.jit(exported.call)
+
+    def __call__(self, batch_u8):
+        return self._call(self.weights, batch_u8)
+
+
+def load_serving_artifact(path) -> ServingArtifact:
+    p = Path(path)
+    meta = json.loads((p / _META_FILE).read_text())
+    ver = meta.get("format_version")
+    if ver != ARTIFACT_VERSION:
+        raise ValueError(f"artifact format {ver} != supported "
+                         f"{ARTIFACT_VERSION} ({p})")
+    exported = jax.export.deserialize((p / _EXPORTED_FILE).read_bytes())
+    weights = _load_weights(p / _WEIGHTS_FILE, meta["weights_spec"])
+    return ServingArtifact(exported, weights, meta)
+
+
+def score_records(artifact: ServingArtifact, records, *,
+                  batch_size: int = 64, num_workers: int = 8):
+    """Score a list of ``data.manifest.Record`` through a loaded
+    artifact: threaded host decode (black-image fallback preserved),
+    tail padding to ONE compiled shape, one-batch-behind fetch — the
+    run_inference loop (eval/runner.py) with the frozen program in
+    place of a live module.  Returns {"prob1", "pred"} aligned with
+    ``records``.  A fixed-batch artifact pins ``batch_size`` itself."""
+    from ..data.loader import DataPipeline
+
+    if artifact.meta.get("batch_size") is not None:
+        batch_size = int(artifact.meta["batch_size"])
+    img_size = int(artifact.meta.get("img_size", 224))
+    pipe = DataPipeline(records, batch_size=batch_size,
+                        img_size=img_size, resize="exact",
+                        num_workers=num_workers, shuffle=False,
+                        drop_last=False)
+    n = len(records)
+    prob1 = np.zeros(n, np.float32)
+    pred = np.zeros(n, np.int32)
+
+    def collect(pending):
+        out, idx, b = pending
+        prob1[idx] = np.asarray(out["prob1"])[:b]
+        pred[idx] = np.asarray(out["pred"])[:b]
+
+    pending = None
+    for batch in pipe.batches():
+        imgs, idx = batch["image"], batch["index"]
+        b = imgs.shape[0]
+        if b < batch_size:
+            pad = np.zeros((batch_size - b,) + imgs.shape[1:], imgs.dtype)
+            imgs = np.concatenate([imgs, pad])
+        out = artifact(jnp.asarray(imgs))
+        if pending is not None:
+            collect(pending)
+        pending = (out, idx, b)
+    if pending is not None:
+        collect(pending)
+    return {"prob1": prob1, "pred": pred}
