@@ -185,3 +185,26 @@ def test_predict_cli_rejects_empty_and_missing(tmp_path):
         predict([str(tmp_path / "art"), str(tmp_path / "empty")])
     with pytest.raises(FileNotFoundError):
         predict([str(tmp_path / "art"), str(tmp_path / "nowhere")])
+
+
+def test_export_serving_cli_registry_model(tmp_path):
+    """--model freezes a registry entry (SigNet_F = placeholder
+    ResNet50, no checkpoint needed); fine-tuned entries refuse to
+    export random weights."""
+    from vit_spoof_detection_pda_tpu.cli.export_serving import main
+
+    out = tmp_path / "resnet_art"
+    main([str(out), "--model", "SigNet_F", "--batch-size", "1"])
+    art = A.load_serving_artifact(out)
+    assert art.meta["model"] == "ResNet50"
+    batch = jnp.asarray(np.random.default_rng(0).integers(
+        0, 256, (1, 224, 224, 3), dtype=np.uint8))
+    got = art(batch)
+    assert 0.0 <= float(got["prob1"][0]) <= 1.0
+
+    with pytest.raises(SystemExit):          # fine-tuned, no checkpoint
+        main([str(tmp_path / "x"), "--model", "Custom_ViT_FineTuned"])
+    with pytest.raises(SystemExit):          # unknown entry
+        main([str(tmp_path / "x"), "--model", "NopeNet"])
+    with pytest.raises(SystemExit):          # no --model, no checkpoint
+        main([str(tmp_path / "x")])

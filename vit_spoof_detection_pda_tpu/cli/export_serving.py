@@ -19,10 +19,17 @@ def main(argv=None):
     parser = argparse.ArgumentParser(
         description="Freeze a checkpoint into a portable serving artifact")
     add_config_args(parser)
-    parser.add_argument("checkpoint",
+    parser.add_argument("checkpoint", nargs="?", default=None,
                         help="orbax checkpoint dir (Trainer output) or "
-                        "torch/safetensors file loadable by the registry")
+                        "torch/safetensors file loadable by the registry; "
+                        "optional with --model for pretrained/placeholder "
+                        "entries")
     parser.add_argument("output", help="destination artifact directory")
+    parser.add_argument("--model", default=None,
+                        help="freeze a registry entry (e.g. "
+                        "ResNet50_Pretrained, Base_ViT_Pretrained) "
+                        "instead of the config-built anti-spoof ViT; "
+                        "non-ViT entries support --mode module only")
     parser.add_argument("--mode", default="module",
                         choices=("module", "fastserve", "lowlat",
                                  "batch_grid"),
@@ -36,7 +43,7 @@ def main(argv=None):
     setup_logging()
     cfg = resolve_config(args)
 
-    if not os.path.exists(args.checkpoint):
+    if args.checkpoint is not None and not os.path.exists(args.checkpoint):
         parser.error(f"checkpoint not found: {args.checkpoint}")
     if args.mode != "module" and args.batch_size is None:
         parser.error(f"--mode {args.mode} compiles static Mosaic "
@@ -46,18 +53,40 @@ def main(argv=None):
 
     from ..models import convert
     from ..models.artifact import save_serving_artifact
-    from ..models.registry import build_vit_from_config
 
-    module = build_vit_from_config(cfg.model, jnp.float32)
-    # strict loading, same rationale as the `export` CLI: never freeze
-    # a silently-random model from a bad checkpoint path
-    if os.path.isdir(args.checkpoint):
-        from ..utils.checkpoint import load_checkpoint_bundle
-        variables, _step, _metrics = load_checkpoint_bundle(args.checkpoint)
+    if args.model is not None:
+        from ..models.registry import MODEL_REGISTRY, build_model
+        if args.model not in MODEL_REGISTRY:
+            parser.error(f"unknown registry model {args.model!r}; "
+                         f"choose from {sorted(MODEL_REGISTRY)}")
+        entry = MODEL_REGISTRY[args.model]
+        if entry.weights == "checkpoint" and args.checkpoint is None:
+            parser.error(f"{args.model} is a fine-tuned entry; freezing "
+                         "it without a checkpoint would export random "
+                         "weights — pass one")
+        kw = {}
+        if args.checkpoint is not None:
+            key = ("checkpoint_path" if entry.weights == "checkpoint"
+                   else "pretrained_path")
+            kw[key] = args.checkpoint
+        module, variables = build_model(args.model, dtype=jnp.float32,
+                                        **kw)
     else:
-        from ..models.registry import _load_state_dict
-        variables = convert.antispoof_from_torch(
-            _load_state_dict(args.checkpoint))
+        if args.checkpoint is None:
+            parser.error("a checkpoint is required without --model")
+        from ..models.registry import build_vit_from_config
+
+        module = build_vit_from_config(cfg.model, jnp.float32)
+        # strict loading, same rationale as the `export` CLI: never
+        # freeze a silently-random model from a bad checkpoint path
+        if os.path.isdir(args.checkpoint):
+            from ..utils.checkpoint import load_checkpoint_bundle
+            variables, _step, _metrics = load_checkpoint_bundle(
+                args.checkpoint)
+        else:
+            from ..models.registry import _load_state_dict
+            variables = convert.antispoof_from_torch(
+                _load_state_dict(args.checkpoint))
 
     meta = save_serving_artifact(
         args.output, module, variables, mode=args.mode,
