@@ -48,10 +48,12 @@ def main():
     assert jax.default_backend() == "tpu", jax.default_backend()
     B = 128
     module = ViTAntiSpoof(dtype=jnp.bfloat16, gelu="tanh")
-    variables = cached_compile(
+    init = cached_compile(
         module.init,
         (jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.float32)),
-        cache_key="vitb16_init")
+        key="bench_vit_b16_init")
+    variables = init(jax.random.PRNGKey(0),
+                     jnp.zeros((1, 224, 224, 3), jnp.float32))
     batch = jnp.asarray(np.random.default_rng(0).integers(
         0, 256, (B, 224, 224, 3), dtype=np.uint8))
 

@@ -204,6 +204,8 @@ def test_export_serving_cli_registry_model(tmp_path):
 
     with pytest.raises(SystemExit):          # fine-tuned, no checkpoint
         main([str(tmp_path / "x"), "--model", "Custom_ViT_FineTuned"])
+    with pytest.raises(SystemExit):          # pretrained, no weight file
+        main([str(tmp_path / "x"), "--model", "Base_ViT_Pretrained"])
     with pytest.raises(SystemExit):          # unknown entry
         main([str(tmp_path / "x"), "--model", "NopeNet"])
     with pytest.raises(SystemExit):          # no --model, no checkpoint

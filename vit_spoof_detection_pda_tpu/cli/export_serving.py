@@ -60,10 +60,15 @@ def main(argv=None):
             parser.error(f"unknown registry model {args.model!r}; "
                          f"choose from {sorted(MODEL_REGISTRY)}")
         entry = MODEL_REGISTRY[args.model]
-        if entry.weights == "checkpoint" and args.checkpoint is None:
-            parser.error(f"{args.model} is a fine-tuned entry; freezing "
-                         "it without a checkpoint would export random "
-                         "weights — pass one")
+        if entry.weights in ("checkpoint", "pretrained") \
+                and args.checkpoint is None:
+            # same strictness as the non-registry path: only entries
+            # whose CONTRACT is random weights (SigNet_F placeholder)
+            # may freeze without a weight source
+            parser.error(f"{args.model} expects {entry.weights} weights; "
+                         "freezing without a weight file would export "
+                         "a silently-random model — pass the "
+                         f"{entry.weights} path")
         kw = {}
         if args.checkpoint is not None:
             key = ("checkpoint_path" if entry.weights == "checkpoint"

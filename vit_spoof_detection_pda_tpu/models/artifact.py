@@ -112,18 +112,6 @@ def _load_weights(path: Path, spec):
 # ---------------------------------------------------------------------------
 # export
 
-def _module_infer_fn(module, input_dtype):
-    from ..ops import image as I
-
-    def infer(variables, batch_u8):
-        x = I.normalize_u8_fused(batch_u8, dtype=input_dtype)
-        logits = module.apply(variables, x)
-        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-        return {"prob1": probs[:, 1],
-                "pred": jnp.argmax(logits, axis=-1)}
-    return infer
-
-
 def _score_infer_fn(raw_fn, **kwargs):
     def infer(weights, batch_u8):
         out = raw_fn(weights, batch_u8, **kwargs)
@@ -142,7 +130,7 @@ def export_serving(module, variables, *, mode: str = "module",
     need static shapes).  ``input_dtype`` is the module-path compute
     dtype (f32 = eval parity; the Pallas modes are bf16 by design).
     """
-    from .vit import ViTAntiSpoof, fold_normalization
+    from .vit import ViTAntiSpoof
 
     geom = {}
     if isinstance(module, ViTAntiSpoof):
@@ -150,15 +138,14 @@ def export_serving(module, variables, *, mode: str = "module",
                     patch_size=module.patch_size, norm_eps=module.norm_eps)
 
     if mode == "module":
-        infer = _module_infer_fn(module, input_dtype)
+        # the EXACT eval program (eval/runner.py) — reusing it keeps the
+        # frozen-artifact contract from drifting off the live eval path
+        from ..eval.runner import make_infer_fn
+        infer = make_infer_fn(module, input_dtype=input_dtype)
         weights = variables
         if platforms is None:
             platforms = ("cpu", "tpu")
     elif mode in _PALLAS_MODES:
-        if not isinstance(module, ViTAntiSpoof):
-            raise TypeError(
-                "Pallas serving modes pack the anti-spoof head; got "
-                f"{type(module).__name__} — use mode='module'")
         if batch_size is None:
             raise ValueError(
                 f"mode={mode!r} compiles static Mosaic kernels; pass a "
@@ -168,21 +155,10 @@ def export_serving(module, variables, *, mode: str = "module",
         elif tuple(platforms) != ("tpu",):
             raise ValueError(f"mode={mode!r} runs TPU Mosaic kernels; "
                              f"platforms must be ('tpu',), got {platforms}")
-        from . import fastserve as FS
-        folded = fold_normalization(variables)["params"]
-        kw = dict(geom, dtype=jnp.bfloat16)
-        if mode == "fastserve":
-            weights = folded
-            infer = _score_infer_fn(FS.serving_forward, **kw)
-        else:
-            kw.pop("depth")
-            weights = FS.prepare_lowlat(
-                folded, depth=module.depth, dtype=jnp.bfloat16,
-                batch_grid=(mode == "batch_grid"),
-                per_item=(mode == "lowlat"))
-            raw = (FS.serving_forward_lowlat_batch if mode == "batch_grid"
-                   else FS.serving_forward_lowlat)
-            infer = _score_infer_fn(raw, **kw)
+        # the EXACT live regime construction (weights layout + raw fn)
+        from .fastserve import serving_program
+        weights, raw, kw = serving_program(module, variables, mode=mode)
+        infer = jax.jit(_score_infer_fn(raw, **kw))
     else:
         raise ValueError(f"unknown serving mode {mode!r}")
 
@@ -195,8 +171,7 @@ def export_serving(module, variables, *, mode: str = "module",
     weight_specs = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
         weights)
-    exported = jax.export.export(jax.jit(infer),
-                                 platforms=list(platforms))(
+    exported = jax.export.export(infer, platforms=list(platforms))(
         weight_specs, batch_spec)
 
     meta = {
@@ -234,12 +209,15 @@ class ServingArtifact:
     """A loaded artifact: ``artifact(batch_u8) -> {"prob1", "pred"}``.
 
     ``meta`` carries the descriptor; ``exported`` the jax.export object
-    (for shape/platform introspection); ``weights`` the restored tree
-    (numpy, device-put lazily by jit on first call).
+    (for shape/platform introspection); ``weights`` the restored tree,
+    device-put ONCE here — jit does not cache transfers of numpy
+    arguments, so leaving them on host would re-upload the full weight
+    tree every call.
     """
 
     def __init__(self, exported, weights, meta):
-        self.exported, self.weights, self.meta = exported, weights, meta
+        self.exported, self.meta = exported, meta
+        self.weights = jax.tree.map(jnp.asarray, weights)
         self._call = jax.jit(exported.call)
 
     def __call__(self, batch_u8):

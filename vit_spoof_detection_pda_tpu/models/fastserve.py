@@ -390,6 +390,37 @@ def serving_forward_sharded(params, batch, mesh, *, fn=serving_forward,
     return f(params, batch)
 
 
+def serving_program(module, variables, *, mode: str,
+                    dtype=jnp.bfloat16):
+    """Resolve a serving regime to ``(weights, raw_fn, kwargs)``: fold
+    normalization into the patch-embed GEMM and pack the mode's weight
+    layout.  The single source of truth for regime construction, shared
+    by :func:`make_serving_fn` (live jit) and
+    ``models/artifact.export_serving`` (frozen jax.export) so the
+    exported program can never drift from the live one."""
+    from .vit import ViTAntiSpoof, fold_normalization
+
+    if not isinstance(module, ViTAntiSpoof):
+        raise TypeError("serving programs pack the anti-spoof head; got "
+                        f"{type(module).__name__} (use "
+                        "eval.runner.make_fastserve_infer for the "
+                        "linear-head models)")
+    geom = dict(num_heads=module.num_heads, patch_size=module.patch_size,
+                norm_eps=module.norm_eps)
+    folded = fold_normalization(variables)["params"]
+    if mode == "fastserve":
+        return folded, serving_forward, dict(
+            geom, depth=module.depth, dtype=dtype)
+    if mode not in ("lowlat", "batch_grid"):
+        raise ValueError(f"unknown serving mode {mode!r}")
+    prepared = prepare_lowlat(folded, depth=module.depth, dtype=dtype,
+                              batch_grid=(mode == "batch_grid"),
+                              per_item=(mode == "lowlat"))
+    raw = (serving_forward_lowlat_batch if mode == "batch_grid"
+           else serving_forward_lowlat)
+    return prepared, raw, dict(geom, dtype=dtype)
+
+
 def make_serving_fn(module, variables, *, batch_size: int,
                     mode: str = "auto", dtype=jnp.bfloat16,
                     interpret: bool = False):
@@ -412,13 +443,6 @@ def make_serving_fn(module, variables, *, batch_size: int,
     the returned callable), so XLA does not bake them into the
     executable.  Raises on a non-TPU backend unless ``interpret=True``
     (CPU debugging)."""
-    from .vit import ViTAntiSpoof, fold_normalization
-
-    if not isinstance(module, ViTAntiSpoof):
-        raise TypeError("make_serving_fn packs the anti-spoof head; got "
-                        f"{type(module).__name__} (use "
-                        "eval.runner.make_fastserve_infer for the "
-                        "linear-head models)")
     if not interpret and jax.default_backend() != "tpu":
         raise RuntimeError(
             "make_serving_fn builds Pallas TPU programs; on the "
@@ -427,22 +451,7 @@ def make_serving_fn(module, variables, *, batch_size: int,
     if mode == "auto":
         mode = ("lowlat" if batch_size == 1 else
                 "batch_grid" if batch_size < 16 else "fastserve")
-    geom = dict(num_heads=module.num_heads, patch_size=module.patch_size,
-                norm_eps=module.norm_eps)
-    folded = fold_normalization(variables)["params"]
-
-    if mode == "fastserve":
-        fn = jax.jit(lambda p, b: serving_forward(
-            p, b, depth=module.depth, dtype=dtype, interpret=interpret,
-            **geom))
-        return lambda batch_u8: fn(folded, batch_u8)
-    if mode not in ("lowlat", "batch_grid"):
-        raise ValueError(f"unknown serving mode {mode!r}")
-    prepared = prepare_lowlat(folded, depth=module.depth, dtype=dtype,
-                              batch_grid=(mode == "batch_grid"),
-                              per_item=(mode == "lowlat"))
-    inner = (serving_forward_lowlat_batch if mode == "batch_grid"
-             else serving_forward_lowlat)
-    fn = jax.jit(lambda p, b: inner(p, b, dtype=dtype,
-                                    interpret=interpret, **geom))
-    return lambda batch_u8: fn(prepared, batch_u8)
+    weights, raw, kw = serving_program(module, variables, mode=mode,
+                                       dtype=dtype)
+    fn = jax.jit(lambda p, b: raw(p, b, interpret=interpret, **kw))
+    return lambda batch_u8: fn(weights, batch_u8)
