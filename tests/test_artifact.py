@@ -210,3 +210,59 @@ def test_export_serving_cli_registry_model(tmp_path):
         main([str(tmp_path / "x"), "--model", "NopeNet"])
     with pytest.raises(SystemExit):          # no --model, no checkpoint
         main([str(tmp_path / "x")])
+
+
+def test_fleet_artifact_sharded_roundtrip(tmp_path):
+    """mesh export freezes the DP-sharded eval program; loading builds
+    (or takes) a matching mesh and scores == the single-device path."""
+    from vit_spoof_detection_pda_tpu.parallel.mesh import make_mesh
+
+    m, variables = _tiny()
+    mesh = make_mesh(data=8, model=1)
+    meta = A.save_serving_artifact(tmp_path / "art", m, variables,
+                                   mode="module", batch_size=8,
+                                   img_size=32, platforms=("cpu",),
+                                   mesh=mesh)
+    assert meta["mesh"]["axis_names"][0] == "data"
+    assert int(np.prod(meta["mesh"]["shape"])) == 8
+
+    art = A.load_serving_artifact(tmp_path / "art")    # auto-mesh
+    assert art.mesh is not None
+    batch = _u8(8)
+    got = art(batch)
+    want = make_infer_fn(m)(variables, batch)
+    np.testing.assert_allclose(np.asarray(got["prob1"]),
+                               np.asarray(want["prob1"]), atol=1e-5)
+
+    art2 = A.load_serving_artifact(tmp_path / "art", mesh=mesh)
+    np.testing.assert_allclose(np.asarray(art2(batch)["prob1"]),
+                               np.asarray(want["prob1"]), atol=1e-5)
+
+
+def test_fleet_artifact_validation(tmp_path):
+    from vit_spoof_detection_pda_tpu.parallel.mesh import make_mesh
+
+    m, variables = _tiny()
+    mesh = make_mesh(data=8, model=1)
+    with pytest.raises(ValueError, match="not divisible"):
+        A.export_serving(m, variables, mode="module", batch_size=6,
+                         img_size=32, platforms=("cpu",), mesh=mesh)
+    with pytest.raises(ValueError, match="module-mode only"):
+        A.export_serving(m, variables, mode="fastserve", batch_size=8,
+                         mesh=mesh)
+    with pytest.raises(ValueError, match="concrete batch_size"):
+        A.export_serving(m, variables, mode="module", batch_size=None,
+                         mesh=mesh)
+    # a single-device artifact refuses a mesh at load
+    A.save_serving_artifact(tmp_path / "sd", m, variables,
+                            mode="module", batch_size=2, img_size=32,
+                            platforms=("cpu",))
+    with pytest.raises(ValueError, match="single-device"):
+        A.load_serving_artifact(tmp_path / "sd", mesh=mesh)
+    # a fleet artifact refuses a wrong-size mesh
+    A.save_serving_artifact(tmp_path / "fl", m, variables,
+                            mode="module", batch_size=8, img_size=32,
+                            platforms=("cpu",), mesh=mesh)
+    small = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    with pytest.raises(ValueError, match="needs 8 devices"):
+        A.load_serving_artifact(tmp_path / "fl", mesh=small)

@@ -122,13 +122,19 @@ def _score_infer_fn(raw_fn, **kwargs):
 
 def export_serving(module, variables, *, mode: str = "module",
                    batch_size=None, img_size: int = 224,
-                   input_dtype=jnp.float32, platforms=None):
+                   input_dtype=jnp.float32, platforms=None, mesh=None):
     """Build (exported, weights, meta) for a serving program.
 
     ``batch_size=None`` exports a symbolic batch dimension (one program,
     any B) — available only in ``mode="module"`` (the Pallas kernels
     need static shapes).  ``input_dtype`` is the module-path compute
     dtype (f32 = eval parity; the Pallas modes are bf16 by design).
+
+    ``mesh``: export the FLEET flavor — the data-parallel sharded eval
+    program (batch over the ``data`` axis, weights replicated; GSPMD
+    collectives baked into the StableHLO).  Module mode only; the
+    artifact then requires a matching-size device context at load
+    (jax.export records the device assignment).
     """
     from .vit import ViTAntiSpoof
 
@@ -137,11 +143,27 @@ def export_serving(module, variables, *, mode: str = "module",
         geom = dict(num_heads=module.num_heads, depth=module.depth,
                     patch_size=module.patch_size, norm_eps=module.norm_eps)
 
+    if mesh is not None:
+        if mode != "module":
+            raise ValueError(
+                "mesh export is module-mode only (the Pallas regimes "
+                "shard via shard_map at trace time — use the live "
+                "serving_forward_sharded path on the fleet)")
+        if batch_size is None:
+            raise ValueError("mesh export needs a concrete batch_size "
+                             "(divisible by the data axis)")
+        from ..parallel.mesh import DATA_AXIS
+        ndata = dict(zip(mesh.axis_names, mesh.devices.shape)).get(
+            DATA_AXIS, 1)
+        if int(batch_size) % ndata:
+            raise ValueError(f"batch_size {batch_size} not divisible by "
+                             f"the {ndata}-way data axis")
+
     if mode == "module":
         # the EXACT eval program (eval/runner.py) — reusing it keeps the
         # frozen-artifact contract from drifting off the live eval path
         from ..eval.runner import make_infer_fn
-        infer = make_infer_fn(module, input_dtype=input_dtype)
+        infer = make_infer_fn(module, input_dtype=input_dtype, mesh=mesh)
         weights = variables
         if platforms is None:
             platforms = ("cpu", "tpu")
@@ -191,6 +213,9 @@ def export_serving(module, variables, *, mode: str = "module",
         "geometry": geom,
         "jax_version": jax.__version__,
     }
+    if mesh is not None:
+        meta["mesh"] = {"axis_names": list(mesh.axis_names),
+                        "shape": [int(s) for s in mesh.devices.shape]}
     return exported, weights, meta
 
 
@@ -215,16 +240,32 @@ class ServingArtifact:
     tree every call.
     """
 
-    def __init__(self, exported, weights, meta):
+    def __init__(self, exported, weights, meta, mesh=None):
         self.exported, self.meta = exported, meta
-        self.weights = jax.tree.map(jnp.asarray, weights)
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import batch_spec
+            rep = NamedSharding(mesh, P())
+            self._batch_sharding = NamedSharding(mesh, batch_spec())
+            self.weights = jax.tree.map(
+                lambda x: jax.device_put(np.asarray(x), rep), weights)
+        else:
+            self._batch_sharding = None
+            self.weights = jax.tree.map(jnp.asarray, weights)
         self._call = jax.jit(exported.call)
 
     def __call__(self, batch_u8):
+        if self._batch_sharding is not None:
+            batch_u8 = jax.device_put(batch_u8, self._batch_sharding)
         return self._call(self.weights, batch_u8)
 
 
-def load_serving_artifact(path) -> ServingArtifact:
+def load_serving_artifact(path, mesh=None) -> ServingArtifact:
+    """Load an artifact directory.  Fleet artifacts (meta carries
+    ``mesh``) need a device mesh of the exported size: pass one, or one
+    is built over all local devices when the count matches."""
     p = Path(path)
     meta = json.loads((p / _META_FILE).read_text())
     ver = meta.get("format_version")
@@ -233,7 +274,24 @@ def load_serving_artifact(path) -> ServingArtifact:
                          f"{ARTIFACT_VERSION} ({p})")
     exported = jax.export.deserialize((p / _EXPORTED_FILE).read_bytes())
     weights = _load_weights(p / _WEIGHTS_FILE, meta["weights_spec"])
-    return ServingArtifact(exported, weights, meta)
+    if meta.get("mesh"):
+        want = int(np.prod(meta["mesh"]["shape"]))
+        if mesh is None:
+            if jax.device_count() != want:
+                raise ValueError(
+                    f"fleet artifact was exported for {want} devices; "
+                    f"{jax.device_count()} visible — pass a matching "
+                    "mesh or run in a matching device context")
+            from ..parallel.mesh import make_mesh
+            mesh = make_mesh(data=want, model=1)
+        elif mesh.devices.size != want:
+            raise ValueError(f"fleet artifact needs {want} devices; the "
+                             f"given mesh has {mesh.devices.size}")
+    elif mesh is not None:
+        raise ValueError("this artifact was exported single-device; "
+                         "re-export with export_serving(mesh=...) for "
+                         "fleet serving")
+    return ServingArtifact(exported, weights, meta, mesh=mesh)
 
 
 def score_records(artifact: ServingArtifact, records, *,
