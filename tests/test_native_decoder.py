@@ -185,3 +185,71 @@ def test_native_faster_than_pil(lib, tmp_path):
     t_pil = best_of(pil)
     # DCT prescale should beat full decode + resize comfortably
     assert t_native < t_pil, (t_native, t_pil)
+
+
+def test_native_encode_jpeg_matches_pil_pixels(tmp_path):
+    """The native libjpeg encoder's output decodes to the SAME pixels
+    as a PIL encode at the same quality (both drive libjpeg with
+    default settings), and the roundtrip error stays in the q95
+    envelope."""
+    import io
+
+    from PIL import Image
+
+    from vit_spoof_detection_pda_tpu.data.native import native_encode_jpeg
+
+    rng = np.random.default_rng(3)
+    # smooth gradient + noise: a JPEG-representative signal
+    yy, xx = np.mgrid[0:64, 0:64]
+    arr = np.stack([yy * 2, xx * 2, (yy + xx)], axis=-1)
+    arr = np.clip(arr + rng.normal(0, 4, arr.shape), 0,
+                  255).astype(np.uint8)
+
+    data = native_encode_jpeg(arr, 95)
+    if data is None:
+        pytest.skip("native encoder unavailable (no g++/libjpeg)")
+    back = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"),
+                      np.int32)
+    # q95 + 4:2:0 chroma subsampling envelope: small mean error,
+    # bounded worst pixel (sharp chroma edges can hit ~20)
+    assert np.abs(back - arr).mean() <= 3.0
+    assert np.abs(back - arr).max() <= 40
+
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG", quality=95)
+    pil_back = np.asarray(Image.open(io.BytesIO(buf.getvalue()))
+                          .convert("RGB"), np.int32)
+    np.testing.assert_array_equal(back, pil_back)
+
+
+def test_native_encode_jpeg_rejects_bad_input():
+    from vit_spoof_detection_pda_tpu.data.native import native_encode_jpeg
+
+    assert native_encode_jpeg(np.zeros((8, 8), np.uint8)) is None
+    assert native_encode_jpeg(np.zeros((8, 8, 4), np.uint8)) is None
+    assert native_encode_jpeg(np.zeros((8, 8, 3), np.float32)) is None
+
+
+def test_materializer_write_jpeg_uses_native_path(tmp_path):
+    """_write_jpeg (augment/engine.py) produces a decodable JPEG through
+    the native fast path and still writes via PIL when the native
+    module is unavailable."""
+    from PIL import Image
+
+    import vit_spoof_detection_pda_tpu.data.native as native
+    from vit_spoof_detection_pda_tpu.augment.engine import _write_jpeg
+
+    arr = np.full((32, 32, 3), 128, np.uint8)
+    assert _write_jpeg(arr, tmp_path / "a.jpg", 95) == 1
+    got = np.asarray(Image.open(tmp_path / "a.jpg").convert("RGB"))
+    assert got.shape == (32, 32, 3)
+    assert np.abs(got.astype(int) - 128).max() <= 3
+
+    # force the PIL fallback
+    old = native.native_encode_jpeg
+    try:
+        native.native_encode_jpeg = lambda *a, **k: None
+        assert _write_jpeg(arr, tmp_path / "b.jpg", 95) == 1
+    finally:
+        native.native_encode_jpeg = old
+    assert (tmp_path / "b.jpg").exists()

@@ -146,8 +146,13 @@ class AugmentEngine:
 
 
 def _write_jpeg(arr_u8: np.ndarray, path: Path, quality: int) -> int:
-    from PIL import Image
     try:
+        from ..data.native import native_encode_jpeg
+        data = native_encode_jpeg(arr_u8, quality)
+        if data is not None:        # GIL-released libjpeg compress
+            path.write_bytes(data)
+            return 1
+        from PIL import Image
         Image.fromarray(arr_u8).save(path, quality=quality)
         return 1
     except Exception as e:                      # noqa: BLE001

@@ -59,6 +59,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib.pad_decode_resize.argtypes = [
                 ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
                 ctypes.c_int, ctypes.c_void_p]
+            if hasattr(lib, "pad_encode_jpeg"):   # older cached .so
+                lib.pad_encode_jpeg.restype = ctypes.c_int
+                lib.pad_encode_jpeg.argtypes = [
+                    ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_int,
+                    ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+                    ctypes.POINTER(ctypes.c_ulong)]
+                lib.pad_free.restype = None
+                lib.pad_free.argtypes = [ctypes.c_void_p]
             _lib = lib
             log.info("native decoder loaded (%s)", _SO.name)
         except OSError as e:
@@ -86,3 +95,29 @@ def native_decode(path: str, size: int, resize: str = "exact"
     if rc != 0:
         return None
     return out
+
+
+def native_encode_jpeg(arr: np.ndarray, quality: int = 95
+                       ) -> Optional[bytes]:
+    """Encode an RGB u8 HWC array to JPEG bytes via the native module
+    (GIL released for the whole compress — the materializer's thread
+    pool scales past PIL's per-image Python overhead); None on any
+    failure (caller falls back to PIL)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "pad_encode_jpeg"):
+        return None
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        return None
+    arr = np.ascontiguousarray(arr)
+    buf = ctypes.POINTER(ctypes.c_ubyte)()
+    size = ctypes.c_ulong()
+    rc = lib.pad_encode_jpeg(
+        arr.ctypes.data_as(ctypes.c_void_p),
+        int(arr.shape[0]), int(arr.shape[1]), int(quality),
+        ctypes.byref(buf), ctypes.byref(size))
+    if rc != 0 or not buf:
+        return None
+    try:
+        return ctypes.string_at(buf, size.value)
+    finally:
+        lib.pad_free(buf)

@@ -17,6 +17,7 @@
 #include <csetjmp>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 
@@ -313,5 +314,44 @@ int pad_decode_resize(const uint8_t* data, size_t len, int target,
     return decode_png(data, len, target, mode, out);
   return 4;  // unknown format
 }
+
+// Encode an RGB u8 HWC image to JPEG (the materializer's writeback —
+// reference augment_data.py:159-179 does this per image on the Python
+// side through PIL; here the whole compress runs with the GIL released).
+// *out_buf is malloc'd by libjpeg's jpeg_mem_dest; free via pad_free.
+// Returns 0 on success.
+int pad_encode_jpeg(const uint8_t* rgb, int h, int w, int quality,
+                    unsigned char** out_buf, unsigned long* out_size) {
+  jpeg_compress_struct cinfo;
+  JpegErrorMgr jerr;
+  *out_buf = nullptr;
+  *out_size = 0;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_compress(&cinfo);
+    if (*out_buf) { free(*out_buf); *out_buf = nullptr; }
+    return 1;
+  }
+  jpeg_create_compress(&cinfo);
+  jpeg_mem_dest(&cinfo, out_buf, out_size);
+  cinfo.image_width = static_cast<JDIMENSION>(w);
+  cinfo.image_height = static_cast<JDIMENSION>(h);
+  cinfo.input_components = 3;
+  cinfo.in_color_space = JCS_RGB;
+  jpeg_set_defaults(&cinfo);
+  jpeg_set_quality(&cinfo, quality, TRUE);
+  jpeg_start_compress(&cinfo, TRUE);
+  while (cinfo.next_scanline < cinfo.image_height) {
+    JSAMPROW row = const_cast<uint8_t*>(
+        rgb + static_cast<size_t>(cinfo.next_scanline) * w * 3);
+    jpeg_write_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
+  return 0;
+}
+
+void pad_free(void* p) { free(p); }
 
 }  // extern "C"
