@@ -266,3 +266,25 @@ def test_fleet_artifact_validation(tmp_path):
     small = make_mesh(data=4, model=1, devices=jax.devices()[:4])
     with pytest.raises(ValueError, match="needs 8 devices"):
         A.load_serving_artifact(tmp_path / "fl", mesh=small)
+
+
+def test_benchmark_cli_artifact_mode(tmp_path):
+    """--artifact routes the device-latency protocol through a frozen
+    program; fixed-batch artifacts pin the batch size."""
+    import vit_spoof_detection_pda_tpu.cli.benchmark as bench_cli
+
+    m, variables = _tiny()
+    A.save_serving_artifact(tmp_path / "art", m, variables,
+                            mode="module", batch_size=4, img_size=32,
+                            platforms=("cpu",))
+    out = bench_cli.main(["--device-latency", "--artifact",
+                          str(tmp_path / "art"), "--n1", "2",
+                          "--batch-size", "999"])      # 999 overridden
+    assert out["artifact_mode"] == "module"
+    assert out["batch_size"] == 4 and out["ms_per_image"] > 0
+
+    with pytest.raises(SystemExit):          # needs --device-latency
+        bench_cli.main(["--artifact", str(tmp_path / "art")])
+    with pytest.raises(SystemExit):          # live-path flag conflict
+        bench_cli.main(["--device-latency", "--artifact",
+                        str(tmp_path / "art"), "--fastserve"])

@@ -57,6 +57,12 @@ def main(argv=None):
     parser.add_argument("--n1", type=int, default=200,
                         help="differencing run length for --device-latency "
                              "(enqueues n1 then 3*n1 executions, 3 repeats)")
+    parser.add_argument("--artifact", default=None,
+                        help="with --device-latency: time a FROZEN "
+                             "serving artifact directory (export-serving) "
+                             "through its deserialized program instead of "
+                             "a live model; a fixed-batch artifact pins "
+                             "the batch size itself")
     parser.add_argument("--all-models", action="store_true",
                         help="with --device-latency: measure EVERY row of "
                              "the reference's per-model benchmark "
@@ -90,8 +96,26 @@ def main(argv=None):
                 "--lowlat runs a Pallas TPU kernel; on the "
                 f"'{jax.default_backend()}' backend add --interpret "
                 "(debugging mode) or drop --lowlat")
+    if args.artifact:
+        if not args.device_latency:
+            parser.error("--artifact is a --device-latency mode")
+        if args.fastserve or args.lowlat or args.all_models:
+            parser.error("--artifact times the frozen program as "
+                         "exported; drop the live-path flags (the mode "
+                         "was chosen at export time)")
     setup_logging()
     cfg = resolve_config(args)
+
+    if args.artifact:
+        from ..models.artifact import load_serving_artifact
+        art = load_serving_artifact(args.artifact)
+        bs = art.meta.get("batch_size") or args.batch_size
+        out = benchmark_device_latency(
+            lambda _w, batch: art(batch), None, batch_size=bs,
+            img_size=art.meta.get("img_size", 224), n1=args.n1)
+        out["artifact_mode"] = art.meta["mode"]
+        print(json.dumps(out))
+        return out
 
     if args.all_models:
         import jax
