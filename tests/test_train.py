@@ -472,3 +472,107 @@ def test_wandb_space_derived_from_default():
     assert params["learning_rate"] == {
         "distribution": "log_uniform_values", "min": 5e-5, "max": 5e-4}
     assert params["batch_size"] == {"values": [96, 128, 160]}
+
+
+def test_preemption_checkpoints_and_exits(tmp_path):
+    """request_preemption() (the SIGTERM handler's body) makes fit()
+    checkpoint at the next safe point and return early with the
+    preempted flag; the checkpoint restores into a fresh trainer."""
+    from vit_spoof_detection_pda_tpu.utils.checkpoint import (
+        CheckpointManager)
+
+    images, labels = _synthetic(128, seed=5)
+    bs = 32
+
+    def train_batches(epoch):
+        for i in range(0, len(images), bs):
+            yield {"image": images[i:i + bs], "label": labels[i:i + bs]}
+
+    def val_batches():
+        yield {"image": images[:bs], "label": labels[:bs]}
+
+    cfg = Config().with_overrides({
+        "optim.num_epochs": 50,          # would run long uninterrupted
+        "data.img_size": 16,
+        "telemetry.log_interval": 100,
+    })
+
+    class PreemptingLogger:
+        """Fires the preemption request from inside the run — the
+        deterministic stand-in for SIGTERM arriving mid-training."""
+
+        def __init__(self, trainer_ref):
+            self.trainer_ref = trainer_ref
+
+        def log(self, record, step=None):
+            if "val/f1" in record or any(k.startswith("val/")
+                                         for k in record):
+                self.trainer_ref[0].request_preemption()
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    ref = []
+    trainer = Trainer(cfg, TinyNet(),
+                      train_batches=train_batches,
+                      val_batches=val_batches,
+                      steps_per_epoch=len(images) // bs,
+                      checkpoints=mgr,
+                      logger=PreemptingLogger(ref))
+    ref.append(trainer)
+    best = trainer.fit()
+    assert best.get("preempted") is True
+    assert best["epoch"] <= 1               # stopped almost immediately
+    step = mgr.latest_step()
+    assert step is not None and step >= 1
+    # the preemption checkpoint restores into a fresh trainer
+    trainer2 = Trainer(cfg, TinyNet(),
+                       train_batches=train_batches,
+                       val_batches=val_batches,
+                       steps_per_epoch=len(images) // bs)
+    restored = mgr.restore(trainer2.state)
+    assert int(restored.step) == step
+    mgr.close()
+
+
+def test_preemption_signal_handler_installed_and_restored(tmp_path):
+    """fit() swaps in a SIGTERM handler only for its own duration and
+    only when a checkpoint manager is configured."""
+    import signal as _signal
+
+    from vit_spoof_detection_pda_tpu.utils.checkpoint import (
+        CheckpointManager)
+
+    images, labels = _synthetic(32, seed=6)
+
+    def train_batches(epoch):
+        yield {"image": images, "label": labels}
+
+    def val_batches():
+        yield {"image": images, "label": labels}
+
+    cfg = Config().with_overrides({
+        "optim.num_epochs": 1,
+        "data.img_size": 16,
+        "telemetry.log_interval": 100,
+    })
+    seen = {}
+
+    class SpyLogger:
+        def log(self, record, step=None):
+            # observe the handler DURING fit
+            seen.setdefault("handler",
+                            _signal.getsignal(_signal.SIGTERM))
+
+    before = _signal.getsignal(_signal.SIGTERM)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    trainer = Trainer(cfg, TinyNet(),
+                      train_batches=train_batches,
+                      val_batches=val_batches,
+                      steps_per_epoch=1, checkpoints=mgr,
+                      logger=SpyLogger())
+    trainer.fit()
+    mgr.close()
+    assert _signal.getsignal(_signal.SIGTERM) == before   # restored
+    assert seen["handler"] != before                      # was swapped
+    # the installed handler routes to request_preemption
+    seen["handler"](None, None)
+    assert trainer._preempt.is_set()

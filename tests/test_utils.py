@@ -64,3 +64,45 @@ def test_metric_logger_jsonl(tmp_path):
     rec = json.loads(path.read_text().strip())
     assert rec["train/loss"] == 1.5
     assert rec["step"] == 3
+
+
+def test_pinned_save_survives_best_k_retention(tmp_path):
+    """pin=True exempts a checkpoint from best-by-metric GC: with
+    max_to_keep best checkpoints all tied on the metric, an unpinned
+    tie can lose the retention race, but a pinned save must always
+    survive (the preemption-checkpoint contract, train/trainer.py)."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from vit_spoof_detection_pda_tpu.train import (create_train_state,
+                                                   make_optimizer)
+    from vit_spoof_detection_pda_tpu.utils.checkpoint import (
+        CheckpointManager)
+
+    class T(nn.Module):
+        @nn.compact
+        def __call__(self, x, *, train=False):
+            return nn.Dense(2)(jnp.mean(x, axis=(1, 2)))
+
+    state = create_train_state(T(), make_optimizer(1e-3),
+                               jax.random.PRNGKey(0),
+                               input_shape=(1, 8, 8, 3))
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=3)
+    for s in (10, 20, 30, 40):              # 4 tied bests, keep 3
+        mgr.save(s, state, metrics={"val_f1": 1.0}, force=True)
+    mgr.save(45, state, metrics={"val_f1": 1.0, "preempted": True},
+             force=True, pin=True)
+    mgr.wait_until_finished()
+    kept = mgr._mgr.all_steps()
+    assert 45 in kept, kept                  # pinned survives GC
+    assert mgr.latest_step() == 45
+    # the pinned checkpoint still restores with its metrics record
+    restored = mgr.restore(state, step=45)
+    assert int(restored.step) == int(state.step)
+    _vars, _step, metrics = __import__(
+        "vit_spoof_detection_pda_tpu.utils.checkpoint",
+        fromlist=["load_checkpoint_bundle"]).load_checkpoint_bundle(
+        str(tmp_path / "ckpt"), step=45)
+    assert metrics.get("preempted") is True
+    mgr.close()

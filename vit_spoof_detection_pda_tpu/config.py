@@ -191,6 +191,7 @@ class CheckpointConfig(_Base):
     keep_best_by: str = "val_f1"
     max_to_keep: int = 3
     async_save: bool = False                   # background-thread writes
+    save_on_preemption: bool = True            # SIGTERM -> checkpoint+exit
 
 
 @dataclass(frozen=True)

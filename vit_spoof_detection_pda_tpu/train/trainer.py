@@ -16,6 +16,8 @@ The data layer provides these; synthetic iterators work for tests.
 from __future__ import annotations
 
 import logging
+import signal
+import threading
 import time
 from typing import Callable, Iterable, Optional
 
@@ -39,6 +41,11 @@ from .step import make_eval_step, make_train_step
 log = logging.getLogger(__name__)
 
 
+class _Preempted(Exception):
+    """Raised at a safe point (batch boundary) after a preemption
+    request; caught by the fit loop to checkpoint and exit."""
+
+
 class Trainer:
     def __init__(self, config: Config, module, *,
                  train_batches: Callable[[int], Iterable],
@@ -55,6 +62,7 @@ class Trainer:
         self.train_batches = train_batches
         self.val_batches = val_batches
         self.steps_per_epoch = steps_per_epoch
+        self._preempt = threading.Event()
         self.mesh = (mesh if mesh is not None
                      else mesh_from_config(config.sharding))
         self.logger = logger or MetricLogger(
@@ -150,6 +158,12 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
+    def request_preemption(self):
+        """Ask the fit loop to checkpoint and exit at the next batch
+        boundary (safe point).  Called from the SIGTERM handler fit()
+        installs, or directly by a cluster manager integration."""
+        self._preempt.set()
+
     def fit(self):
         cfg = self.config
         stopper = EarlyStopping(cfg.early_stop.patience,
@@ -163,11 +177,48 @@ class Trainer:
         fit_ctx = (attention_sharding(mesh=self.mesh)
                    if self.mesh.devices.size > 1
                    else contextlib.nullcontext())
-        with fit_ctx:
-            return self._fit_loop(cfg, stopper, best, profile_trace)
+        # Preemption-safe training: SIGTERM (the TPU-pod / cluster
+        # eviction signal) requests a checkpoint at the next batch
+        # boundary instead of killing the run mid-state.  The handler
+        # only sets a flag — all checkpoint IO happens at the safe
+        # point in the loop, never inside the signal context.
+        prev_handler = None
+        hook = (self.checkpoints is not None
+                and cfg.checkpoint.save_on_preemption
+                and threading.current_thread() is threading.main_thread())
+        if hook:
+            prev_handler = signal.signal(
+                signal.SIGTERM, lambda *_: self.request_preemption())
+        try:
+            with fit_ctx:
+                return self._fit_loop(cfg, stopper, best, profile_trace)
+        finally:
+            if hook:
+                signal.signal(signal.SIGTERM, prev_handler)
 
     def _fit_loop(self, cfg, stopper, best, profile_trace):
+        try:
+            return self._fit_epochs(cfg, stopper, best, profile_trace)
+        except _Preempted:
+            if self.checkpoints:
+                step = int(self.state.step)
+                log.warning("preemption requested — checkpointing at "
+                            "step %d before exit", step)
+                # pin: exempt from best-k retention — this val_f1 ties
+                # the existing best checkpoints and a tie can lose the
+                # GC race, silently evicting the resume state
+                self.checkpoints.save(
+                    step, self.state,
+                    metrics={"val_f1": best["val_f1"],
+                             "epoch": best["epoch"], "preempted": True},
+                    config=self.config.to_dict(), force=True, pin=True)
+                self.checkpoints.wait_until_finished()
+            return {**best, "preempted": True}
+
+    def _fit_epochs(self, cfg, stopper, best, profile_trace):
         for epoch in range(cfg.optim.num_epochs):
+            if self._preempt.is_set():
+                raise _Preempted
             t0 = time.time()
             # capture a profiler trace of the first epoch when configured
             with profile_trace(cfg.telemetry.profile_dir
@@ -225,6 +276,8 @@ class Trainer:
         # empty) and micro-steps advance by exactly 1 per batch
         step0 = int(self.state.step)
         for i, batch in enumerate(self.train_batches(epoch)):
+            if self._preempt.is_set():
+                raise _Preempted     # safe point: between enqueued steps
             batch = dict(batch)
             group = batch.pop("group", None)
             batch = self._device_batch(batch)

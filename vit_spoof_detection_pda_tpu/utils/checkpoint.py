@@ -58,7 +58,8 @@ class CheckpointManager:
     # -- save ---------------------------------------------------------------
 
     def save(self, step: int, state, *, metrics: Optional[dict] = None,
-             config: Optional[dict] = None, force: bool = False) -> bool:
+             config: Optional[dict] = None, force: bool = False,
+             pin: bool = False) -> bool:
         """Save TrainState (+metrics/config) at `step`.
 
         Overwrites an existing checkpoint at the same step (a fresh run
@@ -66,7 +67,15 @@ class CheckpointManager:
         ``torch.save`` overwrites too, train_advanced.py:475-489).  Any
         save at or below the directory's latest step is FORCED: orbax's
         should_save() silently rejects non-monotonic steps, which would
-        otherwise skip the save (after a delete, that is data loss)."""
+        otherwise skip the save (after a delete, that is data loss).
+
+        ``pin=True`` exempts the checkpoint from best-by-metric
+        retention (it is saved metric-LESS at the manager level, which
+        orbax keeps unconditionally; the metrics dict still lands in
+        the checkpoint's own metrics record).  Used for the preemption
+        save: its val_f1 ties the existing best checkpoints, and a tie
+        can lose the best-k garbage-collection race — evicting the very
+        state the run must resume from."""
         if self.async_save:
             # the non-monotonic/overwrite handling below inspects and may
             # delete existing steps — racing a pending background write
@@ -113,7 +122,8 @@ class CheckpointManager:
                 metrics=ocp.args.JsonSave(
                     {k: _py(v) for k, v in (metrics or {}).items()}),
             ),
-            metrics={k: _py(v) for k, v in (metrics or {}).items()},
+            metrics=(None if pin else
+                     {k: _py(v) for k, v in (metrics or {}).items()}),
             force=force,
         )
         if not self.async_save:
