@@ -288,3 +288,13 @@ def test_benchmark_cli_artifact_mode(tmp_path):
     with pytest.raises(SystemExit):          # live-path flag conflict
         bench_cli.main(["--device-latency", "--artifact",
                         str(tmp_path / "art"), "--fastserve"])
+
+
+def test_benchmark_cli_lowlat_int8_flag_validation():
+    import vit_spoof_detection_pda_tpu.cli.benchmark as bench_cli
+
+    with pytest.raises(SystemExit):          # needs --lowlat
+        bench_cli.main(["--device-latency", "--lowlat-int8"])
+    with pytest.raises(SystemExit):          # incompatible flavors
+        bench_cli.main(["--device-latency", "--lowlat", "--lowlat-int8",
+                        "--lowlat-batch-grid", "--interpret"])

@@ -344,3 +344,62 @@ def test_prepare_lowlat_pack_selection():
     assert "bg_w" in p and "packed_w" not in p and "aux" not in p
     with pytest.raises(ValueError, match="nothing would be packed"):
         prepare_lowlat(folded["params"], depth=2, per_item=False)
+
+
+def test_int8_weight_stream_tracks_bf16_path():
+    """Weight-only int8 superblocks (pack_encoder_weights weight_dtype)
+    reproduce the full-precision lowlat scores within the per-column
+    quantization envelope — both the encoder-only and fold-ends
+    flavors."""
+    _, folded = _small(depth=2, heads=2)
+    u8 = jnp.asarray(np.random.default_rng(21).integers(
+        0, 256, (2, 32, 32, 3), dtype=np.uint8))
+    ref = np.asarray(serving_forward_lowlat(
+        prepare_lowlat(folded["params"], depth=2),
+        u8, num_heads=2, interpret=True), np.float32)
+
+    p8 = prepare_lowlat(folded["params"], depth=2, int8_weights=True)
+    assert p8["packed_w"].dtype == jnp.int8
+    assert p8["packed_s"].shape[1] == 5          # + scale row
+    got = np.asarray(serving_forward_lowlat(
+        p8, u8, num_heads=2, interpret=True), np.float32)
+    # weight-only int8 per-column: scores move by quantization noise
+    # only (~1e-2 on this tiny random model); pins the numerics contract
+    np.testing.assert_allclose(got, ref, atol=5e-2)
+    assert not np.allclose(got, ref, atol=1e-9)  # genuinely quantized
+
+    # fold-ends flavor: int8 encoder stream + bf16 resident ends
+    _, ff = _small_foldable(depth=2, heads=2)
+    uf = jnp.asarray(np.random.default_rng(22).integers(
+        0, 256, (2, 8, 8, 3), dtype=np.uint8))
+    ref_f = np.asarray(serving_forward_lowlat(
+        prepare_lowlat(ff["params"], depth=2),
+        uf, num_heads=2, patch_size=4, interpret=True), np.float32)
+    p8f = prepare_lowlat(ff["params"], depth=2, int8_weights=True)
+    assert "aux" in p8f                          # fold-ends engaged
+    got_f = np.asarray(serving_forward_lowlat(
+        p8f, uf, num_heads=2, patch_size=4, interpret=True), np.float32)
+    np.testing.assert_allclose(got_f, ref_f, atol=5e-2)
+
+
+def test_int8_weight_stream_quantization_quality():
+    """Per-column int8 dequantized blocks reconstruct the bf16 master
+    within the 1/254 per-column relative bound."""
+    _, folded = _small(depth=2, heads=2)
+    w, s = pack_encoder_weights(folded["params"]["vit"], depth=2,
+                                dtype=jnp.bfloat16)
+    q, s5 = pack_encoder_weights(folded["params"]["vit"], depth=2,
+                                 dtype=jnp.bfloat16,
+                                 weight_dtype=jnp.int8)
+    deq = np.asarray(q, np.float32) * np.asarray(s5)[:, 4, None, :]
+    wf = np.asarray(w, np.float32)
+    colmax = np.abs(wf).max(axis=1, keepdims=True)
+    err = np.abs(deq - wf)
+    assert np.all(err <= colmax / 254.0 + 1e-7)
+
+
+def test_int8_rejects_batch_grid_only():
+    _, folded = _small()
+    with pytest.raises(ValueError, match="int8_weights"):
+        prepare_lowlat(folded["params"], depth=2, per_item=False,
+                       batch_grid=True, int8_weights=True)

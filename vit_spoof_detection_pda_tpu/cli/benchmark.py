@@ -51,6 +51,11 @@ def main(argv=None):
                              "stream once per <=4-image chunk instead of "
                              "once per image) — the B=2..16 regime; "
                              "anti-spoof head only")
+    parser.add_argument("--lowlat-int8", action="store_true",
+                        help="with --lowlat: stream the encoder weights "
+                             "weight-only int8 (half the B=1 HBM weight "
+                             "traffic; opt-in quantized numerics) — "
+                             "anti-spoof head only")
     parser.add_argument("--interpret", action="store_true",
                         help="run --lowlat's Pallas kernel in interpret "
                              "mode (debugging off-TPU; slow)")
@@ -85,6 +90,11 @@ def main(argv=None):
         parser.error("--lowlat-batch-grid is a --lowlat flavor; add "
                      "--lowlat (otherwise the module path would be "
                      "timed and reported as batch-grid numbers)")
+    if args.lowlat_int8 and not args.lowlat:
+        parser.error("--lowlat-int8 is a --lowlat flavor; add --lowlat")
+    if args.lowlat_int8 and args.lowlat_batch_grid:
+        parser.error("--lowlat-int8 quantizes the per-item stream; the "
+                     "batch-grid pack stays full-precision")
     if args.lowlat_batch_grid and args.lowlat_encoder_only:
         parser.error("--lowlat-batch-grid and --lowlat-encoder-only "
                      "select different kernels; pick one")
@@ -171,12 +181,17 @@ def main(argv=None):
                 depth = module.depth
             else:
                 geom, depth = {}, 12          # ViTLinearHead is B/16-fixed
+            if args.lowlat_int8 and not isinstance(module, ViTAntiSpoof):
+                parser.error("--lowlat-int8 packs the anti-spoof "
+                             "layout; use plain --lowlat for "
+                             f"{type(module).__name__}")
             variables = prepare_lowlat(
                 folded["params"], depth=depth,
                 fold_ends=(isinstance(module, ViTAntiSpoof)
                            and not args.lowlat_encoder_only),
                 batch_grid=args.lowlat_batch_grid,
-                per_item=not args.lowlat_batch_grid)
+                per_item=not args.lowlat_batch_grid,
+                int8_weights=args.lowlat_int8)
             print("lowlat flavor:",
                   "batch-grid (per-chunk weight streaming)"
                   if args.lowlat_batch_grid else

@@ -200,7 +200,7 @@ def _cls_head_scores(params, x, *, norm_eps: float, dtype):
 
 def prepare_lowlat(params, *, depth: int = 12, dtype=jnp.bfloat16,
                    fold_ends: bool = True, batch_grid: bool = False,
-                   per_item: bool = True):
+                   per_item: bool = True, int8_weights: bool = False):
     """Pack a (normalization-folded) param tree for the single-kernel
     latency path.  Run ONCE outside the serving jit; the result feeds
     :func:`serving_forward_lowlat`.
@@ -215,7 +215,12 @@ def prepare_lowlat(params, *, depth: int = 12, dtype=jnp.bfloat16,
     ``per_item=False`` skips the per-item (and fold-ends) packs when
     only the batch-grid path will run — each pack is ~depth*12D² of
     device memory (~54 MB bf16 at ViT-B/16), so a batch-grid-only
-    server should not hold both."""
+    server should not hold both.
+
+    ``int8_weights``: stream the encoder superblocks weight-only int8
+    (half the B=1 HBM weight traffic — the regime's measured floor;
+    ops/lowlat.py ``pack_encoder_weights``); the stem/head block and
+    all activations stay ``dtype``.  Opt-in quantized numerics."""
     from ..ops.lowlat import (pack_encoder_weights,
                               pack_encoder_weights_batchgrid,
                               pack_end_weights)
@@ -223,10 +228,15 @@ def prepare_lowlat(params, *, depth: int = 12, dtype=jnp.bfloat16,
     if not (per_item or batch_grid):
         raise ValueError("prepare_lowlat with per_item=False needs "
                          "batch_grid=True — nothing would be packed")
+    if int8_weights and not per_item:
+        raise ValueError("int8_weights quantizes the per-item stream; "
+                         "the batch-grid pack stays full-precision "
+                         "(weights already amortize per chunk there)")
     out = {"params": params}
     if per_item:
-        w, s = pack_encoder_weights(params["vit"], depth=depth,
-                                    dtype=dtype)
+        w, s = pack_encoder_weights(
+            params["vit"], depth=depth, dtype=dtype,
+            weight_dtype=jnp.int8 if int8_weights else None)
         out.update(packed_w=w, packed_s=s)
     if batch_grid:
         bg_w, bg_s = pack_encoder_weights_batchgrid(

@@ -194,10 +194,19 @@ def _encoder_kernel(x_ref, w_ref, s_ref, *refs, depth: int,
         xn = (x32 - mu) * jax.lax.rsqrt(var + eps)
         return (xn * s_ref[0, srow, :d] + s_ref[0, srow + 1, :d])
 
+    def _wblk():
+        # int8 weight-only stream (pack_encoder_weights weight_dtype):
+        # dequantize the superblock in VMEM with its per-column scales
+        # (S row 4) — the HBM stream stays int8, the dots stay bf16
+        if w_ref.dtype == jnp.int8:
+            return (w_ref[0].astype(jnp.float32)
+                    * s_ref[0, 4, :][None, :]).astype(o_ref.dtype)
+        return w_ref[0]
+
     @pl.when(phase == 0)
     def _attn():
         o_ref[0] = _attn_sublayer(
-            o_ref[0].astype(jnp.float32), w_ref[0], s_ref[0],
+            o_ref[0].astype(jnp.float32), _wblk(), s_ref[0],
             num_heads=num_heads, valid_len=valid_len, eps=eps,
             out_dtype=o_ref.dtype)
 
@@ -206,17 +215,18 @@ def _encoder_kernel(x_ref, w_ref, s_ref, *refs, depth: int,
         x = o_ref[0].astype(jnp.float32)
         xn = _ln(x, 0).astype(o_ref.dtype)
         h = jax.lax.dot_general(
-            xn, w_ref[0], (((1,), (0,)), ((), ())),
+            xn, _wblk(), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         h = jax.nn.gelu(h + s_ref[0, 2, :], approximate=True)
         h_ref[...] = h.astype(h_ref.dtype)
 
     @pl.when(phase == 2)
     def _fc2():
+        w = _wblk()
         acc = o_ref[0].astype(jnp.float32) + s_ref[0, 0, :d]
         for c in range(hidden // d):
             acc = acc + jax.lax.dot_general(
-                h_ref[:, c * d:(c + 1) * d], w_ref[0, :, c * d:(c + 1) * d],
+                h_ref[:, c * d:(c + 1) * d], w[:, c * d:(c + 1) * d],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
         o_ref[0] = acc.astype(o_ref.dtype)
@@ -411,13 +421,25 @@ def _pack_attn_step(blk, d, hidden, dtype):
 
 
 def pack_encoder_weights(vit_params, *, depth: int = 12,
-                         dtype=jnp.bfloat16):
+                         dtype=jnp.bfloat16, weight_dtype=None):
     """Pack the per-layer encoder weights into the kernel's stacked
     superblocks: ``(W [depth*3, D, 4D] dtype, S [depth*3, 4, 4D] f32)``.
 
     Do this ONCE outside the serving jit (it is pure layout work); the
     packed arrays replace the per-layer tree for
-    :func:`encoder_forward_lowlat`."""
+    :func:`encoder_forward_lowlat`.
+
+    ``weight_dtype=jnp.int8`` emits the weight-only-quantized stream for
+    the B=1 latency regime: each superblock column (an output channel /
+    fc2 (chunk, output) pair) gets an f32 scale ``max|w|/127`` stored as
+    S row 4 (``S [depth*3, 5, 4D]``), and the kernel dequantizes the
+    block in VMEM right before its dots.  Rationale: at B=1 the kernel
+    sits on the HBM weight-stream floor (BENCH_NOTES round 7 — ~162 MB
+    bf16/image); int8 halves that stream while the dequant runs on
+    VMEM-resident data.  This is the opposite regime from the REJECTED
+    B=128 int8 serving path (BENCH_NOTES rounds 1-2: compute-bound,
+    where quant/dequant elementwise passes cost more than the MXU rate
+    saved) — opt-in until the hardware probe settles the win."""
     d, hidden = _pack_geom(vit_params)
     ws, ss = [], []
     f32 = jnp.float32
@@ -441,7 +463,18 @@ def pack_encoder_weights(vit_params, *, depth: int = 12,
         s2 = jnp.zeros((4, hidden), f32)
         s2 = s2.at[0, :d].set(blk["mlp"]["fc2"]["bias"].astype(f32))
         ss.append(s2)
-    return jnp.stack(ws), jnp.stack(ss)
+    W, S = jnp.stack(ws), jnp.stack(ss)
+    if weight_dtype is None:
+        return W, S
+    if weight_dtype != jnp.int8:
+        raise ValueError(f"weight_dtype must be int8 or None, got "
+                         f"{weight_dtype}")
+    Wf = W.astype(f32)
+    scale = jnp.maximum(jnp.max(jnp.abs(Wf), axis=1),
+                        jnp.float32(1e-12)) / 127.0    # [steps, 4D]
+    q = jnp.clip(jnp.round(Wf / scale[:, None, :]), -127, 127
+                 ).astype(jnp.int8)
+    return q, jnp.concatenate([S, scale[:, None, :]], axis=1)
 
 
 def pack_end_weights(params, *, dtype=jnp.bfloat16):
@@ -552,7 +585,8 @@ def forward_lowlat_e2e(xp, w_packed, s_packed, w_end, s_end, aux, *,
             pl.BlockSpec((1, tp, d), lambda bi, i: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d, hidden), _widx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, hidden), _widx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_packed.shape[1], hidden), _widx,
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d, d + hh), lambda bi, i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4, hidden), lambda bi, i: (0, 0, 0),
@@ -600,7 +634,8 @@ def encoder_forward_lowlat(xp, w_packed, s_packed, *, num_heads: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d, hidden), lambda bi, i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, hidden), lambda bi, i: (i, 0, 0),
+            pl.BlockSpec((1, s_packed.shape[1], hidden),
+                         lambda bi, i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, tp, d), lambda bi, i: (bi, 0, 0),
