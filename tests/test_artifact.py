@@ -298,3 +298,18 @@ def test_benchmark_cli_lowlat_int8_flag_validation():
     with pytest.raises(SystemExit):          # incompatible flavors
         bench_cli.main(["--device-latency", "--lowlat", "--lowlat-int8",
                         "--lowlat-batch-grid", "--interpret"])
+
+
+def test_corrupt_weights_detected_at_load(tmp_path):
+    """A truncated/bit-flipped weights file fails loudly at load (sha256
+    in meta), not as garbage scores."""
+    m, variables = _tiny()
+    A.save_serving_artifact(tmp_path / "art", m, variables,
+                            mode="module", batch_size=2, img_size=32,
+                            platforms=("cpu",))
+    wf = tmp_path / "art" / "weights.npz"
+    data = bytearray(wf.read_bytes())
+    data[len(data) // 2] ^= 0xFF
+    wf.write_bytes(bytes(data))
+    with pytest.raises(ValueError, match="corrupt"):
+        A.load_serving_artifact(tmp_path / "art")

@@ -221,11 +221,18 @@ def export_serving(module, variables, *, mode: str = "module",
 
 def save_serving_artifact(out_dir, module, variables, **kwargs):
     """Export + write the 3-file artifact directory.  Returns meta."""
+    import hashlib
+
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     exported, weights, meta = export_serving(module, variables, **kwargs)
     (out / _EXPORTED_FILE).write_bytes(exported.serialize())
     meta["weights_spec"] = _save_weights(out / _WEIGHTS_FILE, weights)
+    # integrity: a truncated rsync/scp of the ~170 MB weight file would
+    # otherwise surface as garbage scores, not an error
+    meta["checksums"] = {
+        f: hashlib.sha256((out / f).read_bytes()).hexdigest()
+        for f in (_EXPORTED_FILE, _WEIGHTS_FILE)}
     (out / _META_FILE).write_text(json.dumps(meta, indent=1))
     return meta
 
@@ -266,12 +273,20 @@ def load_serving_artifact(path, mesh=None) -> ServingArtifact:
     """Load an artifact directory.  Fleet artifacts (meta carries
     ``mesh``) need a device mesh of the exported size: pass one, or one
     is built over all local devices when the count matches."""
+    import hashlib
+
     p = Path(path)
     meta = json.loads((p / _META_FILE).read_text())
     ver = meta.get("format_version")
     if ver != ARTIFACT_VERSION:
         raise ValueError(f"artifact format {ver} != supported "
                          f"{ARTIFACT_VERSION} ({p})")
+    for f, want in meta.get("checksums", {}).items():
+        got = hashlib.sha256((p / f).read_bytes()).hexdigest()
+        if got != want:
+            raise ValueError(
+                f"artifact file {f} is corrupt (sha256 mismatch — "
+                "truncated copy?)")
     exported = jax.export.deserialize((p / _EXPORTED_FILE).read_bytes())
     weights = _load_weights(p / _WEIGHTS_FILE, meta["weights_spec"])
     if meta.get("mesh"):
