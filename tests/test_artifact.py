@@ -313,3 +313,25 @@ def test_corrupt_weights_detected_at_load(tmp_path):
     wf.write_bytes(bytes(data))
     with pytest.raises(ValueError, match="corrupt"):
         A.load_serving_artifact(tmp_path / "art")
+
+
+def test_predict_cli_serves_fleet_artifact(tmp_path):
+    """The consumer CLI drives a FLEET artifact end-to-end: load
+    auto-builds the 8-device mesh, batches shard over the data axis."""
+    from util_synthetic import make_subject_tree
+
+    from vit_spoof_detection_pda_tpu.cli.predict import main as predict
+    from vit_spoof_detection_pda_tpu.parallel.mesh import make_mesh
+
+    m, variables = _tiny()
+    mesh = make_mesh(data=8, model=1)
+    A.save_serving_artifact(tmp_path / "art", m, variables,
+                            mode="module", batch_size=8, img_size=32,
+                            platforms=("cpu",), mesh=mesh)
+    make_subject_tree(tmp_path / "imgs", subjects=2, per_class=3,
+                      size=32)
+    rows = predict([str(tmp_path / "art"), str(tmp_path / "imgs"),
+                    "--output", str(tmp_path / "s.csv"),
+                    "--num-workers", "2"])
+    assert len(rows) == 12                      # 8-batch + padded tail
+    assert all(0.0 <= r[1] <= 1.0 for r in rows)
