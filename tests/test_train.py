@@ -576,3 +576,29 @@ def test_preemption_signal_handler_installed_and_restored(tmp_path):
     # the installed handler routes to request_preemption
     seen["handler"](None, None)
     assert trainer._preempt.is_set()
+
+
+def test_preemption_flag_clears_between_fits(tmp_path):
+    """A stale preemption request (cancelled eviction) must not make the
+    next fit() exit at batch 0 untrained — fit clears the flag at
+    entry."""
+    images, labels = _synthetic(64, seed=7)
+
+    def train_batches(epoch):
+        yield {"image": images[:32], "label": labels[:32]}
+
+    def val_batches():
+        yield {"image": images[32:], "label": labels[32:]}
+
+    cfg = Config().with_overrides({
+        "optim.num_epochs": 1,
+        "data.img_size": 16,
+        "telemetry.log_interval": 100,
+    })
+    trainer = Trainer(cfg, TinyNet(),
+                      train_batches=train_batches,
+                      val_batches=val_batches, steps_per_epoch=1)
+    trainer.request_preemption()          # stale flag from a false alarm
+    best = trainer.fit()
+    assert "preempted" not in best        # trained normally
+    assert int(trainer.state.step) == 1

@@ -113,6 +113,12 @@ def main(argv=None):
             parser.error("--artifact times the frozen program as "
                          "exported; drop the live-path flags (the mode "
                          "was chosen at export time)")
+        if args.iters is not None:
+            parser.error("--iters applies to throughput mode only; "
+                         "--device-latency run length is --n1")
+        if args.interpret:
+            parser.error("--interpret cannot apply to a frozen program "
+                         "(the mode was compiled at export time)")
     setup_logging()
     cfg = resolve_config(args)
 

@@ -226,13 +226,16 @@ def save_serving_artifact(out_dir, module, variables, **kwargs):
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     exported, weights, meta = export_serving(module, variables, **kwargs)
-    (out / _EXPORTED_FILE).write_bytes(exported.serialize())
+    prog = exported.serialize()
+    (out / _EXPORTED_FILE).write_bytes(prog)
     meta["weights_spec"] = _save_weights(out / _WEIGHTS_FILE, weights)
     # integrity: a truncated rsync/scp of the ~170 MB weight file would
-    # otherwise surface as garbage scores, not an error
+    # otherwise surface as garbage scores, not an error (hash the bytes
+    # in hand / one read — not a second pass over what was just written)
     meta["checksums"] = {
-        f: hashlib.sha256((out / f).read_bytes()).hexdigest()
-        for f in (_EXPORTED_FILE, _WEIGHTS_FILE)}
+        _EXPORTED_FILE: hashlib.sha256(prog).hexdigest(),
+        _WEIGHTS_FILE: hashlib.sha256(
+            (out / _WEIGHTS_FILE).read_bytes()).hexdigest()}
     (out / _META_FILE).write_text(json.dumps(meta, indent=1))
     return meta
 
@@ -281,14 +284,19 @@ def load_serving_artifact(path, mesh=None) -> ServingArtifact:
     if ver != ARTIFACT_VERSION:
         raise ValueError(f"artifact format {ver} != supported "
                          f"{ARTIFACT_VERSION} ({p})")
+    # one read per file: the same bytes are hashed AND deserialized
+    # (~170 MB of weights — a second pass is real IO on a cold cache)
+    blobs = {f: (p / f).read_bytes()
+             for f in (_EXPORTED_FILE, _WEIGHTS_FILE)}
     for f, want in meta.get("checksums", {}).items():
-        got = hashlib.sha256((p / f).read_bytes()).hexdigest()
-        if got != want:
+        if hashlib.sha256(blobs[f]).hexdigest() != want:
             raise ValueError(
                 f"artifact file {f} is corrupt (sha256 mismatch — "
                 "truncated copy?)")
-    exported = jax.export.deserialize((p / _EXPORTED_FILE).read_bytes())
-    weights = _load_weights(p / _WEIGHTS_FILE, meta["weights_spec"])
+    exported = jax.export.deserialize(blobs[_EXPORTED_FILE])
+    with np.load(io.BytesIO(blobs[_WEIGHTS_FILE])) as z:
+        leaves = {k: z[k] for k in z.files}
+    weights = _tree_unspec(meta["weights_spec"], leaves)
     if meta.get("mesh"):
         want = int(np.prod(meta["mesh"]["shape"]))
         if mesh is None:

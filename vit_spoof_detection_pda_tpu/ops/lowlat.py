@@ -197,10 +197,16 @@ def _encoder_kernel(x_ref, w_ref, s_ref, *refs, depth: int,
     def _wblk():
         # int8 weight-only stream (pack_encoder_weights weight_dtype):
         # dequantize the superblock in VMEM with its per-column scales
-        # (S row 4) — the HBM stream stays int8, the dots stay bf16
+        # (S row 4) — the HBM stream stays int8, the dots stay bf16.
+        # The cast goes straight int8 -> compute dtype (exact: |q| <=
+        # 127 is representable in bf16) and the scale multiply runs in
+        # the compute dtype too: a [D, 4D] f32 intermediate would add
+        # ~9.4 MB of VMEM at ViT-B on top of the double-buffered stream
+        # and blow the 16 MB budget.  The ~0.4% bf16 scale rounding is
+        # far below the int8 quantization noise it multiplies.
         if w_ref.dtype == jnp.int8:
-            return (w_ref[0].astype(jnp.float32)
-                    * s_ref[0, 4, :][None, :]).astype(o_ref.dtype)
+            return (w_ref[0].astype(o_ref.dtype)
+                    * s_ref[0, 4, :][None, :].astype(o_ref.dtype))
         return w_ref[0]
 
     @pl.when(phase == 0)

@@ -164,6 +164,21 @@ class Trainer:
         installs, or directly by a cluster manager integration."""
         self._preempt.set()
 
+    def _preemption_agreed(self) -> bool:
+        """Whether to preempt at this safe point.  Single-process: the
+        local flag.  Multi-host SPMD: hosts receive SIGTERM at slightly
+        different times, and a host that stops enqueueing while the
+        others enter the gradient all-reduce deadlocks the pod — so the
+        flag is agreed across hosts (any host set -> all preempt at the
+        SAME batch index, so the collective orbax save sees one step)."""
+        local = self._preempt.is_set()
+        if jax.process_count() == 1:
+            return local
+        from jax.experimental import multihost_utils
+        flags = multihost_utils.process_allgather(
+            np.asarray(local, np.bool_))
+        return bool(np.any(flags))
+
     def fit(self):
         cfg = self.config
         stopper = EarlyStopping(cfg.early_stop.patience,
@@ -186,6 +201,9 @@ class Trainer:
         hook = (self.checkpoints is not None
                 and cfg.checkpoint.save_on_preemption
                 and threading.current_thread() is threading.main_thread())
+        # a stale flag from a cancelled eviction (spot-VM false alarm)
+        # must not make every later fit() exit at batch 0 untrained
+        self._preempt.clear()
         if hook:
             prev_handler = signal.signal(
                 signal.SIGTERM, lambda *_: self.request_preemption())
@@ -202,22 +220,35 @@ class Trainer:
         except _Preempted:
             if self.checkpoints:
                 step = int(self.state.step)
-                log.warning("preemption requested — checkpointing at "
-                            "step %d before exit", step)
-                # pin: exempt from best-k retention — this val_f1 ties
-                # the existing best checkpoints and a tie can lose the
-                # GC race, silently evicting the resume state
-                self.checkpoints.save(
-                    step, self.state,
-                    metrics={"val_f1": best["val_f1"],
-                             "epoch": best["epoch"], "preempted": True},
-                    config=self.config.to_dict(), force=True, pin=True)
+                if step in self.checkpoints.all_steps():
+                    # e.g. SIGTERM landed in the validate/best-save
+                    # window: this exact state is already on disk.
+                    # Re-saving would DELETE it first (same-step
+                    # overwrite semantics) and re-serialize ~1 GB —
+                    # a data-loss window if the grace period expires
+                    # mid-rewrite.  Keep the existing checkpoint.
+                    log.warning("preemption requested — step %d is "
+                                "already checkpointed; exiting", step)
+                else:
+                    log.warning("preemption requested — checkpointing "
+                                "at step %d before exit", step)
+                    # pin: exempt from best-k retention — this val_f1
+                    # ties the existing best checkpoints and a tie can
+                    # lose the GC race, silently evicting the resume
+                    # state
+                    self.checkpoints.save(
+                        step, self.state,
+                        metrics={"val_f1": best["val_f1"],
+                                 "epoch": best["epoch"],
+                                 "preempted": True},
+                        config=self.config.to_dict(), force=True,
+                        pin=True)
                 self.checkpoints.wait_until_finished()
             return {**best, "preempted": True}
 
     def _fit_epochs(self, cfg, stopper, best, profile_trace):
         for epoch in range(cfg.optim.num_epochs):
-            if self._preempt.is_set():
+            if self._preemption_agreed():
                 raise _Preempted
             t0 = time.time()
             # capture a profiler trace of the first epoch when configured
@@ -276,7 +307,7 @@ class Trainer:
         # empty) and micro-steps advance by exactly 1 per batch
         step0 = int(self.state.step)
         for i, batch in enumerate(self.train_batches(epoch)):
-            if self._preempt.is_set():
+            if self._preemption_agreed():
                 raise _Preempted     # safe point: between enqueued steps
             batch = dict(batch)
             group = batch.pop("group", None)

@@ -140,6 +140,10 @@ class CheckpointManager:
         self._drain()
         return self._mgr.latest_step()
 
+    def all_steps(self):
+        self._drain()
+        return list(self._mgr.all_steps())
+
     def best_step(self) -> Optional[int]:
         self._drain()
         return self._mgr.best_step()
