@@ -23,7 +23,41 @@ WARMUP = 3
 ITERS = 20
 
 
+def _wait_for_backend(max_wait_s=600, probe_timeout=150, interval=60):
+    """The tunneled TPU relay can flap (down for hours on 2026-08-17/18);
+    a downed relay HANGS the first device query rather than erroring, so
+    an unguarded run would stall the driver forever.  Probe the backend
+    in a subprocess with a timeout and retry briefly; give up with a
+    clear error instead of hanging."""
+    import os
+    import subprocess
+    import sys
+
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; assert jax.default_backend() == 'tpu'"],
+                timeout=probe_timeout, env=dict(os.environ),
+                capture_output=True)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            raise SystemExit(
+                f"bench.py: TPU backend unreachable after {attempt} "
+                f"probes over {max_wait_s:.0f}s (relay down?)")
+        print(f"bench.py: TPU backend not up (attempt {attempt}); "
+              "retrying...", file=sys.stderr)
+        time.sleep(interval)
+
+
 def main():
+    _wait_for_backend()
     import jax
 
     # persistent compilation cache: the remote TPU compiler costs
