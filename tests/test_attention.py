@@ -173,3 +173,26 @@ def test_fold_normalization_matches_normalize_path():
     assert not np.array_equal(
         np.asarray(folded["params"]["vit"]["patch_embed"]["kernel"]),
         np.asarray(variables["params"]["vit"]["patch_embed"]["kernel"]))
+
+
+def test_indivisible_geometry_fails_loudly():
+    """Per-head kernel slices would leave output columns UNWRITTEN
+    (uninitialized VMEM) on indivisible geometry — the wrappers must
+    raise instead."""
+    from vit_spoof_detection_pda_tpu.ops.attention import (
+        fused_attention_qkv, fused_attention_qkv_cp, fused_mlp_block)
+
+    qkv_bad_heads = jnp.zeros((1, 8, 3 * 66))     # 66 % 4 != 0
+    with pytest.raises(ValueError, match="num_heads"):
+        fused_attention_qkv(qkv_bad_heads, 4, interpret=True)
+    with pytest.raises(ValueError, match="divisible by 3"):
+        fused_attention_qkv(jnp.zeros((1, 8, 200)), 2, interpret=True)
+    with pytest.raises(ValueError, match="num_heads"):
+        fused_attention_qkv_cp(jnp.zeros((1, 8, 66)),
+                               jnp.zeros((1, 16, 132)), 4, 16,
+                               interpret=True)
+    with pytest.raises(ValueError, match="n_chunks"):
+        fused_mlp_block(jnp.zeros((1, 8, 64)), jnp.ones(64),
+                        jnp.zeros(64), jnp.zeros((64, 250)),
+                        jnp.zeros(250), jnp.zeros((250, 64)),
+                        jnp.zeros(64), n_chunks=4, interpret=True)

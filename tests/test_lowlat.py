@@ -403,3 +403,18 @@ def test_int8_rejects_batch_grid_only():
     with pytest.raises(ValueError, match="int8_weights"):
         prepare_lowlat(folded["params"], depth=2, per_item=False,
                        batch_grid=True, int8_weights=True)
+
+
+def test_batchgrid_rejects_int8_pack():
+    """The batch-grid kernel has no dequant path; an int8 pack must
+    fail with an actionable error, not a Mosaic dtype crash."""
+    from vit_spoof_detection_pda_tpu.ops.lowlat import (
+        encoder_forward_lowlat_batchgrid)
+
+    _, folded = _small(depth=2, heads=2)
+    q, s5 = pack_encoder_weights(folded["params"]["vit"], depth=2,
+                                 weight_dtype=jnp.int8)
+    with pytest.raises(ValueError, match="full-precision"):
+        encoder_forward_lowlat_batchgrid(
+            jnp.zeros((2, 8, 64)), q, s5, num_heads=2, valid_len=5,
+            interpret=True)

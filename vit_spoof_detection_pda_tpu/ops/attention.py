@@ -36,6 +36,25 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _check_head_geometry(width: int, num_heads: int, *, fused: int = 1):
+    """Validate a (possibly fused) stream width against the head count.
+
+    The kernels write per-head output slices; an indivisible geometry
+    would leave the tail columns of the output block UNWRITTEN
+    (uninitialized VMEM — nondeterministic garbage, no error), so fail
+    loudly here instead.  Returns the embed dim."""
+    if width % fused:
+        raise ValueError(
+            f"fused stream width {width} is not divisible by {fused}")
+    d = width // fused
+    if d % num_heads:
+        raise ValueError(
+            f"embed dim {d} is not divisible by num_heads={num_heads} — "
+            "per-head kernel slices would leave output columns "
+            "unwritten")
+    return d
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
                  valid_len: int, num_heads: int):
     """One grid step per batch item, static loop over heads: a small grid
@@ -136,7 +155,7 @@ def _block_b_for(b: int) -> int:
 def _forward_qkv(qkv, num_heads: int, *, interpret: bool = False):
     """qkv: [B, T, 3D] fused projection -> attention output [B, T, D]."""
     b, t, d3 = qkv.shape
-    d = d3 // 3
+    d = _check_head_geometry(d3, num_heads, fused=3)
     head_dim = d // num_heads
     tp = _round_up(t, 8)
     scale = float(head_dim) ** -0.5
@@ -231,7 +250,7 @@ def _backward_qkv(qkv, g, num_heads: int, *, interpret: bool = False,
     (the fasttrain forward kernel emits padded qkv, so the pad copy here
     would be pure waste); the returned dqkv is then padded to match."""
     b, t, d3 = qkv.shape
-    d = d3 // 3
+    d = _check_head_geometry(d3, num_heads, fused=3)
     head_dim = d // num_heads
     prepadded = valid_len is not None
     if prepadded:
@@ -453,6 +472,11 @@ def fused_mlp_block(x, ln_scale, ln_bias, w_fc1, b_fc1, w_fc2, b_fc2, *,
     row = lambda a: jnp.asarray(a).reshape(1, -1)            # noqa: E731
     const = lambda i: (0, 0)                                 # noqa: E731
     hidden = w_fc1.shape[1]
+    if hidden % n_chunks:
+        # the chunk loop covers n_chunks * (hidden // n_chunks) columns;
+        # a remainder would be silently DROPPED from every output row
+        raise ValueError(f"n_chunks={n_chunks} does not divide the MLP "
+                         f"hidden dim {hidden}")
     kernel = functools.partial(_mlp_block_kernel, eps=eps,
                                n_chunks=n_chunks)
     out = pl.pallas_call(
@@ -713,6 +737,7 @@ def _forward_cp(q, kv, num_heads: int, valid_len: int, interpret: bool):
     [B, Tq, D] attention output (valid_len real key tokens)."""
     b, tq, d = q.shape
     tk = kv.shape[1]
+    _check_head_geometry(d, num_heads)
     head_dim = d // num_heads
     tqp, tkp = _round_up(tq, 8), _round_up(tk, 8)
     qp, kvp = _cp_pad(q, tqp), _cp_pad(kv, tkp)

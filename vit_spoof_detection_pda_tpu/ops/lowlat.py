@@ -365,6 +365,15 @@ def encoder_forward_lowlat_batchgrid(xp, w_packed, s_packed, *,
     if b > 4:
         raise ValueError(f"batch-grid kernel holds <= 4 residual "
                          f"streams in VMEM (got {b}); chunk the batch")
+    if w_packed.dtype == jnp.int8 or s_packed.shape[1] != 4:
+        # fail actionably instead of a deep Mosaic dtype error: the
+        # batch-grid kernel has no dequant path (weights already stream
+        # once per chunk, so int8 targets the per-item regime only)
+        raise ValueError(
+            "batch-grid packs must be full-precision (got "
+            f"{w_packed.dtype} / {s_packed.shape[1]} S rows) — int8 "
+            "weight streaming is the per-item lowlat flavor "
+            "(prepare_lowlat(int8_weights=True))")
     nsteps, _, hidden = w_packed.shape
     kernel = functools.partial(_encoder_batchgrid_kernel,
                                num_heads=num_heads, valid_len=valid_len,

@@ -174,8 +174,9 @@ def _resample_rows_field(img, shift, kmax: int):
     kmax (callers clamp).  Still gather-free — TPU dynamic gathers cost
     ~100 ms/128-batch (exp_r4_augbreak.py) while the roll family is
     pure vector ops.  On TPU the accumulation runs as a Pallas kernel
-    with the row tile VMEM-resident (14x the XLA rolls, bit-identical —
-    ops/warp_pallas.py); this XLA form is the CPU/reference path."""
+    with the row tile VMEM-resident (14x the XLA rolls; within one f32
+    ulp — tent-weight rounding, see ops/warp_pallas.py); this XLA form
+    is the CPU/reference path."""
     if _use_pallas_rolls():
         from .warp_pallas import resample_rows_field_pallas
         return resample_rows_field_pallas(
