@@ -197,3 +197,44 @@ def test_export_serving_cli(workspace):
     assert got["prob1"].shape == (2,)
     assert np.all((np.asarray(got["prob1"]) >= 0)
                   & (np.asarray(got["prob1"]) <= 1))
+
+
+@pytest.mark.slow  # consumes test_train_cli_tiny's checkpoint
+def test_train_cli_resume(workspace):
+    """--resume restores the full state from checkpoint.save_dir and
+    continues the epoch horizon instead of retraining from scratch (the
+    restart half of preemption-safe training)."""
+    from vit_spoof_detection_pda_tpu.cli.train import main
+    from vit_spoof_detection_pda_tpu.utils.checkpoint import (
+        CheckpointManager)
+
+    mgr = CheckpointManager(str(workspace / "ckpts"))
+    step_before = mgr.latest_step()
+    mgr.close()
+    assert step_before is not None
+
+    overrides = [
+        "--set", f'data.data_root="{workspace / "aug"}"',
+        "--set", "data.batch_size=8",
+        "--set", "data.eval_batch_size=8",
+        "--set", "data.img_size=32",
+        "--set", "data.num_workers=2",
+        "--set", "train_aug.resize_to=40",
+        "--set", "train_aug.crop_size=32",
+        "--set", "model.embed_dim=64",
+        "--set", "model.depth=1",
+        "--set", "model.num_heads=2",
+        "--set", "model.head_hidden=16",
+        "--set", "optim.num_epochs=3",
+        "--set", "optim.learning_rate=3e-3",
+        "--set", f'checkpoint.save_dir="{workspace / "ckpts"}"',
+        "--set", "telemetry.log_interval=100",
+    ]
+    best = main(overrides + ["--resume"])
+    assert best["val_f1"] >= 0.0
+    mgr = CheckpointManager(str(workspace / "ckpts"))
+    assert mgr.latest_step() > step_before      # continued, not restarted
+    mgr.close()
+
+    with pytest.raises(SystemExit):             # sweep + resume conflict
+        main(overrides + ["--resume", "--sweep"])

@@ -19,9 +19,20 @@ def main(argv=None):
     parser.add_argument("--sweep-count", type=int, default=12)
     parser.add_argument("--max-steps-per-epoch", type=int, default=None,
                         help="debug: cap steps per epoch")
+    parser.add_argument("--resume", action="store_true",
+                        help="restore the latest checkpoint from "
+                             "checkpoint.save_dir (full state: params, "
+                             "optimizer, schedule position) and continue "
+                             "— the restart half of preemption-safe "
+                             "training")
     args = parser.parse_args(argv)
     setup_logging()
     cfg = resolve_config(args)
+    if args.resume:
+        cfg = cfg.with_overrides({"checkpoint.resume": True})
+    if args.sweep and getattr(cfg.checkpoint, "resume", False):
+        parser.error("--resume applies to a single run, not --sweep "
+                     "(each trial gets its own checkpoint directory)")
 
     if args.sweep:
         from ..train.sweep import run_sweep

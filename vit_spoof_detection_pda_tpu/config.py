@@ -192,6 +192,7 @@ class CheckpointConfig(_Base):
     max_to_keep: int = 3
     async_save: bool = False                   # background-thread writes
     save_on_preemption: bool = True            # SIGTERM -> checkpoint+exit
+    resume: bool = False                       # restore latest from save_dir
 
 
 @dataclass(frozen=True)

@@ -199,7 +199,24 @@ def _run_training(cfg: Config, train_batches, val_recs, steps, counts,
         class_counts=counts,
         variables=variables,
         mesh=mesh, checkpoints=ckpt, batch_prep=batch_prep)
-    best = trainer.fit()
+    start_epoch = 0
+    if getattr(cfg.checkpoint, "resume", False):
+        latest = ckpt.latest_step()
+        if latest is None:
+            log.info("checkpoint.resume: no checkpoint in %s — fresh run",
+                     cfg.checkpoint.save_dir)
+        else:
+            # full-state restore: params, optimizer moments, schedule
+            # position, PRNG key.  The epoch loop skips the epochs the
+            # step count says are complete (a mid-epoch preemption
+            # checkpoint re-runs its partial epoch — standard practice;
+            # the optimizer state stays exact).
+            trainer.state = ckpt.restore(trainer.state)
+            start_epoch = min(int(trainer.state.step) // max(steps, 1),
+                              cfg.optim.num_epochs)
+            log.info("resumed from step %d (%s) -> starting at epoch %d",
+                     latest, cfg.checkpoint.save_dir, start_epoch)
+    best = trainer.fit(start_epoch=start_epoch)
     log.info("training done: best %s", best)
     return best, trainer
 

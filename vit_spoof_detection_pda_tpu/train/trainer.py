@@ -179,7 +179,11 @@ class Trainer:
             np.asarray(local, np.bool_))
         return bool(np.any(flags))
 
-    def fit(self):
+    def fit(self, start_epoch: int = 0):
+        """Run the training lifecycle.  ``start_epoch`` > 0 resumes the
+        epoch loop mid-horizon (the optimizer/schedule position lives
+        in the restored opt_state; this only skips already-trained
+        epochs' data passes)."""
         cfg = self.config
         stopper = EarlyStopping(cfg.early_stop.patience,
                                 cfg.early_stop.min_delta,
@@ -209,14 +213,17 @@ class Trainer:
                 signal.SIGTERM, lambda *_: self.request_preemption())
         try:
             with fit_ctx:
-                return self._fit_loop(cfg, stopper, best, profile_trace)
+                return self._fit_loop(cfg, stopper, best, profile_trace,
+                                      start_epoch)
         finally:
             if hook:
                 signal.signal(signal.SIGTERM, prev_handler)
 
-    def _fit_loop(self, cfg, stopper, best, profile_trace):
+    def _fit_loop(self, cfg, stopper, best, profile_trace,
+                  start_epoch=0):
         try:
-            return self._fit_epochs(cfg, stopper, best, profile_trace)
+            return self._fit_epochs(cfg, stopper, best, profile_trace,
+                                    start_epoch)
         except _Preempted:
             if self.checkpoints:
                 step = int(self.state.step)
@@ -246,14 +253,15 @@ class Trainer:
                 self.checkpoints.wait_until_finished()
             return {**best, "preempted": True}
 
-    def _fit_epochs(self, cfg, stopper, best, profile_trace):
-        for epoch in range(cfg.optim.num_epochs):
+    def _fit_epochs(self, cfg, stopper, best, profile_trace,
+                    start_epoch=0):
+        for epoch in range(start_epoch, cfg.optim.num_epochs):
             if self._preemption_agreed():
                 raise _Preempted
             t0 = time.time()
             # capture a profiler trace of the first epoch when configured
             with profile_trace(cfg.telemetry.profile_dir
-                               if epoch == 0 else None):
+                               if epoch == start_epoch else None):
                 train_metrics = self.train_epoch(epoch)
             val_metrics = self.validate(epoch=epoch)
             epoch_summary = {
