@@ -294,3 +294,84 @@ def test_engine_materialize_and_online(tmp_path):
     assert len(batches) == 7
     assert batches[0][0].shape == (3, 16, 16, 3)
     assert batches[1][1].tolist() == [1, 1]    # live subset
+
+
+def test_composed_geometric_mean_fill():
+    """fill=IMAGENET_MEAN paints out-of-bounds corners channel-mean gray
+    (the reference's effective fill: Kornia zero fill in NORMALIZED
+    space denormalizes to the mean, augment_data.py:226-231)."""
+    from vit_spoof_detection_pda_tpu.ops.augment import composed_geometric
+    from vit_spoof_detection_pda_tpu.ops.image import IMAGENET_MEAN
+
+    img = jnp.ones((32, 32, 3), jnp.float32)
+    # force a large rotation (p=1) so corners leave the frame
+    key = jax.random.PRNGKey(3)
+    out = None
+    for seed in range(8):       # find a key with a big sampled angle
+        k = jax.random.fold_in(key, seed)
+        cand = np.asarray(composed_geometric(
+            k, img, rotation=(45.0, 1.0), perspective=(0.0, 0.0),
+            fill=IMAGENET_MEAN))
+        if abs(cand[0, 0, 0] - 1.0) > 0.1:      # corner left the frame
+            out = cand
+            break
+    assert out is not None, "no sampled angle moved the corner"
+    np.testing.assert_allclose(out[0, 0], IMAGENET_MEAN, atol=0.02)
+    np.testing.assert_allclose(out[-1, -1], IMAGENET_MEAN, atol=0.02)
+    # interior stays the source value
+    assert abs(out[16, 16, 0] - 1.0) < 0.02
+
+
+def test_gaussian_noise_per_channel_std():
+    from vit_spoof_detection_pda_tpu.ops.augment import gaussian_noise
+
+    std = (0.2, 0.05, 0.01)
+    img = jnp.zeros((64, 64, 3), jnp.float32)
+    out = np.asarray(gaussian_noise(jax.random.PRNGKey(0), img,
+                                    std=std, p=1.0))
+    got = out.std(axis=(0, 1))
+    np.testing.assert_allclose(got, std, rtol=0.15)
+
+
+def test_tier_chains_use_reference_effective_noise_and_fill():
+    """The tiers' noise is the normalized-domain effective std
+    (s * imagenet_std_c) and their warps fill channel-mean gray — the
+    module design note's equivalence, pinned."""
+    import inspect
+
+    from vit_spoof_detection_pda_tpu.augment import policy
+
+    src = inspect.getsource(policy.heavy_chain)
+    assert "_NOISE_SCALE" in src and "fill=IMAGENET_MEAN" in src
+    src = inspect.getsource(policy.light_chain)
+    assert "fill=IMAGENET_MEAN" in src
+
+
+@pytest.mark.slow
+def test_materialize_originals_native_resolution(tmp_path):
+    """_orig.jpg keeps the SOURCE resolution (reference
+    copy_original_images re-encodes unresized, augment_data.py:264-282)
+    even though the pipeline batch is resized to img_size."""
+    from PIL import Image
+
+    from vit_spoof_detection_pda_tpu.augment import AugmentEngine
+
+    src = tmp_path / "big0.png"
+    rng = np.random.default_rng(1)
+    Image.fromarray(rng.integers(0, 256, (64, 64, 3),
+                                 dtype=np.uint8)).save(src)
+    eng = AugmentEngine(live_augmentations=1, spoof_augmentations=1,
+                        img_size=16)
+    u8 = rng.integers(0, 256, (1, 16, 16, 3), dtype=np.uint8)
+    eng.materialize([([str(src)], u8)], str(tmp_path / "out"), "live",
+                    copy_originals=True)
+    orig = Image.open(tmp_path / "out" / "live" / "big0_orig.jpg")
+    assert orig.size == (64, 64)                 # native, not 16
+
+
+def test_engine_rejects_mismatched_batch_size():
+    from vit_spoof_detection_pda_tpu.augment import AugmentEngine
+
+    eng = AugmentEngine(img_size=16)
+    with pytest.raises(ValueError, match="img_size"):
+        list(eng.augment_copies(jnp.zeros((2, 32, 32, 3)), "live"))

@@ -142,8 +142,7 @@ def test_every_severity_prep_traces_under_bf16_policy():
     assert cfg.train_aug.aug_dtype == "bfloat16"
     key = jax.random.PRNGKey(0)
     img32 = jnp.zeros((2, 32, 32, 3), jnp.uint8)
-    for name, chain in [("orig", train_time_chain(resize_to=32,
-                                                  crop_size=32)),
+    for name, chain in [("orig", train_time_chain(crop_size=32)),
                         ("heavy", CHAINS["heavy"]()),
                         ("medium", CHAINS["medium"]()),
                         ("light", CHAINS["light"]())]:

@@ -52,6 +52,11 @@ class AugmentEngine:
                        ) -> Iterator[Tuple[int, str, jnp.ndarray]]:
         """Yield (copy_index, severity, augmented [B,H,W,C] in [0,1]) for
         the class's multiplier (live x8 / spoof x2)."""
+        if batch01.shape[1:3] != (self.img_size, self.img_size):
+            raise ValueError(
+                f"batch is {batch01.shape[1]}x{batch01.shape[2]} but the "
+                f"engine was built for img_size={self.img_size} — the "
+                "store's size contract would silently drift")
         n = self.multipliers[class_name]
         for aug_idx in range(n):
             level = severity_for_copy(aug_idx, n)
@@ -80,8 +85,19 @@ class AugmentEngine:
         out_dir.mkdir(parents=True, exist_ok=True)
         saved = 0
         seen_stems: dict = {}
+        # bounded pending-encode window: with no backpressure a fast
+        # device outruns the encode threads and the job queue grows
+        # toward the whole multi-GB output in host RAM (the reference
+        # bounds this with max_queue_size, augment_data.py config)
+        max_pending = max(encode_workers * 64, 256)
         with futures.ThreadPoolExecutor(encode_workers) as pool:
-            jobs = []
+            jobs: list = []
+
+            def drain(limit):
+                nonlocal saved
+                while len(jobs) > limit:
+                    saved += jobs.pop(0).result()
+
             for paths, u8 in batches:
                 for p in paths:
                     stem = Path(p).stem
@@ -94,9 +110,15 @@ class AugmentEngine:
                             prev, p, stem)
                 batch01 = I.to_float(jnp.asarray(u8))
                 if copy_originals:
+                    # NATIVE-resolution originals, re-encoded from the
+                    # source file like the reference (augment_data.py:
+                    # 264-282) — the pipeline batch is already resized
+                    # to img_size and would silently downscale them.
+                    # Unreadable/virtual paths fall back to the batch
+                    # array (still a valid _orig, just at img_size).
                     for p, arr in zip(paths, np.asarray(u8)):
                         jobs.append(pool.submit(
-                            _write_jpeg, arr,
+                            _reencode_original, Path(p), arr,
                             out_dir / f"{Path(p).stem}_orig.jpg", quality))
                 for aug_idx, _lvl, aug in self.augment_copies(
                         batch01, class_name):
@@ -106,8 +128,8 @@ class AugmentEngine:
                             _write_jpeg, arr,
                             out_dir / f"{Path(p).stem}_aug{aug_idx}.jpg",
                             quality))
-            for j in jobs:
-                saved += j.result()
+                drain(max_pending)
+            drain(0)
         log.info("materialized %d images into %s", saved, out_dir)
         return saved
 
@@ -143,6 +165,22 @@ class AugmentEngine:
                 padded = batch01[np.resize(idx, b_full)]
                 for _idx, _lvl, aug in self.augment_copies(padded, cls):
                     yield aug[:n], labels[idx]
+
+
+def _reencode_original(src: Path, fallback_u8: np.ndarray, path: Path,
+                       quality: int) -> int:
+    """Native-resolution `_orig.jpg` (reference copy_original_images,
+    augment_data.py:264-282: full-size PIL re-encode at q95); falls back
+    to the pipeline's already-resized array for virtual/unreadable
+    sources."""
+    try:
+        from PIL import Image
+        arr = np.asarray(Image.open(src).convert("RGB"), np.uint8)
+    except Exception:                           # noqa: BLE001
+        log.debug("original %s unreadable — encoding the resized "
+                  "pipeline copy", src)
+        arr = fallback_u8
+    return _write_jpeg(arr, path, quality)
 
 
 def _write_jpeg(arr_u8: np.ndarray, path: Path, quality: int) -> int:

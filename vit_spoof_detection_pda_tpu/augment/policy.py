@@ -14,12 +14,27 @@ heavy, middle third medium, rest light.  Differential multiplier: live x8,
 spoof x2 (augment_data.py:33-34) — turning the 1:3.87 imbalance into
 ~1:0.97 (README.md:83-88).
 
-Design note: the reference feeds Kornia tensors that are ALREADY
-ImageNet-normalized (augment_data.py:226-231), so its color ops act on
-out-of-range values.  Here chains operate in [0,1] before normalization —
-the photometrically correct order; the denorm/renorm wash in the
-reference's writeback (augment_data.py:164-172) makes the on-disk outputs
-comparable either way.
+Design note — normalized-domain equivalence: the reference feeds Kornia
+tensors that are ALREADY ImageNet-normalized (augment_data.py:226-231)
+and denormalizes on writeback (:164-172).  These chains operate in
+[0,1], and where the two domains produce DIFFERENT on-disk outputs the
+[0,1] parameters are adjusted to the reference's effective values:
+
+- additive noise: N(0, s) in normalized space lands on disk as
+  N(0, s * imagenet_std_c) per channel (~4.4x weaker than a naive
+  [0,1] s) — tiers pass the scaled per-channel std;
+- warp fill: Kornia's zero fill denormalizes to the channel-mean gray
+  (0.485, 0.456, 0.406), not black — tiers pass fill=IMAGENET_MEAN
+  (exact via warp linearity, ops/augment.py::composed_geometric);
+- blur / sharpness commute with the affine normalize exactly
+  (kernels sum to 1) — no adjustment needed.
+
+Remaining documented deviation: ColorJitter factors pivot differently
+(normalized-space brightness f*x_n denormalizes to f*x + mean*(1-f) —
+a channel-mean pivot — and saturation/hue run Kornia's HSV math on
+out-of-range values).  The [0,1] jitter here is the photometrically
+well-defined form; at the tiers' factor ranges the pivot difference is
+second-order next to the noise/fill corrections above.
 """
 
 from __future__ import annotations
@@ -29,6 +44,11 @@ from typing import Callable, List
 import jax
 
 from ..ops import augment as A
+from ..ops.image import IMAGENET_MEAN, IMAGENET_STD
+
+# the reference's effective on-disk noise std per channel: its N(0, s)
+# is added in normalized space (see module design note)
+_NOISE_SCALE = IMAGENET_STD
 
 Chain = List[Callable]   # each fn: (key, img[H,W,C] in [0,1]) -> img
 
@@ -55,11 +75,13 @@ def heavy_chain() -> Chain:
     return [
         lambda k, im: A.composed_geometric(
             k, im, hflip_p=0.5, rotation=(20.0, 0.7),
-            perspective=(0.2, 0.4), elastic=(1.0, 32.0, 63, 0.3)),
+            perspective=(0.2, 0.4), elastic=(1.0, 32.0, 63, 0.3),
+            fill=IMAGENET_MEAN),
         lambda k, im: A.color_jitter(k, im, 0.4, 0.4, 0.4, 0.2, p=0.8,
                              order="fixed"),
         lambda k, im: A.gaussian_blur(k, im, 5, (0.1, 2.0), p=0.5),
-        lambda k, im: A.gaussian_noise(k, im, std=0.05, p=0.3),
+        lambda k, im: A.gaussian_noise(
+            k, im, std=tuple(0.05 * s for s in _NOISE_SCALE), p=0.3),
         lambda k, im: A.random_sharpness(k, im, 2.0, p=0.3),
     ]
 
@@ -68,18 +90,20 @@ def medium_chain() -> Chain:
     return [
         lambda k, im: A.composed_geometric(
             k, im, hflip_p=0.5, rotation=(15.0, 0.6),
-            perspective=(0.15, 0.3)),
+            perspective=(0.15, 0.3), fill=IMAGENET_MEAN),
         lambda k, im: A.color_jitter(k, im, 0.3, 0.3, 0.3, 0.1, p=0.7,
                              order="fixed"),
         lambda k, im: A.gaussian_blur(k, im, 3, (0.1, 1.5), p=0.4),
-        lambda k, im: A.gaussian_noise(k, im, std=0.03, p=0.2),
+        lambda k, im: A.gaussian_noise(
+            k, im, std=tuple(0.03 * s for s in _NOISE_SCALE), p=0.2),
     ]
 
 
 def light_chain() -> Chain:
     return [
         lambda k, im: A.composed_geometric(
-            k, im, hflip_p=0.5, rotation=(10.0, 0.5)),
+            k, im, hflip_p=0.5, rotation=(10.0, 0.5),
+            fill=IMAGENET_MEAN),
         lambda k, im: A.color_jitter(k, im, 0.2, 0.2, 0.2, 0.05, p=0.5,
                              order="fixed"),
         lambda k, im: A.gaussian_blur(k, im, 3, (0.1, 1.0), p=0.3),
@@ -111,7 +135,7 @@ def differential_plan(live_augmentations: int = 8,
     return plan
 
 
-def train_time_chain(resize_to: int = 256, crop_size=224,
+def train_time_chain(crop_size=224,
                      hflip_prob: float = 0.5,
                      color_jitter=(0.2, 0.2, 0.2, 0.1),
                      rotation_deg: float = 10.0,

@@ -353,13 +353,19 @@ def gaussian_blur(key, img, kernel_size: int, sigma_range: Tuple[float, float],
     return _gate(key, p, img, blur)
 
 
-def gaussian_noise(key, img, std: float = 0.05, mean: float = 0.0,
+def gaussian_noise(key, img, std=0.05, mean: float = 0.0,
                    p: float = 1.0):
     """Additive Gaussian noise (K.RandomGaussianNoise — no clamp; the
-    writeback/normalize stage clamps)."""
+    writeback/normalize stage clamps).  ``std`` may be a per-channel
+    vector: the reference adds its noise in ImageNet-NORMALIZED space
+    (augment_data.py:226-231), so the on-disk noise the store actually
+    carries is ``std * imagenet_std_c`` per channel — the tier chains
+    pass that scaled vector to reproduce the reference distribution in
+    [0,1] space."""
 
     def noise(k, im):
-        return im + mean + std * jax.random.normal(k, im.shape, im.dtype)
+        s = jnp.asarray(std, im.dtype)
+        return im + mean + s * jax.random.normal(k, im.shape, im.dtype)
 
     return _gate(key, p, img, noise)
 
@@ -457,6 +463,7 @@ def composed_geometric(key, img, *,
                        rotation=None,        # (degrees, p)
                        perspective=None,     # (distortion_scale, p)
                        elastic=None,         # (alpha, sigma, ksize, p)
+                       fill=0.0,             # OOB color (scalar or [C])
                        sampler: str = "tower"):
     """Flip + rotation + perspective + elastic as ONE bilinear resample.
 
@@ -478,7 +485,20 @@ def composed_geometric(key, img, *,
     flip+rotation — expressible as a Paeth 3-shear whose gather-free
     masked-roll resamples run ~13x faster than the packed gather on TPU
     (254 -> 19 ms/128-batch, round-2 measurement; warp.rotate_3shear).
+
+    ``fill``: out-of-bounds color.  The reference warps in
+    ImageNet-NORMALIZED space where Kornia's zero fill denormalizes to
+    the channel-mean gray (augment_data.py:226-231, 164-172) — the tier
+    chains pass IMAGENET_MEAN so the on-disk corners match.  Implemented
+    exactly via linearity: warp(x - f) + f == mean-fill with correct
+    fractional edge blending (the resample is linear and zero-fills).
     """
+    if np.any(np.asarray(fill) != 0):
+        f = jnp.asarray(fill, img.dtype)
+        return f + composed_geometric(
+            key, img - f, hflip_p=hflip_p, rotation=rotation,
+            perspective=perspective, elastic=elastic, fill=0.0,
+            sampler=sampler)
     h, w = img.shape[0], img.shape[1]
     kf, kr_gate, kr, kp_gate, kp, ke_gate, ke = jax.random.split(key, 7)
 

@@ -59,8 +59,10 @@ def _train_chain(cfg: Config, *, crop: bool = True):
     """The torchvision train-time chain from TrainAugConfig — single
     source of truth for every path that builds it."""
     ta = cfg.train_aug
+    # ta.resize_to sizes the DATA LAYER's decode (the chain itself never
+    # resizes — RandomCrop's 256->224 jitter comes from the loader
+    # decoding at resize_to)
     return train_time_chain(
-        resize_to=ta.resize_to,
         crop_size=ta.crop_size if crop else None,
         hflip_prob=ta.hflip_prob, color_jitter=ta.color_jitter,
         rotation_deg=ta.rotation_deg,
@@ -112,13 +114,21 @@ def _make_online_data(cfg: Config):
 
     ta = cfg.train_aug
     # originals get the train-time aug (sans crop: inputs are already
-    # img_size) unless train_aug is disabled; severity copies get their
-    # tier chain — one aug pass per batch either way, fused INTO the
-    # compiled train step (Trainer batch_prep; one program per group)
+    # img_size) unless train_aug is disabled.  Severity copies get their
+    # tier chain PLUS the same train-time ops: in the reference the
+    # materialized _aug copies are re-randomized EVERY epoch by
+    # get_transforms (train_advanced.py:166-177) on top of their frozen
+    # tier warp, so tier-only online copies would see strictly less
+    # per-epoch diversity than the reference store path.  (Remaining
+    # deviation: the reference's Resize(256)->RandomCrop(224) position
+    # jitter — online inputs are already img_size; the flip/jitter/
+    # rotation/erase re-randomization is the dominant term.)  One fused
+    # aug pass per batch either way, INSIDE the compiled train step
+    # (Trainer batch_prep; one program per group).
     orig_chain = _train_chain(cfg, crop=False) if ta.enabled else []
     chains = {"orig": orig_chain}
     for g in ("heavy", "medium", "light"):
-        chains[g] = CHAINS[g]()
+        chains[g] = CHAINS[g]() + orig_chain
     preps = {g: make_prep_fn(cfg, chain) for g, chain in chains.items()}
 
     def train_batches(epoch):

@@ -12,9 +12,13 @@ Batches are grouped BY severity tier so every batch runs exactly one
 compiled chain with static shapes (a per-sample severity switch would
 execute all tiers for all samples under vmap); the group batch streams
 interleave in a seeded random order each epoch, so the optimizer sees a
-shuffled mix.  Fresh augmentation parameters are drawn every epoch —
-strictly more augmentation diversity than the reference's frozen
-materialized copies.
+shuffled mix.  Fresh TIER parameters are drawn every epoch (the
+reference freezes each copy's tier warp at materialization), and the
+driver appends the per-epoch train-time ops to every severity chain —
+matching the reference, where store copies are re-randomized each
+epoch by get_transforms (train_advanced.py:166-177).  Remaining
+deviation: the Resize(256)->RandomCrop(224) position jitter is absent
+online (inputs decode at img_size); see train/driver.py.
 """
 
 from __future__ import annotations
