@@ -375,3 +375,39 @@ def test_engine_rejects_mismatched_batch_size():
     eng = AugmentEngine(img_size=16)
     with pytest.raises(ValueError, match="img_size"):
         list(eng.augment_copies(jnp.zeros((2, 32, 32, 3)), "live"))
+
+
+def test_normdomain_jitter_matches_normalized_space_oracle():
+    """Each *_normdomain op == denormalize(unit_op(normalize(x))) with
+    the unit op expressed in normalized space — the exact equivalence
+    the tier chains rely on."""
+    from vit_spoof_detection_pda_tpu.ops import augment as A
+    from vit_spoof_detection_pda_tpu.ops.image import (denormalize,
+                                                       normalize)
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.random((16, 16, 3)), jnp.float32)
+    for f in (0.6, 1.0, 1.4):
+        # brightness: f * x_n
+        want = denormalize(normalize(x) * f)
+        got = A.adjust_brightness_normdomain(x, f)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+        # contrast: blend toward mean(gray(x_n))
+        xn = normalize(x)
+        w = jnp.asarray([0.2989, 0.587, 0.114])
+        g = jnp.mean(jnp.sum(xn * w, axis=-1))
+        want = denormalize(f * xn + (1 - f) * g)
+        got = A.adjust_contrast_normdomain(x, f)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+        # saturation: blend toward per-pixel gray(x_n)
+        gpx = jnp.sum(xn * w, axis=-1, keepdims=True)
+        want = denormalize(f * xn + (1 - f) * gpx)
+        got = A.adjust_saturation_normdomain(x, f)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+    # factor 1.0 is identity in every domain
+    np.testing.assert_allclose(
+        np.asarray(A.adjust_brightness_normdomain(x, 1.0)),
+        np.asarray(x), atol=1e-6)

@@ -29,12 +29,14 @@ and denormalizes on writeback (:164-172).  These chains operate in
 - blur / sharpness commute with the affine normalize exactly
   (kernels sum to 1) — no adjustment needed.
 
-Remaining documented deviation: ColorJitter factors pivot differently
-(normalized-space brightness f*x_n denormalizes to f*x + mean*(1-f) —
-a channel-mean pivot — and saturation/hue run Kornia's HSV math on
-out-of-range values).  The [0,1] jitter here is the photometrically
-well-defined form; at the tiers' factor ranges the pivot difference is
-second-order next to the noise/fill corrections above.
+- ColorJitter brightness/contrast/saturation: tiers pass
+  domain="normalized" (ops/augment.py ``*_normdomain`` — exact [0,1]
+  images of the normalized-space ops: channel-mean pivots, no
+  mid-chain clip).
+
+Remaining documented deviation: hue rotation — Kornia's HSV math on
+out-of-range normalized values has no sane [0,1] image, so the tiers
+keep the unit-domain hue (factors are small: 0.05-0.2 turns).
 """
 
 from __future__ import annotations
@@ -78,7 +80,7 @@ def heavy_chain() -> Chain:
             perspective=(0.2, 0.4), elastic=(1.0, 32.0, 63, 0.3),
             fill=IMAGENET_MEAN),
         lambda k, im: A.color_jitter(k, im, 0.4, 0.4, 0.4, 0.2, p=0.8,
-                             order="fixed"),
+                             order="fixed", domain="normalized"),
         lambda k, im: A.gaussian_blur(k, im, 5, (0.1, 2.0), p=0.5),
         lambda k, im: A.gaussian_noise(
             k, im, std=tuple(0.05 * s for s in _NOISE_SCALE), p=0.3),
@@ -92,7 +94,7 @@ def medium_chain() -> Chain:
             k, im, hflip_p=0.5, rotation=(15.0, 0.6),
             perspective=(0.15, 0.3), fill=IMAGENET_MEAN),
         lambda k, im: A.color_jitter(k, im, 0.3, 0.3, 0.3, 0.1, p=0.7,
-                             order="fixed"),
+                             order="fixed", domain="normalized"),
         lambda k, im: A.gaussian_blur(k, im, 3, (0.1, 1.5), p=0.4),
         lambda k, im: A.gaussian_noise(
             k, im, std=tuple(0.03 * s for s in _NOISE_SCALE), p=0.2),
@@ -105,7 +107,7 @@ def light_chain() -> Chain:
             k, im, hflip_p=0.5, rotation=(10.0, 0.5),
             fill=IMAGENET_MEAN),
         lambda k, im: A.color_jitter(k, im, 0.2, 0.2, 0.2, 0.05, p=0.5,
-                             order="fixed"),
+                             order="fixed", domain="normalized"),
         lambda k, im: A.gaussian_blur(k, im, 3, (0.1, 1.0), p=0.3),
     ]
 

@@ -176,6 +176,50 @@ def adjust_saturation(img, factor):
     return _blend(img, rgb_to_grayscale(img), factor)
 
 
+# --- normalized-domain jitter equivalents ---------------------------------
+# The reference's tiers jitter tensors that are ALREADY
+# ImageNet-normalized (augment_data.py:226-231) and the writeback
+# denormalizes (:164-172).  Each op below is the EXACT [0,1]-space image
+# of the corresponding unit-style op applied in normalized space:
+# brightness f*x_n -> f*x + (1-f)*mean; contrast/saturation blend toward
+# the grayscale of the NORMALIZED tensor, which denormalizes to
+# mean_c + std_c * gray_n.  No mid-chain clipping (normalized-space ops
+# do not clip; the uint8 writeback clamps).  Hue on out-of-range
+# normalized values has no sane [0,1] image — the tiers keep the unit
+# hue (documented deviation, augment/policy.py design note).
+
+def _grayscale_normdomain(img):
+    """gray(normalize(img)) as a [H,W,1] map (still in normalized
+    units)."""
+    from .image import IMAGENET_MEAN, IMAGENET_STD
+    w = jnp.asarray([0.2989, 0.587, 0.114], img.dtype)
+    m = jnp.asarray(IMAGENET_MEAN, img.dtype)
+    s = jnp.asarray(IMAGENET_STD, img.dtype)
+    return jnp.sum((img - m) / s * w, axis=-1, keepdims=True)
+
+
+def adjust_brightness_normdomain(img, factor):
+    from .image import IMAGENET_MEAN
+    m = jnp.asarray(IMAGENET_MEAN, img.dtype)
+    return factor * img + (1.0 - factor) * m
+
+
+def adjust_contrast_normdomain(img, factor):
+    from .image import IMAGENET_MEAN, IMAGENET_STD
+    m = jnp.asarray(IMAGENET_MEAN, img.dtype)
+    s = jnp.asarray(IMAGENET_STD, img.dtype)
+    g = jnp.mean(_grayscale_normdomain(img))
+    return factor * img + (1.0 - factor) * (m + s * g)
+
+
+def adjust_saturation_normdomain(img, factor):
+    from .image import IMAGENET_MEAN, IMAGENET_STD
+    m = jnp.asarray(IMAGENET_MEAN, img.dtype)
+    s = jnp.asarray(IMAGENET_STD, img.dtype)
+    g = _grayscale_normdomain(img)
+    return factor * img + (1.0 - factor) * (m + s * g)
+
+
 def adjust_hue(img, delta):
     """Shift hue by delta (fraction of a turn, torchvision range ±0.5)
     via RGB->HSV->RGB."""
@@ -213,7 +257,7 @@ def adjust_hue(img, delta):
 
 def color_jitter(key, img, brightness: float = 0.0, contrast: float = 0.0,
                  saturation: float = 0.0, hue: float = 0.0, p: float = 1.0,
-                 order: str = "random"):
+                 order: str = "random", domain: str = "unit"):
     """ColorJitter: per-sample factors b,c,s ~ U[max(0,1-x), 1+x],
     hue ~ U[-h, h].
 
@@ -225,7 +269,16 @@ def color_jitter(key, img, brightness: float = 0.0, contrast: float = 0.0,
     tiers' semantics (augment_data.py:63-83) — and is ~3x cheaper on
     TPU: under vmap a random-order switch evaluates every branch at
     every step (16 op evaluations, 4 of them the expensive HSV hue
-    round-trip) while the fixed chain evaluates each op once."""
+    round-trip) while the fixed chain evaluates each op once.
+
+    ``domain="normalized"`` replicates the reference tiers' EFFECTIVE
+    on-disk jitter: its ops run on ImageNet-normalized tensors, so
+    brightness/contrast/saturation pivot at the channel mean (see the
+    *_normdomain ops above — exact equivalences); hue keeps the unit
+    form (documented deviation).  The train-time chain runs pre-
+    normalize in the reference and keeps ``domain="unit"``."""
+    if domain not in ("unit", "normalized"):
+        raise ValueError(f"unknown jitter domain {domain!r}")
 
     def jitter(k, im):
         kb, kc, ks, kh, korder = jax.random.split(k, 5)
@@ -237,13 +290,18 @@ def color_jitter(key, img, brightness: float = 0.0, contrast: float = 0.0,
                                 maxval=1 + saturation)
         fh = jax.random.uniform(kh, (), minval=-hue, maxval=hue)
 
+        adj_b, adj_c, adj_s = (
+            (adjust_brightness, adjust_contrast, adjust_saturation)
+            if domain == "unit" else
+            (adjust_brightness_normdomain, adjust_contrast_normdomain,
+             adjust_saturation_normdomain))
         # each branch casts back to the input dtype: factors are f32
         # scalars, and a bf16 chain (the tower sampler preserves bf16)
         # must not promote mid-loop (fori_loop carries require it)
         branches = [
-            lambda im_: adjust_brightness(im_, fb).astype(im_.dtype),
-            lambda im_: adjust_contrast(im_, fc).astype(im_.dtype),
-            lambda im_: adjust_saturation(im_, fs).astype(im_.dtype),
+            lambda im_: adj_b(im_, fb).astype(im_.dtype),
+            lambda im_: adj_c(im_, fc).astype(im_.dtype),
+            lambda im_: adj_s(im_, fs).astype(im_.dtype),
             lambda im_: adjust_hue(im_, fh).astype(im_.dtype),
         ]
         if order == "fixed":
