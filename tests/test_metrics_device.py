@@ -101,3 +101,36 @@ def test_device_metrics_jit_and_vectorized():
     fn = jax.jit(lambda s, l: dm.optimal_threshold_f1(s, l)[1])
     out = fn(jnp.asarray(scores), jnp.asarray(labels))
     assert np.isfinite(float(out))
+
+
+def test_single_class_eer_matches_parity():
+    """Single-class score vectors must degrade exactly like the host
+    parity path (sklearn NaNs the whole rate vector, argmin lands on
+    slot 0) — not return a confident mid-curve EER."""
+    from vit_spoof_detection_pda_tpu.metrics import parity
+    from vit_spoof_detection_pda_tpu.metrics.device import (eer_harness,
+                                                            eer_mean)
+
+    s = np.array([0.9, 0.8, 0.7, 0.2], np.float32)
+    for labels in ([0, 0, 0, 0], [1, 1, 1, 1]):
+        y = np.array(labels)
+        want = parity.find_eer_threshold(y, s)
+        got = tuple(float(x) for x in eer_harness(s, y))
+        np.testing.assert_equal(got[1], want[1])            # inf
+        if np.isnan(want[0]):
+            assert np.isnan(got[0])
+        else:
+            assert got[0] == want[0]
+        assert np.isnan(float(eer_mean(s, y)))
+
+
+def test_optimal_threshold_f1_all_zero_falls_back_to_half():
+    """Reference find_optimal_threshold initializes best_threshold=0.5
+    and only updates on strictly greater F1 (train_advanced.py:246-251)
+    — an all-zero sweep returns 0.5, not the grid edge."""
+    from vit_spoof_detection_pda_tpu.metrics.device import (
+        optimal_threshold_f1)
+
+    t, f1, _ = optimal_threshold_f1(np.array([0.1, 0.2, 0.1], np.float32),
+                                    np.array([0, 0, 0]))
+    assert float(f1) == 0.0 and float(t) == 0.5

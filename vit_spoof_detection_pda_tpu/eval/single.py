@@ -100,7 +100,7 @@ def _save_results(metrics, cm, y_true, y_pred, y_prob, records, output_dir,
             plt.xlabel("Predicted Label")
             plt.tight_layout()
             paths["cm_png"] = output_dir / f"confusion_matrix_{ts}.png"
-            plt.savefig(paths["cm_png"], dpi=150, bbox_inches="tight")
+            plt.savefig(paths["cm_png"], dpi=300, bbox_inches="tight")
             plt.close()
         except Exception as e:                   # noqa: BLE001
             log.warning("confusion-matrix plot failed: %s", e)
@@ -112,6 +112,8 @@ def _save_results(metrics, cm, y_true, y_pred, y_prob, records, output_dir,
                      label=f"ROC curve (AUC = {metrics['auc']:.4f})")
             plt.plot([0, 1], [0, 1], color="navy", lw=2, linestyle="--",
                      label="Random")
+            plt.xlim([0.0, 1.0])                # reference test.py:384-385
+            plt.ylim([0.0, 1.05])
             plt.xlabel("False Positive Rate")
             plt.ylabel("True Positive Rate")
             plt.title("ROC Curve", fontsize=16, fontweight="bold")
@@ -119,7 +121,7 @@ def _save_results(metrics, cm, y_true, y_pred, y_prob, records, output_dir,
             plt.grid(alpha=0.3)
             plt.tight_layout()
             paths["roc_png"] = output_dir / f"roc_curve_{ts}.png"
-            plt.savefig(paths["roc_png"], dpi=150, bbox_inches="tight")
+            plt.savefig(paths["roc_png"], dpi=300, bbox_inches="tight")
             plt.close()
         except Exception as e:                   # noqa: BLE001
             log.warning("ROC plot failed: %s", e)

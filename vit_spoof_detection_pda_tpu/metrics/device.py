@@ -45,9 +45,11 @@ def confusion_at_thresholds(scores, labels, thresholds):
     pos = (labels == 1)[None, :]
     tp = jnp.sum(pred & pos, axis=-1)
     fp = jnp.sum(pred & ~pos, axis=-1)
-    fn = jnp.sum(~pred & pos, axis=-1)
-    tn = jnp.sum(~pred & ~pos, axis=-1)
-    return tp, tn, fp, fn
+    # fn/tn follow from the per-class totals — two O(T*N) reductions
+    # instead of four (exact integer counts either way)
+    n_pos = jnp.sum(labels == 1)
+    n_neg = labels.shape[0] - n_pos
+    return tp, n_neg - fp, fp, n_pos - tp
 
 
 def _safe_div(num, den):
@@ -114,7 +116,12 @@ def optimal_threshold_f1(scores, labels, t_min=0.3, t_max=0.7, steps=41):
     grid = jnp.linspace(t_min, t_max, steps)
     table = threshold_table(scores, labels, grid)
     idx = jnp.argmax(table["f1_score"])
-    return grid[idx], table["f1_score"][idx], table
+    best_f1 = table["f1_score"][idx]
+    # reference initializes best_threshold=0.5 and only updates on a
+    # STRICTLY greater F1 (train_advanced.py:246-251) — when the whole
+    # sweep is F1 == 0 it returns 0.5, not the grid's left edge
+    best_t = jnp.where(best_f1 > 0, grid[idx], jnp.float32(0.5))
+    return best_t, best_f1, table
 
 
 # --------------------------------------------------------------------------
@@ -197,10 +204,18 @@ def masked_roc(scores, labels, *, drop_intermediate: bool = True) -> MaskedRoc:
     # downstream EER look like a confident 0.0 on single-class input,
     # where the host parity path correctly degrades to NaN
     nan = jnp.full((), jnp.nan, jnp.float32)
-    fpr = jnp.concatenate([jnp.zeros((1,)),
-                           jnp.where(n_neg > 0, _safe_div(fps, n_neg), nan)])
-    tpr = jnp.concatenate([jnp.zeros((1,)),
-                           jnp.where(n_pos > 0, _safe_div(tps, n_pos), nan)])
+    # the NaN gate covers the prepended slot 0 too: sklearn divides the
+    # WHOLE vector (including its synthetic leading 0) by the class
+    # count, so single-class input NaNs every point — argmin over the
+    # all-NaN gap then lands on index 0 exactly like np.argmin does in
+    # the parity path, yielding (0.0, inf) / (nan, inf) instead of a
+    # confident mid-curve EER (slot 0 hardcoded real was the bug)
+    fpr = jnp.where(n_neg > 0,
+                    jnp.concatenate([jnp.zeros((1,)),
+                                     _safe_div(fps, n_neg)]), nan)
+    tpr = jnp.where(n_pos > 0,
+                    jnp.concatenate([jnp.zeros((1,)),
+                                     _safe_div(tps, n_pos)]), nan)
     thr = jnp.concatenate([jnp.full((1,), jnp.inf, jnp.float32), s])
     valid = jnp.concatenate([jnp.ones((1,), bool), keep])
     return MaskedRoc(fpr, tpr, thr, valid)
