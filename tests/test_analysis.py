@@ -2,6 +2,7 @@
 (golden replay) plus smoke tests of latency benchmarking and figures."""
 
 import json
+import pathlib
 import shutil
 
 import numpy as np
@@ -29,6 +30,24 @@ def results_tree(reference_root, tmp_path):
         for f in mdir.glob("*.json"):
             shutil.copy2(f, dst / mdir.name / f.name)
     shutil.copy2(src / "model_comparison.csv", dst / "model_comparison.csv")
+    # the failed-case extractor records only cases whose image file is
+    # reachable (reference semantics) — point the per-image paths at
+    # dummy files so the golden case lists replay in full
+    import pandas as pd
+    img_root = tmp_path / "imgs"
+    img_root.mkdir()
+    for mdir in dst.iterdir():
+        pred = mdir / "per_image_predictions.csv" if mdir.is_dir() else None
+        if pred and pred.exists():
+            df = pd.read_csv(pred)
+            new_paths = []
+            for ip in df["image_path"]:
+                f = img_root / pathlib.Path(ip).name
+                if not f.exists():
+                    f.write_bytes(b"x")
+                new_paths.append(str(f))
+            df["image_path"] = new_paths
+            df.to_csv(pred, index=False)
     return dst
 
 
@@ -64,7 +83,7 @@ def test_failed_cases_golden_counts(reference_root, results_tree):
         w_scores = [c["predicted_score"]
                     for c in want[model]["false_positives"]]
         g_scores = [c["predicted_score"]
-                    for c in got[model]["false_positives"]][:len(w_scores)]
+                    for c in got[model]["false_positives"]]
         np.testing.assert_allclose(g_scores, w_scores, atol=1e-6)
     assert (results_tree / "failed_cases_analysis" /
             "failed_cases_summary.json").exists()
@@ -112,8 +131,18 @@ def test_latency_single_image(tmp_path):
                 "max_time_ms", "median_time_ms", "fps", "total_samples"):
         assert key in r
     assert r["total_samples"] == 8
-    assert r["throughput"]["images_per_second"] > 0
-    assert (tmp_path / "out" / "inference_time_benchmark.json").exists()
+    # the json artifact keeps EXACTLY the reference's stat keys; the
+    # throughput extension lives in its own artifact
+    assert "throughput" not in r
+    import json as _json
+    tj = _json.loads((tmp_path / "out" /
+                      "throughput_benchmark.json").read_text())
+    assert tj["TinyNet"]["images_per_second"] > 0
+    bj = _json.loads((tmp_path / "out" /
+                      "inference_time_benchmark.json").read_text())
+    assert set(bj["TinyNet"]) == {
+        "mean_time_ms", "std_time_ms", "min_time_ms", "max_time_ms",
+        "median_time_ms", "fps", "total_samples"}
     assert (tmp_path / "out" / "inference_time_comparison.csv").exists()
 
 

@@ -56,10 +56,14 @@ def extract_failed_cases(results_dir: str, test_data_dir: str = "",
                 src = Path(row["image_path"])
                 if not src.is_absolute() and test_data_dir:
                     src = Path(test_data_dir) / src
-                if src.exists():
-                    shutil.copy2(src, out_dir /
-                                 f"{prefix}_score{row['spoof_score']:.4f}_"
-                                 f"{src.name}")
+                if not src.exists():
+                    # reference records ONLY cases whose image file is
+                    # reachable (additional_analysis.py:142-150); the
+                    # total_* counts still reflect the full top-N frames
+                    continue
+                shutil.copy2(src, out_dir /
+                             f"{prefix}_score{row['spoof_score']:.4f}_"
+                             f"{src.name}")
                 cases.append({
                     "image": Path(row["image_path"]).name,
                     "true_label": true_label,

@@ -4,9 +4,14 @@ Two protocols:
 
 1. `benchmark_single_image` — the reference's protocol
    (additional_analysis.py:184-315): N images, one at a time, wall-clock
-   per image INCLUDING host preprocessing (decode + resize + normalize),
-   batch size 1; stats -> ``inference_time_benchmark.json`` +
-   ``inference_time_comparison.csv`` (same keys/columns).
+   per image, batch size 1; stats -> ``inference_time_benchmark.json``
+   + ``inference_time_comparison.csv`` (same keys/columns).  The
+   reference decodes OUTSIDE its timer (Image.open before start_time,
+   :264-266) and times transform + H2D + forward; here decode+resize
+   are fused in one host call, so both sit outside the timer and the
+   timed region is H2D + on-device normalize + forward (documented
+   deviation: the reference's ~0.5 ms host resize/ToTensor is replaced
+   by the on-device normalize, which IS timed).
 2. `benchmark_throughput` — compiled steady-state batched inference with
    on-device preprocessing (the ">10x 184 FPS" north star, BASELINE.md).
 
@@ -57,14 +62,16 @@ def benchmark_single_image(module, variables, records: Sequence[Record], *,
     infer = make_infer_fn(module)
 
     # compile once outside the timed region (the reference's first-call
-    # CUDA warmup is likewise excluded by its warm cache)
+    # CUDA warmup is likewise excluded by its warm cache); fetch a LEAF,
+    # not the dict — np.asarray(dict) builds a 0-d object array without
+    # awaiting the device, leaking the warmup into the first sample
     warm = decode_image(sample[0].path, img_size)
-    np.asarray(infer(variables, jnp.asarray(warm[None])))
+    np.asarray(infer(variables, jnp.asarray(warm[None]))["prob1"])
 
     times = []
     for r in sample:
-        t0 = time.perf_counter()
-        u8 = decode_image(r.path, img_size)
+        u8 = decode_image(r.path, img_size)  # outside the timer, like
+        t0 = time.perf_counter()             # the reference's Image.open
         out = infer(variables, jnp.asarray(u8[None]))
         np.asarray(out["prob1"])          # bound by host fetch
         times.append(time.perf_counter() - t0)
@@ -84,15 +91,12 @@ def benchmark_throughput(module, variables, *, batch_size: int = 128,
     import jax.numpy as jnp
 
     if fastserve:
-        from ..models.fastserve import serving_forward
-        from ..models.vit import fold_normalization
-        folded = fold_normalization(variables)
-
-        @jax.jit
-        def _fast(v, batch_u8):
-            return {"prob1": serving_forward(v["params"], batch_u8)}
-
-        infer, variables = _fast, folded
+        # the eval runner owns fastserve dispatch (module-type check,
+        # geometry kwargs, linear-head routing, non-TPU fail-fast) —
+        # a local re-implementation hardcoded B/16 defaults and crashed
+        # on ViTLinearHead / non-default geometry
+        from ..eval.runner import make_fastserve_infer
+        infer, variables = make_fastserve_infer(module, variables)
     else:
         infer = make_infer_fn(module)
     rng = np.random.default_rng(0)
@@ -152,32 +156,44 @@ def benchmark_device_latency(infer, variables, *, batch_size: int = 1,
 def benchmark_models(model_builders: Dict[str, callable],
                      records: Sequence[Record], *, output_dir: str,
                      n_images: int = 100, batch_size: int = 128,
+                     img_size: int = 224,
                      include_throughput: bool = True) -> dict:
     """Run both protocols over a dict {name: () -> (module, variables)};
-    writes the reference-format artifacts."""
+    writes the reference-format artifacts.
+
+    ``inference_time_benchmark.json`` keeps EXACTLY the reference's
+    seven stat keys per model (additional_analysis.py:279-300); the
+    batched-throughput extension goes to its own
+    ``throughput_benchmark.json``."""
     import pandas as pd
 
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
     results = {}
+    throughput = {}
     for name, build in model_builders.items():
         try:
             module, variables = build()
             r = benchmark_single_image(module, variables, records,
-                                       n_images=n_images)
+                                       n_images=n_images,
+                                       img_size=img_size)
             if include_throughput:
-                r["throughput"] = benchmark_throughput(
-                    module, variables, batch_size=batch_size)
+                throughput[name] = benchmark_throughput(
+                    module, variables, batch_size=batch_size,
+                    img_size=img_size)
             results[name] = r
             log.info("%s: %.2f ms/img (%.1f FPS)%s", name,
                      r["mean_time_ms"], r["fps"],
-                     f", batched {r['throughput']['images_per_second']:.0f}"
+                     f", batched {throughput[name]['images_per_second']:.0f}"
                      f" img/s" if include_throughput else "")
         except Exception as e:                       # noqa: BLE001
             log.exception("latency benchmark failed for %s: %s", name, e)
 
     with open(out / "inference_time_benchmark.json", "w") as f:
         json.dump(results, f, indent=2)
+    if throughput:
+        with open(out / "throughput_benchmark.json", "w") as f:
+            json.dump(throughput, f, indent=2)
     pd.DataFrame([
         {"model": n, "mean_ms": r["mean_time_ms"], "fps": r["fps"],
          "std_ms": r["std_time_ms"]}

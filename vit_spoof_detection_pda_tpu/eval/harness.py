@@ -135,11 +135,16 @@ def save_model_results(name, records, y_spoof, spoof_scores, ev,
     mdir = output_dir / name
     mdir.mkdir(parents=True, exist_ok=True)
 
+    # the label column derives from the SAME float32 values the CSV
+    # stores: a float64 0.49999999 casts to exactly 0.5 in float32, and
+    # a label computed pre-cast would disagree with what downstream
+    # consumers (analysis/failed_cases.py) re-derive from the file
+    scores_f32 = spoof_scores.astype(np.float32)
     pd.DataFrame({
         "image_path": [r.path for r in records],
         "true_label": y_spoof,
-        "spoof_score": spoof_scores.astype(np.float32),
-        "predicted_label_0.5": (spoof_scores >= 0.5).astype(int),
+        "spoof_score": scores_f32,
+        "predicted_label_0.5": (scores_f32 >= 0.5).astype(int),
     }).to_csv(mdir / "per_image_predictions.csv", index=False)
 
     fpr, tpr, thr = ev["roc"]
@@ -284,10 +289,14 @@ def create_comparison_reports(results: Dict[str, dict], output_dir: Path,
             "models_evaluated": list(results),
             "comparison_table": rows,
             "best_model_by_auc": ranked[0]["model_name"],
+            # ties resolve within the AUC-sorted frame, like the
+            # reference's idxmin/idxmax on the sorted comparison_df
+            # (evaluate_all_models.py:400-402) — insertion order would
+            # pick a different model on tied eer/accuracy
             "best_model_by_eer": min(
-                rows, key=lambda r: r["eer"])["model_name"],
+                ranked, key=lambda r: r["eer"])["model_name"],
             "best_model_by_accuracy": max(
-                rows, key=lambda r: r["t0.5_accuracy"])["model_name"],
+                ranked, key=lambda r: r["t0.5_accuracy"])["model_name"],
         }, f, indent=2)
 
     bar = "=" * 80
