@@ -172,3 +172,11 @@ def test_shard_for_host_equal_shares(monkeypatch):
     assert len(shares[0]) == len(shares[1]) == 499
     # disjoint coverage
     assert not ({r.path for r in shares[0]} & {r.path for r in shares[1]})
+
+
+def test_to_canonical_strict_and_case_insensitive():
+    from vit_spoof_detection_pda_tpu.data.conventions import to_canonical
+
+    assert to_canonical("Live") == 1 and to_canonical("SPOOF") == 0
+    with pytest.raises(ValueError, match="unknown class"):
+        to_canonical("real")

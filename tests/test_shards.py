@@ -156,3 +156,33 @@ def test_build_lock_foreign_store_raises(tmp_path):
         ShardStore.build(records[:4], str(d), img_size=32,
                          resize="exact", build_timeout=30.0)
     t.join()
+
+
+def test_crashed_builder_recovery(tmp_path):
+    """A waiter that sees the lock vanish with NO valid manifest (the
+    holder crashed mid-build) must build the store itself — not abort
+    with a record-list-mismatch diagnosis."""
+    from vit_spoof_detection_pda_tpu.data.shards import ShardStore
+
+    records = _records(tmp_path)
+    d = tmp_path / "cache"
+    d.mkdir()
+    # simulate the crash remains: a half-built store with no manifest
+    (d / "images-00000.npy").write_bytes(b"garbage")
+    store = ShardStore.build(records, str(d), img_size=16,
+                             resize="exact", shard_size=8, num_workers=2)
+    assert len(store) == len(records)
+
+
+def test_manifest_drops_paths(tmp_path):
+    """The manifest carries no redundant per-record path list (the
+    fingerprint digest covers paths; the list was multi-MB at scale)."""
+    from vit_spoof_detection_pda_tpu.data.shards import ShardStore
+
+    records = _records(tmp_path)
+    d = tmp_path / "cache"
+    ShardStore.build(records, str(d), img_size=16, resize="exact",
+                     shard_size=8, num_workers=2)
+    import json as _json
+    meta = _json.loads((d / "shards.json").read_text())
+    assert "paths" not in meta          # dropped from the manifest

@@ -22,9 +22,17 @@ CANONICAL_LIVE = 1   # canonical: label 1 = live, score = P(live)
 
 
 def to_canonical(is_live) -> int:
-    """bool/str -> canonical label."""
+    """bool/str -> canonical label.  Strings are matched
+    case-insensitively and UNKNOWN strings raise — silently mapping a
+    typo ("Live", "real") to spoof would corrupt every label with no
+    error."""
     if isinstance(is_live, str):
-        is_live = is_live == "live"
+        low = is_live.strip().lower()
+        if low not in ("live", "spoof"):
+            raise ValueError(
+                f"unknown class name {is_live!r} (expected 'live' or "
+                "'spoof')")
+        is_live = low == "live"
     return 1 if is_live else 0
 
 

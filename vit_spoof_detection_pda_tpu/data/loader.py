@@ -46,10 +46,17 @@ def decode_image(path: str, size: int, resize: str = "exact") -> np.ndarray:
     prescale + fused bilinear resize, GIL released for the whole call.
     PIL handles whatever the native path declines.
     """
-    from .native import native_decode
-    out = native_decode(path, size, resize)
-    if out is not None:
-        return out
+    try:
+        from .native import native_decode
+        out = native_decode(path, size, resize)
+        if out is not None:
+            return out
+    except Exception as e:                       # noqa: BLE001
+        # the fallback contract covers the NATIVE path too (e.g. a
+        # cached _decoder.so whose source was removed raises from the
+        # rebuild check) — PIL gets its turn, then black-frame
+        log.warning("native decode raised for %s (%s) — PIL fallback",
+                    path, e)
 
     from PIL import Image
     try:
@@ -91,7 +98,34 @@ def shard_for_host(records: Sequence[Record]) -> List[Record]:
         return list(records)
     idx = jax.process_index()
     per = len(records) // n_proc
+    if per == 0 and records:
+        # every host would get [] and die later inside sklearn's
+        # splitter with an unrelated-looking error
+        raise ValueError(
+            f"dataset of {len(records)} records is smaller than the "
+            f"{n_proc}-process host count — nothing to shard")
     return list(records)[idx::n_proc][:per]
+
+
+def epoch_order(n: int, epoch: int, seed: int,
+                shuffle: bool) -> np.ndarray:
+    """The seeded per-epoch sample order — ONE definition shared by the
+    threaded pipeline and the shard store (data/shards.py), so their
+    documented shuffle parity is structural, not coincidental."""
+    idx = np.arange(n)
+    if shuffle:
+        np.random.default_rng(seed + epoch).shuffle(idx)
+    return idx
+
+
+def epoch_limit(n: int, batch_size: int, drop_last: bool) -> int:
+    """Number of samples an epoch serves under the drop_last policy."""
+    return (n // batch_size) * batch_size if drop_last else n
+
+
+def steps_for(n: int, batch_size: int, drop_last: bool) -> int:
+    return (epoch_limit(n, batch_size, drop_last)
+            + batch_size - 1) // batch_size
 
 
 class DataPipeline:
@@ -119,23 +153,18 @@ class DataPipeline:
 
     @property
     def steps_per_epoch(self) -> int:
-        n = len(self.records)
-        return n // self.batch_size if self.drop_last else (
-            (n + self.batch_size - 1) // self.batch_size)
+        return steps_for(len(self.records), self.batch_size,
+                         self.drop_last)
 
     def _epoch_order(self, epoch: int) -> np.ndarray:
-        idx = np.arange(len(self.records))
-        if self.shuffle:
-            np.random.default_rng(self.seed + epoch).shuffle(idx)
-        return idx
+        return epoch_order(len(self.records), epoch, self.seed,
+                           self.shuffle)
 
     def batches(self, epoch: int = 0) -> Iterator[dict]:
         """Yield {"image": uint8 [B,S,S,3], "label": int32 [B],
         "index": int64 [B]} with background decoding."""
         order = self._epoch_order(epoch)
-        n = len(order)
-        limit = (n // self.batch_size) * self.batch_size if self.drop_last \
-            else n
+        limit = epoch_limit(len(order), self.batch_size, self.drop_last)
         starts = list(range(0, limit, self.batch_size))
         if not starts:
             return

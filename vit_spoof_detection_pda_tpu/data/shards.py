@@ -13,7 +13,7 @@ cache instead of CPU.
 Layout of ``<dir>/shards.json``::
 
     {"img_size": 256, "resize": "shorter", "n": 115125,
-     "labels": [...], "paths": [...], "shards": [{"file": ..., "n": ...}]}
+     "labels": [...], "shards": [{"file": ..., "n": ...}]}
 
 ``ShardStore.build`` is idempotent: an existing store matching the
 record list (count + sha1 over all paths+labels + size) is reused, not
@@ -60,6 +60,17 @@ class ShardStore:
             h.update(f"{r.path}\t{r.label}\n".encode())
         return {"n": len(records), "img_size": img_size, "resize": resize,
                 "digest": h.hexdigest()}
+
+    @classmethod
+    def _manifest_matches(cls, d: Path, fp: dict):
+        """True/False: manifest fingerprint vs ``fp``; None when no
+        readable manifest exists (crashed or incomplete build)."""
+        try:
+            with open(d / MANIFEST) as f:
+                meta = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return None
+        return all(meta.get(k) == v for k, v in fp.items())
 
     @classmethod
     def _try_reuse(cls, d: Path, fp: dict):
@@ -116,19 +127,37 @@ class ShardStore:
                 except OSError:
                     continue    # holder just released it — retry acquire
                 if stale:
-                    log.warning("stealing stale shard-store lock %s", lock)
-                    lock.unlink(missing_ok=True)
+                    # atomic steal: rename succeeds for exactly ONE
+                    # stealer (the old unlink-then-create window let two
+                    # waiters both "steal" and build the same files
+                    # concurrently); losers loop back to the wait path
+                    try:
+                        grave = d / f".building.lock.stale.{os.getpid()}"
+                        lock.rename(grave)
+                        grave.unlink()
+                        log.warning("stole stale shard-store lock %s",
+                                    lock)
+                    except OSError:
+                        pass
                     continue
                 time.sleep(0.2)
                 if not lock.exists():
-                    # holder finished: adopt its store if it is ours
+                    # holder released the lock: adopt its store if it is
+                    # ours.  No valid store + a manifest with a DIFFERENT
+                    # fingerprint = the config error (two writers, one
+                    # dir).  No/corrupt manifest = the holder CRASHED
+                    # mid-build — loop back and build it ourselves (the
+                    # old code misdiagnosed this as a record-list
+                    # mismatch and aborted every waiting host).
                     store = cls._try_reuse(d, fp)
                     if store is not None:
                         return store
-                    raise RuntimeError(
-                        f"shard store at {d} was concurrently built with "
-                        "a DIFFERENT record list/params — point each "
-                        "writer at its own cache directory")
+                    if cls._manifest_matches(d, fp) is False:
+                        raise RuntimeError(
+                            f"shard store at {d} was concurrently built "
+                            "with a DIFFERENT record list/params — point "
+                            "each writer at its own cache directory")
+                    continue
         try:
             # re-check under the lock: another process may have finished
             # the build while this one waited to acquire
@@ -137,14 +166,14 @@ class ShardStore:
                 return store
             return cls._build_locked(records, d, fp, img_size=img_size,
                                      resize=resize, shard_size=shard_size,
-                                     num_workers=num_workers)
+                                     num_workers=num_workers, lock=lock)
         finally:
             lock.unlink(missing_ok=True)
 
     @classmethod
     def _build_locked(cls, records, d: Path, fp: dict, *, img_size: int,
                       resize: str, shard_size: int,
-                      num_workers: int) -> "ShardStore":
+                      num_workers: int, lock: Path = None) -> "ShardStore":
         if (d / MANIFEST).exists():
             log.info("shard store stale — rebuilding %s", d)
             # drop the old manifest FIRST: an interrupted rebuild must
@@ -167,9 +196,16 @@ class ShardStore:
                 arr.flush()
                 del arr
                 shards.append({"file": name, "n": len(chunk)})
+                if lock is not None:
+                    # heartbeat: staleness is judged by the lock's
+                    # mtime — a legitimate slow build must not look
+                    # stale and get its lock stolen mid-write
+                    lock.touch()
+        # NOTE: no "paths" list — nothing reads it, the fingerprint
+        # digest already covers the record paths, and at ~115k images it
+        # added multiple MB parsed on every store open / reuse probe
         meta = {**fp, "shards": shards,
-                "labels": [int(r.label) for r in records],
-                "paths": [r.path for r in records]}
+                "labels": [int(r.label) for r in records]}
         with open(d / MANIFEST, "w") as f:
             json.dump(meta, f)
         # a rebuild with fewer records leaves higher-numbered shard files
@@ -241,8 +277,8 @@ class ShardStore:
 
     def steps_per_epoch(self, batch_size: int,
                         drop_last: bool = True) -> int:
-        n = len(self)
-        return n // batch_size if drop_last else -(-n // batch_size)
+        from .loader import steps_for
+        return steps_for(len(self), batch_size, drop_last)
 
     def batches(self, batch_size: int, *, epoch: int = 0,
                 shuffle: bool = True, seed: int = 42,
@@ -250,11 +286,9 @@ class ShardStore:
         """Yield {"image": uint8 [B,S,S,3], "label": int32 [B],
         "index": int64 [B]} — the DataPipeline batch contract, served
         from the memmaps (same seeded per-epoch shuffle semantics)."""
-        order = np.arange(len(self))
-        if shuffle:
-            np.random.default_rng(seed + epoch).shuffle(order)
-        limit = (len(order) // batch_size) * batch_size if drop_last \
-            else len(order)
+        from .loader import epoch_limit, epoch_order
+        order = epoch_order(len(self), epoch, seed, shuffle)
+        limit = epoch_limit(len(order), batch_size, drop_last)
         for i in range(0, limit, batch_size):
             idx = order[i:i + batch_size]
             yield {"image": self.gather(idx), "label": self.labels[idx],
