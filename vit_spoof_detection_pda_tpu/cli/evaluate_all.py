@@ -19,16 +19,30 @@ def main(argv=None):
                         help="fine-tuned ViT checkpoint (.pth etc.)")
     parser.add_argument("--models", nargs="*", default=None,
                         help="subset of registry models")
+    parser.add_argument("--pretrained", nargs="*", default=None,
+                        metavar="NAME=PATH",
+                        help="pretrained weight files for the stock "
+                        "entries, e.g. Base_ViT_Pretrained=vit.safetensors "
+                        "ResNet50_Pretrained=resnet50.pth (without these "
+                        "the pretrained entries run RANDOM-init, loudly)")
     add_fastserve_args(parser)
     args = parser.parse_args(argv)
     setup_logging()
     validate_fastserve(args)
     cfg = resolve_config(args)
 
+    pretrained = {}
+    for item in args.pretrained or []:
+        name, _, path = item.partition("=")
+        if not path:
+            parser.error(f"--pretrained expects NAME=PATH, got {item!r}")
+        pretrained[name] = path
+
     records = scan_test(cfg.data.test_root)
     results = run_cross_model_eval(
         records, output_dir=cfg.eval.output_dir,
         checkpoint_path=args.checkpoint or cfg.eval.checkpoint_path,
+        pretrained_paths=pretrained or None,
         model_names=args.models, batch_size=cfg.eval.batch_size,
         img_size=cfg.data.img_size, fastserve=args.fastserve,
         interpret=args.interpret,

@@ -48,7 +48,10 @@ _tolerant = _tolerant()
 def _np(x) -> np.ndarray:
     """torch tensor | np array -> float32 numpy (detached, contiguous)."""
     if hasattr(x, "detach"):
-        x = x.detach().cpu().numpy()
+        # .float() first: numpy() raises on torch bfloat16 tensors
+        # (common in bf16 fine-tune checkpoints), and the target dtype
+        # is float32 regardless
+        x = x.detach().float().cpu().numpy()
     return np.ascontiguousarray(np.asarray(x), dtype=np.float32)
 
 
@@ -105,16 +108,19 @@ def convert_partial(converter: Callable, sd: Mapping, init_variables,
         converted = converter(sd, **kwargs)
     finally:
         _tolerant.flag = False
-    variables, missing = _merge_missing(converted, init_variables)
-    n_total = len(_leaves(converted))
-    if missing and len(missing) >= n_total:
+    conv_leaves = _leaves(converted)
+    n_total = len(conv_leaves)
+    if n_total and all(v is MISSING for v in conv_leaves):
         # NOTHING matched: this is the wrong checkpoint format (e.g. an
         # HF-layout dict fed to the timm converter), not a partial load —
         # silently returning 100% init weights would let an eval run
-        # write garbage artifacts as if the checkpoint loaded.
+        # write garbage artifacts as if the checkpoint loaded.  Checked
+        # BEFORE the merge: with a mismatched init tree the merge would
+        # raise a per-leaf KeyError that masks this diagnosis.
         raise KeyError(
             f"state dict matched none of the {n_total} expected tensors "
             "— wrong checkpoint format for this converter")
+    variables, missing = _merge_missing(converted, init_variables)
     if missing:
         log.warning("partial weight load: %d/%d tensors missing from "
                     "state dict kept their init values: %s", len(missing),
@@ -214,14 +220,19 @@ def vit_backbone_from_hf(sd: Mapping, prefix: str = "", depth: int = 12):
                   for x in ("query", "key", "value")]
         bparts = [_leaf(sd, f"{b}.attention.attention.{x}.bias")
                   for x in ("query", "key", "value")]
+        # documented deviation from per-tensor strict=False: the fused
+        # qkv kernel+bias fall back TOGETHER when any of the six HF
+        # parts is absent — splicing loaded q/v columns into a random k
+        # (or keeping a loaded bias against a random kernel) would
+        # produce a silently-inconsistent projection
+        qkv_missing = (any(w is MISSING for w in wparts)
+                       or any(b_ is MISSING for b_ in bparts))
         params[f"block{i}"] = {
             "norm1": _layernorm(sd, f"{b}.layernorm_before"),
             "attn": {
-                "qkv": {"kernel": (MISSING if any(w is MISSING
-                                                  for w in wparts) else
+                "qkv": {"kernel": (MISSING if qkv_missing else
                                    np.concatenate(wparts, axis=0).T),
-                        "bias": (MISSING if any(b_ is MISSING
-                                                for b_ in bparts) else
+                        "bias": (MISSING if qkv_missing else
                                  np.concatenate(bparts, axis=0))},
                 "proj": _linear(sd, f"{b}.attention.output.dense"),
             },
@@ -280,7 +291,13 @@ def resnet50_from_torchvision(sd: Mapping, stage_sizes=(3, 4, 6, 3)):
             for j in (1, 2, 3):
                 bp[f"conv{j}"] = _conv(sd, f"{t}.conv{j}")
                 bp[f"bn{j}"], bs[f"bn{j}"] = _bn(sd, f"{t}.bn{j}")
-            if f"{t}.downsample.0.weight" in sd:
+            if block == 0:
+                # projection shortcuts exist on the FIRST block of every
+                # stage structurally (torchvision resnet50) — resolved
+                # through the standard lookup so an absent tensor raises
+                # in strict mode / merges from init in tolerant mode,
+                # instead of silently omitting the subtree and crashing
+                # later on a tree-structure mismatch
                 bp["downsample_conv"] = _conv(sd, f"{t}.downsample.0")
                 bp["downsample_bn"], bs["downsample_bn"] = _bn(
                     sd, f"{t}.downsample.1")
@@ -340,6 +357,13 @@ def vit_backbone_to_timm(params, prefix: str = "", patch_size: int = 16,
     sd = {}
     k = _np(params["patch_embed"]["kernel"])             # [p*p*c, D]
     d = k.shape[1]
+    inferred = round((k.shape[0] / channels) ** 0.5)
+    if inferred * inferred * channels == k.shape[0]:
+        patch_size = inferred        # export any patch size, not just 16
+    elif patch_size * patch_size * channels != k.shape[0]:
+        raise ValueError(
+            f"patch kernel rows {k.shape[0]} match neither the inferred "
+            f"square patch nor patch_size={patch_size} x {channels}ch")
     sd[f"{prefix}patch_embed.proj.weight"] = k.reshape(
         patch_size, patch_size, channels, d).transpose(3, 2, 0, 1)
     sd[f"{prefix}patch_embed.proj.bias"] = _np(params["patch_embed"]["bias"])

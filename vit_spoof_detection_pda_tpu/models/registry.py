@@ -155,6 +155,14 @@ def build_model(name: str, *, checkpoint_path: Optional[str] = None,
                         "(expected; see registry description)", name)
         elif path:
             log.warning("%s: weight file %s missing — random init", name, path)
+        else:
+            # the docstring promises a warning for EVERY non-placeholder
+            # random init — silently evaluating an untrained network
+            # labeled "pretrained" writes garbage comparison artifacts
+            log.warning(
+                "%s: no %s weights supplied — RANDOM init (pass "
+                "checkpoint_path/pretrained_path to load real weights)",
+                name, entry.weights)
         rng = jax.random.PRNGKey(seed)
         dummy = jnp.zeros((1, 224, 224, 3), jnp.float32)
         variables = module.init(rng, dummy)
@@ -172,12 +180,24 @@ def _drop_mismatched(variables, module, seed):
 
     want = jax.eval_shape(init_fn)
     dropped = []
-    jax.tree_util.tree_map_with_path(
-        lambda kp, got, w: dropped.append("/".join(
-            str(getattr(k, "key", k)) for k in kp))
-        if got.shape != w.shape else None, variables, want)
+    n_leaves = [0]
+    def _check(kp, got, w):
+        n_leaves[0] += 1
+        if got.shape != w.shape:
+            dropped.append("/".join(
+                str(getattr(k, "key", k)) for k in kp))
+    jax.tree_util.tree_map_with_path(_check, variables, want)
     if not dropped:
         return variables, []
+    if len(dropped) >= n_leaves[0]:
+        # EVERY tensor mismatched: a wrong-architecture checkpoint whose
+        # key names happen to line up (e.g. a ViT-L export fed to the
+        # ViT-B registry entry) — the key-mismatch path raises, so the
+        # shape-mismatch path must too, not return a 100% random model
+        raise ValueError(
+            f"checkpoint matched the expected key set but ALL "
+            f"{n_leaves[0]} tensors mismatch the module's shapes — "
+            "wrong architecture for this registry entry")
     init = init_fn()
     merged = jax.tree.map(
         lambda got, w, ini: ini if got.shape != w.shape else got,
