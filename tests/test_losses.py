@@ -78,3 +78,30 @@ def test_loss_factory():
         losses.make_loss_fn("weighted_ce")
     with pytest.raises(ValueError):
         losses.make_loss_fn("nope")
+
+
+def test_cross_entropy_weights_plus_smoothing_matches_torch():
+    """The combined class_weights + label_smoothing case: torch weights
+    each class term of the smoothed target (not the whole per-sample
+    loss) and normalizes the mean by sum(w[label])."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((5, 3)).astype(np.float32)
+    labels = np.array([0, 1, 2, 1, 0])
+    w = np.array([0.5, 2.0, 1.0], np.float32)
+    for s in (0.0, 0.2):
+        want = F.cross_entropy(torch.tensor(logits), torch.tensor(labels),
+                               weight=torch.tensor(w),
+                               label_smoothing=s).item()
+        got = float(losses.cross_entropy(
+            jnp.asarray(logits), jnp.asarray(labels),
+            class_weights=w, label_smoothing=s))
+        assert got == pytest.approx(want, rel=1e-6), (s, got, want)
+
+
+def test_cross_entropy_rejects_bad_reduction():
+    with pytest.raises(ValueError, match="reduction"):
+        losses.cross_entropy(jnp.zeros((2, 2)), jnp.zeros(2, jnp.int32),
+                             reduction="avg")

@@ -32,6 +32,9 @@ def cross_entropy(logits, labels, *, label_smoothing: float = 0.0,
     (not the batch size); with smoothing, the target distribution is
     (1-s)*onehot + s/C.
     """
+    if reduction not in ("mean", "sum", "none"):
+        raise ValueError(f"invalid reduction {reduction!r} "
+                         "(mean | sum | none)")     # torch raises too
     logp = _log_softmax(logits)
     c = logits.shape[-1]
     onehot = jax.nn.one_hot(labels, c, dtype=jnp.float32)
@@ -39,12 +42,17 @@ def cross_entropy(logits, labels, *, label_smoothing: float = 0.0,
         target = onehot * (1.0 - label_smoothing) + label_smoothing / c
     else:
         target = onehot
-    per_sample = -jnp.sum(target * logp, axis=-1)
     if class_weights is not None:
-        w = jnp.asarray(class_weights, jnp.float32)[labels]
-        per_sample = per_sample * w
+        wc = jnp.asarray(class_weights, jnp.float32)
+        # torch weights each CLASS TERM of the smoothed target by w_c
+        # (not the whole per-sample loss by w[label]) and normalizes
+        # the mean by sum(w[label]) — the two agree only without
+        # smoothing
+        per_sample = -jnp.sum(target * wc * logp, axis=-1)
         if reduction == "mean":
-            return jnp.sum(per_sample) / jnp.sum(w)
+            return jnp.sum(per_sample) / jnp.sum(wc[labels])
+    else:
+        per_sample = -jnp.sum(target * logp, axis=-1)
     if reduction == "mean":
         return jnp.mean(per_sample)
     if reduction == "sum":

@@ -3,8 +3,12 @@
 The reference computes ``warmup_steps`` but never applies a warmup ramp:
 CosineAnnealingLR simply runs with ``T_max = total - warmup`` starting at
 full LR (train_advanced.py:599-607).  ``true_warmup=False`` reproduces
-that exactly (including torch's cosine continuing past T_max, since the
-scheduler steps every batch for all ``total`` steps); ``true_warmup=True``
+that exactly, including torch's cosine continuing past T_max — the
+reference steps its scheduler once per ACCUMULATED update
+(train_advanced.py:332-339), so over ``total/accum`` updates against a
+``T_max`` sized in micro-steps the cosine under-advances; this port
+instead sizes the horizon in updates (trainer.py divides by accum — a
+documented deviation that completes the cosine).  ``true_warmup=True``
 gives a real linear ramp followed by cosine decay.
 """
 

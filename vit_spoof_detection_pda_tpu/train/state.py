@@ -52,6 +52,13 @@ def make_optimizer(learning_rate, *, weight_decay: float = 0.05,
                              weight_decay=weight_decay))
     tx = optax.chain(*chain)
     if gradient_accumulation_steps > 1:
+        # documented deviation: MultiSteps applies the MEAN of the
+        # accumulated micro-gradients; the reference sums them (its
+        # loss is never divided by the accumulation count,
+        # train_advanced.py:326-339), i.e. an accum-times-larger
+        # gradient whenever the 1.0 clip is inactive.  Mean keeps the
+        # effective LR independent of the accumulation count — the
+        # standard semantics large-batch recipes assume.
         tx = optax.MultiSteps(tx, gradient_accumulation_steps)
     return tx
 

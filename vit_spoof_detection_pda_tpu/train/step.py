@@ -70,7 +70,7 @@ def make_train_step(loss_fn: Callable, *, has_batch_stats: bool = False,
         metrics = {
             "loss": loss,
             "accuracy": jnp.mean((preds == labels).astype(jnp.float32)),
-            "grad_norm": optax_global_norm(grads),
+            "grad_norm": _global_norm_f32(grads),
         }
         return new_state, metrics
 
@@ -85,7 +85,10 @@ def make_train_step(loss_fn: Callable, *, has_batch_stats: bool = False,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def optax_global_norm(tree):
+def _global_norm_f32(tree):
+    """Like optax.global_norm but with the squares ACCUMULATED in f32 —
+    an intentional deviation for mixed-precision grad leaves (the
+    optax_-style name previously implied this was the stock helper)."""
     leaves = jax.tree.leaves(tree)
     return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32)))
                         for x in leaves))

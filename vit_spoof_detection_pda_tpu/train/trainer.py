@@ -340,7 +340,9 @@ class Trainer:
                 count += 1
             if ((i + 1) % self.config.telemetry.log_interval == 0
                     and prev is not None):
-                step = step0 + i        # prev's micro-step index
+                # prev holds the metrics of the PREVIOUS batch (the
+                # one-behind fetch) — its micro-step index is i-1
+                step = step0 + i - 1
                 record = {
                     "train/loss": float(prev["loss"]),
                     "train/acc": float(prev["accuracy"]),
