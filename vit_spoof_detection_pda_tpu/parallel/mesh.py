@@ -123,8 +123,16 @@ _TP_RULES = [
 def _spec_for_path(path: str, leaf) -> P:
     for pat, spec in _TP_RULES:
         if pat.match(path):
-            if len(spec) <= leaf.ndim:
+            if len(spec) == leaf.ndim:
                 return spec
+            if len(spec) < leaf.ndim:
+                # stacked/scanned layouts carry leading layer dims (e.g.
+                # the pipeline's [L, D, 3D] blocks): anchor the 2-D rule
+                # to the TRAILING dims — sharding dim 1 of a rank-3 qkv
+                # kernel would split input rows, silently inverting the
+                # Megatron column split
+                return P(*([None] * (leaf.ndim - len(spec)) + list(spec)))
+            return P()   # first name-match wins; rank too low: replicate
     return P()  # replicated
 
 

@@ -75,6 +75,13 @@ def stack_block_params(vit_params: dict, depth: int):
     stacked_blocks: the ``block{i}`` pytrees stacked on a new leading
     layer dim (sharded over ``pipe``); rest: everything else (patch
     embed, cls/pos, final norm), untouched."""
+    n_blocks = sum(1 for k in vit_params if _is_block_key(k))
+    if n_blocks != depth:
+        # pipe_param_specs validates this; the packer must too — taking
+        # range(depth) of a deeper tree would silently run a TRUNCATED
+        # model
+        raise ValueError(f"param tree has {n_blocks} encoder blocks but "
+                         f"depth={depth}")
     blocks = [vit_params[f"block{i}"] for i in range(depth)]
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
     rest = {k: v for k, v in vit_params.items() if not _is_block_key(k)}

@@ -66,6 +66,11 @@ class _Resilient:
         if self._exe is not None:
             try:
                 return self._exe(*args)
+            except TypeError:
+                # caller-side argument mismatch (wrong shape/dtype/tree):
+                # a fresh compile would raise the SAME error after paying
+                # the minutes-long remote compile — surface it directly
+                raise
             except Exception as e:                 # noqa: BLE001
                 log.warning("cached executable failed at call time (%s) — "
                             "recompiling", e)
@@ -78,12 +83,24 @@ class _Resilient:
 def cached_compile(fn, example_args: tuple, *, key: str,
                    cache_dir: str = None, static_argnums=()):
     """AOT-compile ``fn`` for ``example_args`` with an on-disk executable
-    cache.  Returns the loaded executable (callable with the same arg
-    structure).  Falls back to a plain compile on any cache failure."""
+    cache.  Falls back to a plain compile on any cache failure.
+
+    The result is callable with the same arg structure MINUS any
+    ``static_argnums`` positions: jax AOT executables bind static args
+    at lowering time and reject them at call time (``compiled(x)``, not
+    ``compiled(x, 5)``)."""
     from jax.experimental import serialize_executable as se
 
     cache_dir = cache_dir or DEFAULT_CACHE_DIR
-    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+    except OSError as e:
+        # read-only HOME / bad PAD_AOT_CACHE: compile uncached, as the
+        # cache-failure contract promises, instead of aborting
+        log.warning("AOT cache dir %s unusable (%s) — compiling uncached",
+                    cache_dir, e)
+        return jax.jit(fn, static_argnums=static_argnums).lower(
+            *example_args).compile()
 
     # Always TRACE (cheap, local) — tracing runs dispatch-time logic such
     # as ops.attention's pallas_calls accounting, which callers assert on;
@@ -110,7 +127,9 @@ def cached_compile(fn, example_args: tuple, *, key: str,
     compiled = lowered.compile()
     try:
         blob = pickle.dumps(se.serialize(compiled))
-        tmp = path + ".tmp"
+        # unique tmp per process: two concurrent writers sharing one
+        # "<path>.tmp" can interleave and PUBLISH a corrupt entry
+        tmp = f"{path}.tmp.{os.getpid()}"
         with open(tmp, "wb") as f:
             f.write(blob)
         os.replace(tmp, path)
