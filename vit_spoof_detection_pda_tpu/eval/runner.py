@@ -144,6 +144,14 @@ def run_inference(module, variables, records: Sequence[Record], *,
                         resize="exact", num_workers=num_workers,
                         shuffle=False, drop_last=False)
     if fastserve:
+        if not normalize:
+            # fold_normalization unconditionally bakes /255 + ImageNet
+            # normalization into the weights — honoring normalize=False
+            # is impossible on this path and silently wrong scores are
+            # worse than an error
+            raise ValueError("fastserve always folds normalization into "
+                             "the weights; normalize=False is only "
+                             "supported on the standard path")
         infer, variables = make_fastserve_infer(
             module, variables, mesh=mesh, interpret=interpret)
     else:
@@ -155,8 +163,13 @@ def run_inference(module, variables, records: Sequence[Record], *,
     labels = np.asarray([r.label for r in records], np.int32)
 
     from ..ops.attention import attention_sharding
+    # enter the context for interpret=True even WITHOUT a mesh: a CPU
+    # test that requests the Pallas-interpret path would otherwise
+    # silently run the dense fallback (green tests, zero kernel
+    # coverage)
     ctx = (attention_sharding(mesh=mesh, interpret=interpret)
-           if mesh is not None else contextlib.nullcontext())
+           if (mesh is not None or interpret)
+           else contextlib.nullcontext())
 
     def collect(pending):
         out, idx, b = pending

@@ -161,13 +161,9 @@ def _attn_block_fwd_pallas(x, lns, lnb, wqkv, bqkv, wproj, bproj,
 
 
 def _ln_forward(x, scale, bias, eps):
-    """f32 LayerNorm (normalized + affine); backward-pass statistics are
-    recomputed where needed (_abt_bwd) rather than threaded from here."""
-    x32 = x.astype(jnp.float32)
-    mu = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean((x32 - mu) ** 2, axis=-1, keepdims=True)
-    xh = (x32 - mu) * jax.lax.rsqrt(var + eps)
-    return xh * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    """f32 LayerNorm (normalized + affine) — _ln_xhat's affine output;
+    backward-pass statistics are recomputed where needed (_abt_bwd)."""
+    return _ln_xhat(x, scale, bias, eps)[1]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
@@ -176,9 +172,15 @@ def attn_block_train(x, lns, lnb, wqkv, bqkv, wproj, bproj,
     """x + proj(attention(LN1(x) @ Wqkv + b)) with fused Pallas forward
     and recompute-free backward.  Weight args are the COMPUTE dtype
     (cast outside); LN params stay f32."""
-    o, _, _, _ = _attn_block_fwd_pallas(x, lns, lnb, wqkv, bqkv, wproj,
-                                        bproj, num_heads, eps, interpret)
-    return o
+    # non-differentiated calls (e.g. a plain forward through the
+    # make_apply wrapper) take the SERVING kernel: identical math, one
+    # output — the residual-emitting kernel writes ~2.4x the useful
+    # bytes (qkv/attn/xhat) that XLA cannot DCE out of an opaque
+    # pallas_call.  The residuals are produced only in _abt_fwd, where
+    # the backward actually consumes them.
+    from ..ops.attention import fused_attention_block
+    return fused_attention_block(x, lns, lnb, wqkv, bqkv, wproj, bproj,
+                                 num_heads, eps=eps, interpret=interpret)
 
 
 def _abt_fwd(x, lns, lnb, wqkv, bqkv, wproj, bproj, num_heads, eps,

@@ -45,7 +45,12 @@ def dot_product_attention(q, k, v, *, dtype=jnp.float32,
     einsum path.
     """
     if use_fused is None:
-        use_fused = jax.default_backend() == "tpu"
+        # single-chip only, like every other dispatch in the codebase:
+        # GSPMD cannot partition a pallas_call, so the fused kernel under
+        # multi-chip pjit would fail to compile or force replication
+        # (multi-device uses ops/attention.py::attention_sharding)
+        use_fused = (jax.default_backend() == "tpu"
+                     and jax.device_count() == 1)
     if use_fused:
         from ..ops.attention import fused_attention
         return fused_attention(q, k, v)
