@@ -33,7 +33,7 @@ class _Base:
     def with_overrides(self, overrides: dict[str, Any]) -> "Any":
         """Return a copy with dotted-path overrides applied.
 
-        ``{"train.learning_rate": 1e-5, "model.dropout": 0.2}`` — the same
+        ``{"optim.learning_rate": 1e-5, "model.dropout": 0.2}`` — the same
         role the reference's ``wandb.config.get(...)`` fallbacks play
         (train_advanced.py:498-505).
         """
@@ -302,7 +302,7 @@ class Config(_Base):
         return PRESETS[name]()
 
     def with_env_overrides(self, prefix: str = "PAD_") -> "Config":
-        """Apply `PAD_train__learning_rate=...`-style env overrides."""
+        """Apply `PAD_optim__learning_rate=...`-style env overrides."""
         overrides = {}
         for key, raw in os.environ.items():
             if not key.startswith(prefix):

@@ -195,6 +195,14 @@ def _run_training(cfg: Config, train_batches, val_recs, steps, counts,
                 "non-default model geometry or convert the checkpoint "
                 "explicitly (models.convert)")
 
+    if cfg.checkpoint.keep_best_by != "val_f1":
+        # the Trainer records only {"val_f1", "epoch"} in its save
+        # metrics — any other key ranks every checkpoint as a tie and
+        # silently degrades best-by-metric retention to keep-latest
+        log.warning(
+            "checkpoint.keep_best_by=%r but Trainer saves record only "
+            "val_f1 — best-k retention will treat all checkpoints as "
+            "ties", cfg.checkpoint.keep_best_by)
     ckpt = CheckpointManager(
         cfg.checkpoint.save_dir,
         max_to_keep=cfg.checkpoint.max_to_keep,

@@ -108,7 +108,7 @@ def _gp_ei(x_seen: np.ndarray, y_seen: np.ndarray, x_cand: np.ndarray,
            length_scale: float = 0.35, noise: float = 1e-4) -> np.ndarray:
     """Expected Improvement of candidates under an RBF-kernel GP fit to
     (x_seen, y_seen) (maximization; y standardized internally)."""
-    from scipy.special import erf
+    from jax.scipy.special import erf
 
     mu_y, sd_y = float(np.mean(y_seen)), float(np.std(y_seen)) or 1.0
     y = (y_seen - mu_y) / sd_y
@@ -146,16 +146,24 @@ def run_sweep(base_config: Config,
     shape as the reference's wandb Bayesian sweep, self-contained.
     method="random_exploit": random exploration then perturb-the-best.
     """
+    if method not in ("bayes", "random_exploit"):
+        raise ValueError(f"unknown sweep method {method!r} "
+                         "(bayes | random_exploit)")
     space = space or DEFAULT_SPACE
     rng = random.Random(seed)
     results: List[SweepResult] = []
+
+    def _finite_key(r):
+        # a diverged trial's NaN metric must rank WORST, not poison the
+        # sort/argmax (NaN comparisons are arbitrary-order)
+        return r.metric if math.isfinite(r.metric) else -math.inf
 
     def propose(i):
         if method == "random_exploit":
             n_explore = max(1, int(count * explore_fraction))
             if i < n_explore or not results:
                 return {k: _sample(v, rng) for k, v in space.items()}
-            best = max(results, key=lambda r: r.metric)
+            best = max(results, key=_finite_key)
             return {k: _perturb(space[k], best.overrides[k], rng)
                     for k in space}
         if i < n_init or len(results) < 2:
@@ -199,7 +207,7 @@ def run_sweep(base_config: Config,
         log.info("sweep run %d/%d %s=%.5f %s", i + 1, count, metric, score,
                  overrides)
 
-    results.sort(key=lambda r: r.metric, reverse=True)
+    results.sort(key=_finite_key, reverse=True)
     return results
 
 

@@ -30,6 +30,9 @@ class CheckpointManager:
     def __init__(self, directory: str, *, max_to_keep: int = 3,
                  best_metric: str = "val_f1", best_mode: str = "max",
                  save_every_epochs: int = 10, async_save: bool = False):
+        # save_every_epochs is informational: the PERIODICITY decision
+        # lives in the Trainer (trainer.py), which reads its config
+        # directly — tuning it here alone has no effect.
         """``async_save=True`` writes checkpoints on a background thread:
         ``save()`` returns as soon as the state is snapshotted off-device
         and training continues while serialization/IO runs (a full
@@ -195,24 +198,8 @@ def load_params_from_dir(directory: str, step: Optional[int] = None):
     Orbax checkpoint directory written by :class:`CheckpointManager`,
     without needing the TrainState template — the bridge that lets the
     eval/benchmark CLIs consume checkpoints produced by training."""
-    directory = os.path.abspath(directory)
-    mgr = ocp.CheckpointManager(
-        directory,
-        options=ocp.CheckpointManagerOptions(enable_async_checkpointing=False))
-    try:
-        if step is None:
-            step = mgr.latest_step()
-        if step is None:
-            raise FileNotFoundError(f"no checkpoints in {directory}")
-        restored = mgr.restore(
-            step, args=ocp.args.Composite(tree=ocp.args.PyTreeRestore()))
-        tree = restored["tree"]["state"]
-        variables = {"params": tree["params"]}
-        if "batch_stats" in tree:
-            variables["batch_stats"] = tree["batch_stats"]
-        return variables, int(step)
-    finally:
-        mgr.close()
+    variables, step, _metrics = load_checkpoint_bundle(directory, step)
+    return variables, step
 
 
 def _state_tree(state) -> dict:
@@ -236,17 +223,29 @@ def load_checkpoint_bundle(directory: str, step: Optional[int] = None):
     ONE manager pass — params plus the metrics JSON (epoch, val_f1, ...
     from Trainer saves), no state template needed."""
     directory = os.path.abspath(directory)
+    # item_handlers make item_metadata readable from a FRESH manager
+    # (without them the metadata tree is empty and restore_args below
+    # would be a no-op)
     mgr = ocp.CheckpointManager(
         directory,
-        options=ocp.CheckpointManagerOptions(enable_async_checkpointing=False))
+        options=ocp.CheckpointManagerOptions(enable_async_checkpointing=False),
+        item_handlers={"tree": ocp.PyTreeCheckpointHandler(),
+                       "metrics": ocp.JsonCheckpointHandler()})
     try:
         if step is None:
             step = mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints in {directory}")
+        # restore as HOST numpy: without restore_args orbax re-applies
+        # the sharding recorded at SAVE time, which fails when the
+        # eval/export host has a different device topology than the
+        # training mesh (orbax warns this fallback is unsafe)
+        ra = jax.tree.map(
+            lambda _m: ocp.RestoreArgs(restore_type=np.ndarray),
+            mgr.item_metadata(step)["tree"])
         restored = mgr.restore(
             step, args=ocp.args.Composite(
-                tree=ocp.args.PyTreeRestore(),
+                tree=ocp.args.PyTreeRestore(restore_args=ra),
                 metrics=ocp.args.JsonRestore()))
         tree = restored["tree"]["state"]
         variables = {"params": tree["params"]}
