@@ -239,10 +239,15 @@ def load_checkpoint_bundle(directory: str, step: Optional[int] = None):
         # restore as HOST numpy: without restore_args orbax re-applies
         # the sharding recorded at SAVE time, which fails when the
         # eval/export host has a different device topology than the
-        # training mesh (orbax warns this fallback is unsafe)
-        ra = jax.tree.map(
-            lambda _m: ocp.RestoreArgs(restore_type=np.ndarray),
-            mgr.item_metadata(step)["tree"])
+        # training mesh (orbax warns this fallback is unsafe).  Only the
+        # "state" subtree holds arrays — forcing np.ndarray onto the
+        # config payload's string leaves makes tensorstore look for
+        # zarr metadata that does not exist
+        meta = mgr.item_metadata(step)["tree"]
+        ra = {k: jax.tree.map(
+            lambda _m, _k=k: (ocp.RestoreArgs(restore_type=np.ndarray)
+                              if _k == "state" else ocp.RestoreArgs()), v)
+            for k, v in meta.items()}
         restored = mgr.restore(
             step, args=ocp.args.Composite(
                 tree=ocp.args.PyTreeRestore(restore_args=ra),
