@@ -32,6 +32,58 @@ def test_expand_records_differential():
     assert (live_total, spoof_total) == (27, 18)
 
 
+def test_online_worker_budget_split_across_pipes():
+    """num_workers / prefetch_depth are a PER-RUN budget: four
+    concurrent group pipes must split them, not each spin the full
+    count (4x host load otherwise)."""
+    data = OnlineAugmentedData(_recs(3, 6), live_mult=8, spoof_mult=2,
+                               batch_size=2, img_size=16,
+                               num_workers=8, prefetch_depth=8)
+    assert len(data.pipes) == 4
+    for p in data.pipes.values():
+        assert p.num_workers == 2
+        assert p.prefetch_depth == 2
+    # the budget floors at 1 per pipe, never 0
+    tiny = OnlineAugmentedData(_recs(3, 6), live_mult=8, spoof_mult=2,
+                               batch_size=2, img_size=16,
+                               num_workers=2, prefetch_depth=1)
+    for p in tiny.pipes.values():
+        assert p.num_workers == 1
+        assert p.prefetch_depth == 1
+
+
+def test_online_group_seeds_independent_across_epochs():
+    """Pipe seeds must not collide across (group, epoch) pairs: with
+    additive seed+j the heavy pipe at epoch e reuses the medium pipe's
+    epoch e-1 permutation (DataPipeline derives order from seed+epoch).
+    The spacing must exceed any plausible epoch horizon."""
+    data = OnlineAugmentedData(_recs(3, 6), live_mult=8, spoof_mult=2,
+                               batch_size=2, img_size=16, num_workers=2)
+    seeds = [p.seed for p in data.pipes.values()]
+    assert len(set(seeds)) == len(seeds)
+    for a in seeds:
+        for b in seeds:
+            if a != b:
+                assert abs(a - b) > 100_000
+
+
+def test_online_small_group_wrap_padded_not_dropped():
+    """A tier with fewer records than batch_size must still train (one
+    wrap-padded batch), not be silently dropped by drop_last.  With 1
+    live x8 copies the heavy tier gets 2 records; at batch_size 4 the
+    old behavior yielded steps_per_epoch == 0 for that group."""
+    recs = _recs(1, 4)  # heavy group: live copies 0,1 -> 2 records
+    data = OnlineAugmentedData(recs, live_mult=8, spoof_mult=1,
+                               batch_size=4, img_size=16, num_workers=1)
+    heavy = data.pipes["heavy"]
+    assert len(heavy.records) == 4          # wrap-padded to one batch
+    assert heavy.steps_per_epoch == 1
+    assert {r.path for r in heavy.records} == {"l0"}
+    # groups that already fill a batch are NOT padded (orig: 1+4=5)
+    assert len(data.pipes["orig"].records) == 5
+    assert data.pipes["orig"].steps_per_epoch == 1
+
+
 def test_online_batches_interleave(tmp_path):
     make_subject_tree(tmp_path, subjects=2, per_class=6, size=16)
     from vit_spoof_detection_pda_tpu.data import scan_raw

@@ -59,10 +59,13 @@ def resize_shorter_side(x, target: int, *, antialias: bool = True):
         h, w = x.shape[0], x.shape[1]
     else:
         h, w = x.shape[1], x.shape[2]
+    # half-away-from-zero, matching the host decoders' grid convention
+    # (data/loader.py / decoder.cpp lround) — Python round() is
+    # banker's rounding and disagrees on exact .5 scales
     if h <= w:
-        new_h, new_w = target, max(1, round(w * target / h))
+        new_h, new_w = target, max(1, int(w * target / h + 0.5))
     else:
-        new_h, new_w = max(1, round(h * target / w)), target
+        new_h, new_w = max(1, int(h * target / w + 0.5)), target
     return resize_bilinear(x, (new_h, new_w), antialias=antialias)
 
 
@@ -127,6 +130,12 @@ def normalize_u8_fused(batch_u8, dtype=jnp.bfloat16):
 
 def center_crop(x, size: int):
     """Center crop NHWC/HWC to (size, size)."""
+    hh, ww = (x.shape[0], x.shape[1]) if x.ndim == 3 else (x.shape[1],
+                                                           x.shape[2])
+    if size > hh or size > ww:
+        # a negative slice start would WRAP and return a garbled sliver
+        raise ValueError(f"center_crop size {size} exceeds input "
+                         f"{hh}x{ww}")
     if x.ndim == 3:
         h, w = x.shape[0], x.shape[1]
         top, left = (h - size) // 2, (w - size) // 2

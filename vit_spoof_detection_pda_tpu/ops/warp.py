@@ -90,63 +90,6 @@ def bilinear_sample_packed(img, ys, xs, *, tap_dtype=None, fill: float = 0.0):
     return jnp.where(valid, out, fill)
 
 
-def _resample_rows_roll(img, shifts, kmax: int):
-    """1-D fractional resample along x with a per-ROW shift, gather-free:
-    ``out[y, x] = in[y, x + shifts[y]]`` built from masked STATIC rolls.
-
-    TPU gathers are the most expensive primitive in the augmentation
-    stack (254 ms per 128x224 warp); a bounded family of static rolls +
-    per-row select compiles to pure vector ops (the whole 3-shear
-    rotation lands at ~19 ms/batch, round-2 measurement).  ``kmax`` is a
-    static bound with |shifts| <= kmax; out-of-frame sources fill 0.
-    """
-    h, w, _ = img.shape
-    if _use_pallas_rolls():
-        from .warp_pallas import resample_rows_field_pallas
-        field = jnp.broadcast_to(
-            shifts.astype(jnp.float32)[:, None], (h, w))
-        return resample_rows_field_pallas(img, field, kmax)
-    i0 = jnp.floor(shifts).astype(jnp.int32)            # [h]
-    f = (shifts - i0).astype(img.dtype)                 # [h]
-    acc = jnp.zeros_like(img)
-    # terms up to kmax suffice: callers bound shift < kmax
-    # (clip to kmax-1e-3 / shear kmax-1 by construction), so
-    # i0 <= kmax-1 and the k=kmax+1 weight is identically 0 —
-    # one full-image roll+FMA of dead work per pass otherwise
-    for k in range(-kmax, kmax + 1):
-        sel = ((i0 == k).astype(img.dtype) * (1 - f)
-               + (i0 == k - 1).astype(img.dtype) * f)   # [h]
-        acc = acc + sel[:, None, None] * jnp.roll(img, -k, axis=1)
-    src = jnp.arange(w, dtype=shifts.dtype)[None, :] + shifts[:, None]
-    valid = ((src >= 0.0) & (src <= w - 1))[..., None]
-    return jnp.where(valid, acc, 0.0)
-
-
-def _resample_cols_roll(img, shifts, kmax: int):
-    """As :func:`_resample_rows_roll` but along y with a per-COLUMN shift:
-    ``out[y, x] = in[y + shifts[x], x]``."""
-    h, w, _ = img.shape
-    if _use_pallas_rolls():
-        from .warp_pallas import resample_cols_field_pallas
-        field = jnp.broadcast_to(
-            shifts.astype(jnp.float32)[None, :], (h, w))
-        return resample_cols_field_pallas(img, field, kmax)
-    i0 = jnp.floor(shifts).astype(jnp.int32)            # [w]
-    f = (shifts - i0).astype(img.dtype)                 # [w]
-    acc = jnp.zeros_like(img)
-    # terms up to kmax suffice: callers bound shift < kmax
-    # (clip to kmax-1e-3 / shear kmax-1 by construction), so
-    # i0 <= kmax-1 and the k=kmax+1 weight is identically 0 —
-    # one full-image roll+FMA of dead work per pass otherwise
-    for k in range(-kmax, kmax + 1):
-        sel = ((i0 == k).astype(img.dtype) * (1 - f)
-               + (i0 == k - 1).astype(img.dtype) * f)   # [w]
-        acc = acc + sel[None, :, None] * jnp.roll(img, -k, axis=0)
-    src = jnp.arange(h, dtype=shifts.dtype)[:, None] + shifts[None, :]
-    valid = ((src >= 0.0) & (src <= h - 1))[..., None]
-    return jnp.where(valid, acc, 0.0)
-
-
 def _use_pallas_rolls() -> bool:
     """Dispatch the roll resamplers to the Pallas scanline kernel.
 
@@ -163,6 +106,34 @@ def _use_pallas_rolls() -> bool:
     if mesh is not None:
         return mesh.devices.size == 1
     return jax.device_count() == 1
+
+
+def _resample_rows_roll(img, shifts, kmax: int):
+    """Per-ROW fractional x-resample:
+    ``out[y, x] = in[y, x + shifts[y]]`` built from masked STATIC rolls.
+
+    TPU gathers are the most expensive primitive in the augmentation
+    stack (254 ms per 128x224 warp); a bounded family of static rolls +
+    per-row select compiles to pure vector ops (the whole 3-shear
+    rotation lands at ~19 ms/batch, round-2 measurement).  ``kmax`` is a
+    static bound with |shifts| <= kmax; out-of-frame sources fill 0.
+
+    Thin wrapper over :func:`_resample_rows_field` (the [h] shift
+    vector broadcasts to the [h, w] field) — ONE copy of the subtle
+    masked-roll accumulation, not four.
+    """
+    h, w, _ = img.shape
+    return _resample_rows_field(
+        img, jnp.broadcast_to(shifts[:, None], (h, w)), kmax)
+
+
+def _resample_cols_roll(img, shifts, kmax: int):
+    """As :func:`_resample_rows_roll` but along y with a per-COLUMN
+    shift: ``out[y, x] = in[y + shifts[x], x]`` (thin wrapper over
+    :func:`_resample_cols_field`)."""
+    h, w, _ = img.shape
+    return _resample_cols_field(
+        img, jnp.broadcast_to(shifts[None, :], (h, w)), kmax)
 
 
 def _resample_rows_field(img, shift, kmax: int):

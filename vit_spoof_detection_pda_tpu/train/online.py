@@ -58,13 +58,32 @@ class OnlineAugmentedData:
                  prefetch_depth: int = 4, seed: int = 42):
         self.groups = expand_records(records, live_mult, spoof_mult)
         self.seed = seed
-        self.pipes = {
-            g: DataPipeline(rs, batch_size=batch_size, img_size=img_size,
-                            resize="exact", num_workers=num_workers,
-                            prefetch_depth=prefetch_depth, shuffle=True,
-                            drop_last=True, seed=seed + j)
-            for j, (g, rs) in enumerate(self.groups.items()) if rs
-        }
+        active = {g: rs for g, rs in self.groups.items() if rs}
+        # the decode budget is PER RUN, not per pipe: four concurrent
+        # group pipes each spinning the full num_workers threads (and
+        # prefetch queues) would 4x the configured host load
+        per_workers = max(1, num_workers // max(len(active), 1))
+        per_prefetch = max(1, prefetch_depth // max(len(active), 1))
+        self.pipes = {}
+        for j, (g, rs) in enumerate(active.items()):
+            if len(rs) < batch_size:
+                # a tier smaller than one batch would be SILENTLY
+                # dropped by drop_last (steps_per_epoch == 0) — wrap-pad
+                # it to one full batch instead (duplicates within the
+                # batch; the engine's online_batches pads the same way)
+                log.warning(
+                    "online group %r has %d records < batch_size %d — "
+                    "wrap-padding to one full batch", g, len(rs),
+                    batch_size)
+                rs = [rs[i % len(rs)] for i in range(batch_size)]
+            # 131071 * j: additive seeds collide across (group, epoch)
+            # pairs (seed+j+e == seed+j'+e' whenever j+e == j'+e'),
+            # correlating permutations that must be independent
+            self.pipes[g] = DataPipeline(
+                rs, batch_size=batch_size, img_size=img_size,
+                resize="exact", num_workers=per_workers,
+                prefetch_depth=per_prefetch, shuffle=True,
+                drop_last=True, seed=seed + 131071 * (j + 1))
 
     @property
     def steps_per_epoch(self) -> int:
