@@ -34,9 +34,18 @@ b256 = {"image": jnp.asarray(rng.integers(0, 256, (B, 256, 256, 3),
 b224 = {"image": jnp.asarray(rng.integers(0, 256, (B, 224, 224, 3),
                                           dtype=np.uint8)), "label": lbl}
 
-chains = {"orig": train_time_chain()}
+# EXACTLY the driver's online composition (train/driver.py::
+# _make_online_data): originals get the train-time chain sans crop
+# (inputs decode at img_size), severity copies get their tier chain
+# PLUS the same train-time ops (reference re-randomizes store copies
+# every epoch).  NOTE: the round-4/6 tables measured tier-only chains
+# and a 256->224 crop orig — numbers shift accordingly.
+from vit_spoof_detection_pda_tpu.train.driver import _train_chain
+
+orig_chain = _train_chain(cfg, crop=False)
+chains = {"orig": orig_chain, "orig_store256": train_time_chain()}
 for g in ("heavy", "medium", "light"):
-    chains[g] = CHAINS[g]()
+    chains[g] = CHAINS[g]() + orig_chain
 
 
 def timed(step, batch, n1=6, n2=18):
@@ -60,7 +69,9 @@ times = {}
 for g, chain in chains.items():
     step = make_train_step(loss_fn, batch_prep=make_prep_fn(cfg, chain),
                            donate=False)
-    batch = b256 if g == "orig" else b224   # copies arrive at img_size
+    # online batches all arrive at img_size; only the offline-store
+    # comparison row decodes at 256 for the RandomCrop jitter
+    batch = b256 if g == "orig_store256" else b224
     t = timed(step, batch)
     times[g] = t
     print(f"[{g}] fused aug+train step: {t*1e3:6.1f} ms "
@@ -82,6 +93,6 @@ for i in range(2):
     counts[severity_for_copy(i, 2)] += spoof
 total = sum(counts.values())
 w = {g: c / total for g, c in counts.items()}
-mix_t = sum(w[g] * times[g] for g in times)
+mix_t = sum(w[g] * times[g] for g in w)
 print(f"weighted mix ({', '.join(f'{g}={w[g]:.2f}' for g in w)}): "
       f"{mix_t*1e3:6.1f} ms -> {B/mix_t:5.0f} img/s", flush=True)
