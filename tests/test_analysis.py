@@ -197,6 +197,11 @@ def test_benchmark_cli_lowlat_validation():
         main(["--lowlat"])                      # needs --device-latency
     with pytest.raises(SystemExit, match="interpret"):
         main(["--lowlat", "--device-latency"])  # CPU backend, no escape
+    # --fastserve --device-latency builds serving_forward directly (no
+    # make_fastserve_infer): the same fail-fast must fire BEFORE the
+    # model loads
+    with pytest.raises(SystemExit, match="fastserve"):
+        main(["--fastserve", "--device-latency"])
 
 
 def test_benchmark_cli_lowlat_batch_grid(monkeypatch):

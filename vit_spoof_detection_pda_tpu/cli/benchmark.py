@@ -98,14 +98,21 @@ def main(argv=None):
     if args.lowlat_batch_grid and args.lowlat_encoder_only:
         parser.error("--lowlat-batch-grid and --lowlat-encoder-only "
                      "select different kernels; pick one")
-    if args.lowlat and not args.interpret:
-        # fail BEFORE the model load, like validate_fastserve (cli/common.py)
+    if ((args.lowlat and not args.interpret)
+            or (args.fastserve and args.device_latency
+                and not args.lowlat)):
+        # fail BEFORE the model load, like validate_fastserve
+        # (cli/common.py); throughput-mode --fastserve gets the same
+        # check inside make_fastserve_infer, but the device-latency
+        # path builds serving_forward directly
         import jax
         if jax.default_backend() != "tpu":
+            flag = "--lowlat" if args.lowlat else "--fastserve"
             raise SystemExit(
-                "--lowlat runs a Pallas TPU kernel; on the "
-                f"'{jax.default_backend()}' backend add --interpret "
-                "(debugging mode) or drop --lowlat")
+                f"{flag} runs Pallas TPU kernels; on the "
+                f"'{jax.default_backend()}' backend "
+                + ("add --interpret (debugging mode) or " if args.lowlat
+                   else "") + f"drop {flag}")
     if args.artifact:
         if not args.device_latency:
             parser.error("--artifact is a --device-latency mode")
