@@ -176,6 +176,119 @@ def test_pipe_param_specs_and_packed_layout(setup):
                                atol=1e-5, rtol=1e-5)
 
 
+# --------------------------------------------------------------------------
+# DPxTPxPP: tensor parallelism INSIDE each pipeline stage (3-axis mesh,
+# model axis left in AUTO/GSPMD mode inside the manual pipeline region;
+# attention head-shards over it with a nested shard_map)
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("data,pipe,model,micro",
+                         [(2, 2, 2, 2), (1, 2, 4, 4), (1, 4, 2, 4)])
+def test_tp_pp_forward_equivalence(setup, data, pipe, model, micro):
+    module, variables, x, ref = setup
+    mesh = make_pipe_mesh(pipe, data=data, model=model)
+    got = jax.jit(lambda v, im: pipeline_apply(
+        module, v, im, mesh, microbatches=micro))(variables, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_tp_pp_sgd_step_matches_single_device(setup):
+    """One SGD step at DPxTPxPP 2x2x2 == one step through the plain
+    module — the full 3-axis training contract, through the nested
+    Pallas attention kernel (interpret) and its custom VJP."""
+    from vit_spoof_detection_pda_tpu.ops.attention import (_context,
+                                                           manual_attention)
+
+    module, variables, x, _ = setup
+    mesh = make_pipe_mesh(2, data=2, model=2)
+    tgt = jnp.asarray(np.arange(x.shape[0]) % 2, jnp.int32)
+
+    def step(params, use_pp):
+        def loss(p):
+            if use_pp:
+                logits = pipeline_apply(module, {"params": p}, x, mesh,
+                                        microbatches=2)
+            else:
+                logits = module.apply({"params": p}, x)
+            return jnp.mean(
+                -jax.nn.log_softmax(logits)[jnp.arange(tgt.size), tgt])
+
+        g = jax.grad(loss)(params)
+        return jax.tree.map(lambda w, gw: w - 0.1 * gw, params, g)
+
+    p_ref = jax.jit(lambda p: step(p, False))(variables["params"])
+    before = _context["pallas_calls"]
+    with manual_attention(interpret=True):
+        p_pp = jax.jit(lambda p: step(p, True))(variables["params"])
+        p_pp = jax.tree.map(np.asarray, p_pp)
+    assert _context["pallas_calls"] > before, \
+        "TP-in-pipeline did not take the nested Pallas path"
+    for (path, a), b in zip(jax.tree_util.tree_leaves_with_path(p_ref),
+                            jax.tree.leaves(p_pp)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-4,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_tp_pp_indivisible_heads_dense_fallback(setup):
+    """num_heads % model != 0: attention drops to the dense einsum
+    (GSPMD partitions it over the auto model axis) and the pipeline
+    still matches the plain module."""
+    module = tiny_model()
+    module = ViTAntiSpoof(patch_size=16, embed_dim=66, depth=4,
+                          num_heads=3, hidden=32, dropout=0.0)
+    x = make_inputs()
+    variables = module.init(jax.random.PRNGKey(2), x)
+    ref = module.apply(variables, x)
+    mesh = make_pipe_mesh(2, data=2, model=2)
+    got = jax.jit(lambda v, im: pipeline_apply(
+        module, v, im, mesh, microbatches=2))(variables, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_tp_pp_param_specs_megatron_layout(setup):
+    """stacked_pipe_specs / pipe_param_specs(tp=True): qkv/fc1 column-
+    split and proj/fc2 row-split over ``model`` on top of the ``pipe``
+    layer split; norms replicated over model."""
+    from jax.sharding import PartitionSpec as P
+
+    from vit_spoof_detection_pda_tpu.parallel.pipeline import (
+        pack_pipeline_params, stacked_pipe_specs)
+
+    module, variables, _, _ = setup
+    stacked, _ = stack_block_params(variables["params"]["vit"],
+                                    module.depth)
+    specs = stacked_pipe_specs(stacked, tp=True)
+    assert specs["attn"]["qkv"]["kernel"] == P("pipe", None, "model")
+    assert specs["attn"]["qkv"]["bias"] == P("pipe", "model")
+    assert specs["attn"]["proj"]["kernel"] == P("pipe", "model", None)
+    assert specs["attn"]["proj"]["bias"] == P("pipe", None)
+    assert specs["mlp"]["fc1"]["kernel"] == P("pipe", None, "model")
+    assert specs["mlp"]["fc2"]["kernel"] == P("pipe", "model", None)
+    assert specs["norm1"]["scale"] == P("pipe", None)
+
+    packed_specs = pipe_param_specs(variables, module.depth, tp=True)
+    bs = packed_specs["params"]["vit"]["blocks"]
+    assert bs["attn"]["qkv"]["kernel"] == P("pipe", None, "model")
+    assert bs["mlp"]["fc2"]["kernel"] == P("pipe", "model", None)
+    # the packed layout still applies end-to-end on the 3-axis mesh
+    from jax.sharding import NamedSharding
+    mesh = make_pipe_mesh(2, data=2, model=2)
+    packed = pack_pipeline_params(variables, module.depth)
+    placed = jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
+        packed, packed_specs)
+    x = make_inputs()
+    ref = module.apply(variables, x)
+    got = jax.jit(lambda v, im: pipeline_apply(
+        module, v, im, mesh, microbatches=2))(placed, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_forward_equivalence_flagship_depth():
     """Production depth: 12 encoder layers over 4 stages (3 layers per
     stage-local scan) — the flagship ViT-B partitioning shape, tiny

@@ -569,8 +569,17 @@ def dispatch_attention_qkv(qkv, num_heads: int, dense_fallback):
     on_tpu = jax.default_backend() == "tpu"
 
     if _context["manual"]:
-        # already inside a shard_map region (manual_attention): the
-        # kernel runs per-device as-is; a nested shard_map would fail
+        # already inside a shard_map region (manual_attention).  If the
+        # surrounding region left a ``model`` mesh axis in AUTO (GSPMD)
+        # mode — the DPxTPxPP pipeline, parallel/pipeline.py — heads
+        # shard over it with a nested shard_map (nesting over an auto
+        # axis is allowed); otherwise the kernel runs per-device as-is.
+        n_model = _auto_model_axis_size()
+        if n_model > 1:
+            if (on_tpu or interpret) and num_heads % n_model == 0:
+                return _tp_head_sharded_nested(qkv, num_heads, n_model,
+                                               interpret)
+            return dense_fallback(qkv)   # GSPMD partitions the einsum
         if on_tpu or interpret:
             _context["pallas_calls"] += 1
             return fused_attention_qkv(qkv, num_heads, interpret)
@@ -600,6 +609,51 @@ def dispatch_attention_qkv(qkv, num_heads: int, dense_fallback):
         _context["pallas_calls"] += 1
         return fused_attention_qkv(qkv, num_heads, interpret)
     return dense_fallback(qkv)
+
+
+def _auto_model_axis_size() -> int:
+    """Size of the ``model`` mesh axis if the CURRENT trace context is a
+    partially-manual shard_map that left it in AUTO (GSPMD) mode — the
+    DPxTPxPP pipeline's body — else 1."""
+    from ..parallel.mesh import MODEL_AXIS
+
+    am = jax.sharding.get_abstract_mesh()
+    if am is None or MODEL_AXIS not in getattr(am, "auto_axes", ()):
+        return 1
+    return dict(zip(am.axis_names, am.axis_sizes))[MODEL_AXIS]
+
+
+def _tp_head_sharded_nested(qkv, num_heads: int, n_model: int,
+                            interpret: bool):
+    """:func:`_tp_head_sharded` for a partially-manual region: the caller
+    is already inside a shard_map whose ``data``/``pipe`` axes are manual
+    while ``model`` stays auto (parallel/pipeline.py DPxTPxPP).  The
+    nested shard_map manualizes ONLY the model axis (inherited from the
+    context mesh), so each device runs the unchanged Pallas kernel on
+    its local heads of its local microbatch."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import MODEL_AXIS
+
+    b, t, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // num_heads
+    h_loc = num_heads // n_model
+    _context["pallas_calls"] += 1
+
+    hm = qkv.reshape(b, t, 3, num_heads, dh).transpose(0, 1, 3, 2, 4)
+    hm = hm.reshape(b, t, num_heads, 3 * dh)
+
+    def local(x):
+        fused = x.reshape(b, t, h_loc, 3, dh).transpose(0, 1, 3, 2, 4)
+        fused = fused.reshape(b, t, 3 * h_loc * dh)
+        return fused_attention_qkv(fused, h_loc, interpret)
+
+    f = jax.shard_map(
+        local, in_specs=P(None, None, MODEL_AXIS, None),
+        out_specs=P(None, None, MODEL_AXIS),
+        axis_names=frozenset({MODEL_AXIS}), check_vma=False)
+    return f(hm)
 
 
 def _tp_head_sharded(qkv, num_heads: int, mesh, n_model: int,

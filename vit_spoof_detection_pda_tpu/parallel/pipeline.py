@@ -24,6 +24,15 @@ multi-controller scheduler:
   the pipelined region as ordinary GSPMD ops (data-sharded over the
   ``data`` axis, replicated over ``pipe``) — they are <3% of FLOPs and
   this keeps the pipelined region a pure layer loop.
+- DP x TP x PP: ``make_pipe_mesh(model=...)`` adds a tensor-parallel
+  axis INSIDE each stage.  The shard_map manualizes only data+pipe
+  (``axis_names``); the model axis stays AUTO, so GSPMD partitions each
+  block's GEMMs Megatron-style from the stacked leaves' trailing-dim
+  shardings (mesh._TP_RULES via ``stacked_pipe_specs``) and handles the
+  gradient replication counting, while attention head-shards over the
+  auto axis with a nested shard_map (ops/attention.py::
+  _tp_head_sharded_nested) so the Pallas kernel survives the 3-axis
+  mesh.  A partially-manual shard_map traces only under jit.
 - The whole schedule is `jax.grad`-differentiable (scan + ppermute have
   exact transposes), giving GPipe semantics: full forward, then full
   backward, bubble fraction (S-1)/(M+S-1) in each direction.
@@ -49,20 +58,29 @@ from .mesh import DATA_AXIS
 PIPE_AXIS = "pipe"
 
 
-def make_pipe_mesh(pipe: int, data: int = 1, devices=None) -> Mesh:
-    """Build a (data, pipe) mesh.  Stages are laid out minor so each
-    pipeline ring's ppermute hops between mesh-adjacent devices.
-    ``data=-1`` -> all remaining devices (same convention as
+def make_pipe_mesh(pipe: int, data: int = 1, model: int = 1,
+                   devices=None) -> Mesh:
+    """Build a (data, pipe[, model]) mesh.  ``model > 1`` adds a
+    tensor-parallel axis INSIDE each pipeline stage (DPxTPxPP — see
+    `_pipeline_encoder`); it is laid out minor-most so each stage's
+    per-layer TP all-reduces ride mesh-adjacent devices, with the
+    pipeline ring's single ppermute hop per tick taking the larger
+    stride.  ``data=-1`` -> all remaining devices (same convention as
     make_mesh / make_seq_mesh)."""
     devices = np.asarray(devices if devices is not None else jax.devices())
     n = devices.size
     if data == -1:
-        if n % pipe:
-            raise ValueError(f"{n} devices not divisible by pipe={pipe}")
-        data = n // pipe
-    if data * pipe != n:
-        raise ValueError(f"mesh {data}x{pipe} != {n} devices")
-    return Mesh(devices.reshape(data, pipe), (DATA_AXIS, PIPE_AXIS))
+        if n % (pipe * model):
+            raise ValueError(f"{n} devices not divisible by "
+                             f"pipe*model={pipe * model}")
+        data = n // (pipe * model)
+    if data * pipe * model != n:
+        raise ValueError(f"mesh {data}x{pipe}x{model} != {n} devices")
+    if model == 1:
+        return Mesh(devices.reshape(data, pipe), (DATA_AXIS, PIPE_AXIS))
+    from .mesh import MODEL_AXIS
+    return Mesh(devices.reshape(data, pipe, model),
+                (DATA_AXIS, PIPE_AXIS, MODEL_AXIS))
 
 
 def _is_block_key(k: str) -> bool:
@@ -173,15 +191,28 @@ def _pipeline_encoder(x, stacked, block_fn, mesh: Mesh, microbatches: int):
 
     # pin the stacked tree's layout so GSPMD materializes each device's
     # layer slice, not a replicated full stack, before the shard_map
-    # in_spec slices it
+    # in_spec slices it.  With a model axis (DPxTPxPP) each leaf ALSO
+    # carries its Megatron spec on the trailing dims (mesh._TP_RULES via
+    # stacked_pipe_specs) — the pipe dim is manualized by the shard_map
+    # below while the model-dim sharding stays AUTO and GSPMD partitions
+    # the block GEMMs Megatron-style inside the manual region.
+    from .mesh import MODEL_AXIS
     from jax.sharding import NamedSharding
+    n_model = mesh.shape.get(MODEL_AXIS, 1)
+    specs = stacked_pipe_specs(stacked, tp=n_model > 1)
     stacked = jax.tree.map(
-        lambda a: jax.lax.with_sharding_constraint(
-            a, NamedSharding(mesh, P(PIPE_AXIS))), stacked)
+        lambda a, s: jax.lax.with_sharding_constraint(
+            a, NamedSharding(mesh, s)), stacked, specs)
 
     # blocks are applied INSIDE this shard_map: attention must dispatch
     # per-device (a nested shard_map against the training mesh in an
-    # active attention_sharding context fails to trace)
+    # active attention_sharding context fails to trace).  Under DPxTPxPP
+    # only data+pipe are manualized; dispatch_attention_qkv sees the
+    # auto model axis and head-shards with a nested shard_map.  NOTE:
+    # a partially-manual shard_map traces only under jit (eager raises
+    # a spurious out_specs error) — pipeline_apply callers jit the step.
+    manual_axes = (frozenset({DATA_AXIS, PIPE_AXIS}) if n_model > 1
+                   else frozenset())
     from ..ops.attention import manual_attention
     with manual_attention():
         out = shard_map(
@@ -189,8 +220,27 @@ def _pipeline_encoder(x, stacked, block_fn, mesh: Mesh, microbatches: int):
             in_specs=(P(None, DATA_AXIS), P(PIPE_AXIS)),
             out_specs=P(None, DATA_AXIS),
             check_vma=False,
+            **({"axis_names": manual_axes} if manual_axes else {}),
         )(xmb, stacked)
     return out.reshape(b, t, d)
+
+
+def stacked_pipe_specs(stacked, *, tp: bool):
+    """PartitionSpecs for a stacked block tree: leading layer dim over
+    ``pipe``; with ``tp`` each leaf adds its Megatron model-axis spec on
+    the trailing dims (mesh._TP_RULES — qkv/fc1 column-split, proj/fc2
+    row-split, norms/odd biases replicated)."""
+    if not tp:
+        return jax.tree.map(lambda _: P(PIPE_AXIS), stacked)
+    from .mesh import param_specs
+    tails = param_specs(stacked)      # trailing-dim anchored, full rank
+
+    def combine(leaf, tail):
+        names = list(tail) + [None] * (leaf.ndim - len(tail))
+        names[0] = PIPE_AXIS
+        return P(*names)
+
+    return jax.tree.map(combine, stacked, tails)
 
 
 def pipeline_apply(module, variables, images, mesh: Mesh, *,
@@ -249,7 +299,7 @@ def pipeline_apply(module, variables, images, mesh: Mesh, *,
         train=train, rngs=rngs)
 
 
-def pipe_param_specs(variables, depth: int):
+def pipe_param_specs(variables, depth: int, *, tp: bool = False):
     """PartitionSpecs for the :func:`pack_pipeline_params` layout: the
     ``"blocks"`` stacked subtree shards its leading layer dim over
     ``pipe``; every other leaf (embed/cls/pos/norm/head) is replicated.
@@ -272,8 +322,24 @@ def pipe_param_specs(variables, depth: int):
                          f"expected depth={depth}")
     vit_spec = {k: jax.tree.map(lambda _: P(), v)
                 for k, v in vit_params.items() if not _is_block_key(k)}
-    vit_spec["blocks"] = jax.tree.map(lambda _: P(PIPE_AXIS),
-                                      vit_params["block0"])
+    if tp:
+        # ``tp=True``: the DPxTPxPP layout — each stacked leaf adds its
+        # Megatron model-dim spec (same rules as stacked_pipe_specs;
+        # computed on block0's UNstacked leaves, so the trailing anchor
+        # shifts by the leading layer dim added here)
+        from .mesh import param_specs
+        tails = param_specs(vit_params["block0"])
+
+        def with_pipe(leaf, tail):
+            names = [PIPE_AXIS] + list(tail) + \
+                [None] * (leaf.ndim - len(tail))
+            return P(*names)
+
+        vit_spec["blocks"] = jax.tree.map(with_pipe, vit_params["block0"],
+                                          tails)
+    else:
+        vit_spec["blocks"] = jax.tree.map(lambda _: P(PIPE_AXIS),
+                                          vit_params["block0"])
     params_spec = {k: (vit_spec if k == "vit"
                        else jax.tree.map(lambda _: P(), v))
                    for k, v in params.items()}
