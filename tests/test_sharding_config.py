@@ -54,6 +54,15 @@ def test_mesh_from_config_shapes():
     assert m.axis_names == ("data", "seq")
     assert m.devices.shape == (2, 4)
 
+    m = mesh_from_config(_sharding({"pipeline_parallel": 2}))
+    assert m.axis_names == ("data", "pipe")
+    assert m.devices.shape == (4, 2)
+
+    m = mesh_from_config(_sharding({"pipeline_parallel": 2,
+                                    "model_parallel": 2}))
+    assert m.axis_names == ("data", "pipe", "model")
+    assert m.devices.shape == (2, 2, 2)
+
 
 def test_mesh_from_config_rejects_bad_layouts():
     with pytest.raises(ValueError, match="mutually exclusive"):
@@ -70,6 +79,11 @@ def test_mesh_from_config_rejects_bad_layouts():
         mesh_from_config(_sharding({"model_parallel": 2, "fsdp": True}))
     with pytest.raises(ValueError, match="fsdp"):
         mesh_from_config(_sharding({"seq_parallel": 2, "fsdp": True}))
+    with pytest.raises(ValueError, match="exclusive"):
+        mesh_from_config(_sharding({"seq_parallel": 2,
+                                    "pipeline_parallel": 2}))
+    with pytest.raises(ValueError, match="fsdp"):
+        mesh_from_config(_sharding({"pipeline_parallel": 2, "fsdp": True}))
 
 
 def test_trainer_rejects_fsdp_on_explicit_tp_mesh():
@@ -137,13 +151,52 @@ def test_trainer_builds_sp_mesh_from_config(tmp_path):
     assert np.isfinite(best["val_f1"])
 
 
+def test_trainer_builds_pp_mesh_from_config(tmp_path):
+    """pipeline_parallel=2 from the config tree alone: the Trainer
+    builds the (data, pipe) mesh and the train forward routes through
+    the GPipe schedule."""
+    trainer, best = _fit_with({"pipeline_parallel": 2}, tmp_path)
+    assert trainer.mesh.axis_names == ("data", "pipe")
+    assert trainer.mesh.devices.shape == (4, 2)
+    assert trainer.state.apply_fn is not trainer.module.apply
+    assert np.isfinite(best["val_f1"])
+
+
+def test_trainer_builds_tp_pp_mesh_from_config(tmp_path):
+    """pipeline_parallel + model_parallel: the 3-axis DPxTPxPP mesh with
+    Megatron TP (shard_params layout) inside each pipeline stage."""
+    trainer, best = _fit_with({"pipeline_parallel": 2,
+                               "model_parallel": 2}, tmp_path)
+    assert trainer.mesh.axis_names == ("data", "pipe", "model")
+    assert trainer.mesh.devices.shape == (2, 2, 2)
+    qkv = trainer.state.params["vit"]["block0"]["attn"]["qkv"]["kernel"]
+    assert qkv.sharding.spec == P(None, "model")
+    assert np.isfinite(best["val_f1"])
+
+
+def test_trainer_pp_rejects_non_vit(tmp_path):
+    from vit_spoof_detection_pda_tpu.models.resnet import ResNet50
+
+    cfg = Config().with_overrides({"data.img_size": 16,
+                                   "sharding.pipeline_parallel": 2})
+    with pytest.raises(ValueError, match="pipeline_parallel"):
+        Trainer(cfg, ResNet50(num_classes=2),
+                train_batches=lambda e: iter(()),
+                val_batches=lambda: iter(()),
+                steps_per_epoch=1)
+
+
 @pytest.mark.slow
 def test_layouts_agree_on_first_val_metrics(tmp_path):
-    """The same config trained under DP / TP / FSDP layouts must land in
-    the same place (layout is an execution detail, not a model change)."""
+    """The same config trained under DP / TP / FSDP / PP layouts must
+    land in the same place (layout is an execution detail, not a model
+    change)."""
     results = {}
     for name, ov in [("dp", {}), ("tp", {"model_parallel": 2}),
-                     ("fsdp", {"fsdp": True, "fsdp_min_size": 1024})]:
+                     ("fsdp", {"fsdp": True, "fsdp_min_size": 1024}),
+                     ("pp", {"pipeline_parallel": 2}),
+                     ("tp_pp", {"pipeline_parallel": 2,
+                                "model_parallel": 2})]:
         _, best = _fit_with(ov, tmp_path, seed=1)
         results[name] = best["val_f1"]
     base = results["dp"]

@@ -240,18 +240,24 @@ class ShardingConfig(_Base):
     ``model_parallel > 1`` builds a (data, model) mesh and lays the
     parameters out with the Megatron TP specs; ``seq_parallel > 1``
     builds a (data, seq) mesh (attention dispatches to the
-    all-gather-KV context-parallel kernel); ``fsdp=True`` shards each
-    large parameter leaf (and thus the Adam moments) over the data
-    axis, ZeRO-3-style.  model/seq parallelism are mutually exclusive;
-    fsdp composes with pure DP only.
+    all-gather-KV context-parallel kernel); ``pipeline_parallel > 1``
+    builds a (data, pipe[, model]) mesh and routes the train forward
+    through the GPipe schedule (parallel/pipeline.py — composes with
+    model_parallel: Megatron TP inside each stage); ``fsdp=True``
+    shards each large parameter leaf (and thus the Adam moments) over
+    the data axis, ZeRO-3-style.  seq parallelism is exclusive with
+    model/pipeline; fsdp composes with pure DP only.
     """
 
     # mesh axis NAMES are fixed package-wide (parallel.mesh.DATA_AXIS /
-    # MODEL_AXIS / SEQ_AXIS) — the attention dispatch and the TP/FSDP
-    # spec tables key on them, so they are deliberately not configurable
+    # MODEL_AXIS / SEQ_AXIS / pipeline.PIPE_AXIS) — the attention
+    # dispatch and the TP/FSDP spec tables key on them, so they are
+    # deliberately not configurable
     data_parallel: int = -1                    # -1: all remaining devices
     model_parallel: int = 1                    # tensor-parallel axis size
     seq_parallel: int = 1                      # sequence/context-parallel
+    pipeline_parallel: int = 1                 # GPipe stage count
+    pipeline_microbatches: int = 0             # 0: auto (2 * stages)
     fsdp: bool = False                         # ZeRO-3 param/opt layout
     fsdp_min_size: int = 2 ** 16               # leaves below stay replicated
 

@@ -76,25 +76,33 @@ def mesh_from_config(sharding_cfg, devices=None) -> Mesh:
     """Build the training mesh a ``config.ShardingConfig`` describes.
 
     ``model_parallel > 1`` -> (data, model) mesh; ``seq_parallel > 1``
-    -> (data, seq) mesh (mutually exclusive — the attention dispatch
-    keys on the axis name, ops/attention.py::attention_sharding);
-    otherwise all devices land on the data axis.  ``data_parallel=-1``
-    means "all remaining devices" in every case.
+    -> (data, seq) mesh; ``pipeline_parallel > 1`` -> (data, pipe) or
+    (data, pipe, model) mesh (GPipe stages, optionally with Megatron TP
+    inside each stage — parallel/pipeline.py).  seq is exclusive with
+    model/pipe (the attention dispatch keys on the axis names,
+    ops/attention.py); otherwise all devices land on the data axis.
+    ``data_parallel=-1`` means "all remaining devices" in every case.
     """
     model = int(getattr(sharding_cfg, "model_parallel", 1))
     seq = int(getattr(sharding_cfg, "seq_parallel", 1))
+    pipe = int(getattr(sharding_cfg, "pipeline_parallel", 1))
     data = int(getattr(sharding_cfg, "data_parallel", -1))
     fsdp = bool(getattr(sharding_cfg, "fsdp", False))
-    if model > 1 and seq > 1:
+    if seq > 1 and (model > 1 or pipe > 1):
         raise ValueError(
-            f"model_parallel={model} and seq_parallel={seq} are mutually "
-            "exclusive (one secondary mesh axis)")
-    if fsdp and (model > 1 or seq > 1):
+            f"seq_parallel={seq} is mutually exclusive with "
+            f"model_parallel={model} / pipeline_parallel={pipe}")
+    if fsdp and (model > 1 or seq > 1 or pipe > 1):
         # silently dropping fsdp would leave the user believing the ~1/n
         # optimizer-memory saving is active
         raise ValueError(
             "fsdp composes with pure data parallelism only (got "
-            f"model_parallel={model}, seq_parallel={seq})")
+            f"model_parallel={model}, seq_parallel={seq}, "
+            f"pipeline_parallel={pipe})")
+    if pipe > 1:
+        from .pipeline import make_pipe_mesh
+        return make_pipe_mesh(pipe, data=data, model=model,
+                              devices=devices)
     if seq > 1:
         return make_seq_mesh(seq, data, devices)
     return make_mesh(data, model, devices)

@@ -134,6 +134,32 @@ class Trainer:
         self.state = create_train_state(
             module, tx, rng, input_shape=(1, size, size, 3),
             variables=variables, param_layout=param_layout)
+        from ..parallel.pipeline import PIPE_AXIS
+        n_pipe = dict(zip(self.mesh.axis_names,
+                          self.mesh.devices.shape)).get(PIPE_AXIS, 1)
+        if n_pipe > 1:
+            # pipeline-parallel training: the train forward routes
+            # through the GPipe schedule (parallel/pipeline.py; with a
+            # model axis, Megatron TP runs inside each stage).  Eval
+            # keeps module.apply — the whole batch fits one forward and
+            # GSPMD data-shards it, no schedule needed.
+            from ..models.vit import ViTAntiSpoof
+            from ..parallel.pipeline import pipeline_apply
+            if not isinstance(module, ViTAntiSpoof):
+                raise ValueError(
+                    "pipeline_parallel supports the ViT anti-spoof "
+                    f"module only; got {type(module).__name__}")
+            micro = getattr(config.sharding, "pipeline_microbatches",
+                            0) or 2 * n_pipe
+            mesh_pp = self.mesh
+
+            def pipelined_apply(variables, images, train=False,
+                                rngs=None):
+                return pipeline_apply(module, variables, images,
+                                      mesh_pp, microbatches=micro,
+                                      train=train, rngs=rngs)
+
+            self.state = self.state.replace(apply_fn=pipelined_apply)
         if getattr(config.model, "fused_train_forward", False):
             from ..models.fasttrain import fast_apply_available, make_apply
             if fast_apply_available(module, self.mesh):
