@@ -82,6 +82,27 @@ def test_gradient_equivalence(setup):
             err_msg=jax.tree_util.keystr(path))
 
 
+def test_gradient_equivalence_remat(setup):
+    """pipeline_remat recomputes block interiors in backward — the
+    gradients must be IDENTICAL to the stored-activation schedule (remat
+    changes memory, not math)."""
+    module, variables, x, _ = setup
+    mesh = make_pipe_mesh(4, data=2)
+    tgt = jnp.asarray(np.arange(x.shape[0]) % 2, jnp.int32)
+
+    def loss(params, remat):
+        logits = pipeline_apply(module, {"params": params}, x, mesh,
+                                microbatches=4, remat=remat)
+        return jnp.mean(
+            -jax.nn.log_softmax(logits)[jnp.arange(tgt.size), tgt])
+
+    g = jax.jit(jax.grad(lambda p: loss(p, False)))(variables["params"])
+    g_remat = jax.jit(jax.grad(lambda p: loss(p, True)))(
+        variables["params"])
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-6), g, g_remat)
+
+
 def test_pp_sgd_step_matches_single_device(setup):
     """One SGD step through the pipeline == one step through the plain
     module (the PP training contract, not just a single grad)."""

@@ -153,25 +153,65 @@ def test_trainer_builds_sp_mesh_from_config(tmp_path):
 
 def test_trainer_builds_pp_mesh_from_config(tmp_path):
     """pipeline_parallel=2 from the config tree alone: the Trainer
-    builds the (data, pipe) mesh and the train forward routes through
-    the GPipe schedule."""
+    builds the (data, pipe) mesh, lays the params out in the PACKED
+    pipeline layout (blocks stacked, layer dim sharded over pipe — so
+    each stage owns 1/pipe of the encoder and its Adam moments), and
+    the train forward routes through the GPipe schedule."""
     trainer, best = _fit_with({"pipeline_parallel": 2}, tmp_path)
     assert trainer.mesh.axis_names == ("data", "pipe")
     assert trainer.mesh.devices.shape == (4, 2)
     assert trainer.state.apply_fn is not trainer.module.apply
+    vit = trainer.state.params["vit"]
+    assert "blocks" in vit and "block0" not in vit
+    qkv = vit["blocks"]["attn"]["qkv"]["kernel"]
+    assert qkv.sharding.spec == P("pipe")
+    # the Adam moments are born in the packed pipe-sharded layout
+    mus = [x for x in jax.tree.leaves(trainer.state.opt_state)
+           if hasattr(x, "sharding") and x.shape == qkv.shape]
+    assert mus and all(m.sharding.spec == P("pipe") for m in mus)
     assert np.isfinite(best["val_f1"])
 
 
 def test_trainer_builds_tp_pp_mesh_from_config(tmp_path):
     """pipeline_parallel + model_parallel: the 3-axis DPxTPxPP mesh with
-    Megatron TP (shard_params layout) inside each pipeline stage."""
+    Megatron TP inside each pipeline stage — the packed blocks shard
+    layer-dim over pipe AND trailing dims over model."""
     trainer, best = _fit_with({"pipeline_parallel": 2,
                                "model_parallel": 2}, tmp_path)
     assert trainer.mesh.axis_names == ("data", "pipe", "model")
     assert trainer.mesh.devices.shape == (2, 2, 2)
-    qkv = trainer.state.params["vit"]["block0"]["attn"]["qkv"]["kernel"]
-    assert qkv.sharding.spec == P(None, "model")
+    qkv = trainer.state.params["vit"]["blocks"]["attn"]["qkv"]["kernel"]
+    assert qkv.sharding.spec == P("pipe", None, "model")
     assert np.isfinite(best["val_f1"])
+
+
+def test_pp_trained_params_unpack_to_module_layout(tmp_path):
+    """A PP-trained state exports through unpack_pipeline_params: the
+    plain module forward on the unpacked tree matches the trainer's own
+    eval step (export / torch-interop path for pipeline checkpoints)."""
+    from vit_spoof_detection_pda_tpu.parallel import unpack_pipeline_params
+
+    trainer, _ = _fit_with({"pipeline_parallel": 2}, tmp_path)
+    images, _ = _synthetic(8)
+    plain = unpack_pipeline_params({"params": trainer.state.params})
+    assert "block0" in plain["params"]["vit"]
+    logits = trainer.module.apply(plain, images)
+    out = trainer.eval_step(trainer.state.params, None, images)
+    np.testing.assert_allclose(np.asarray(logits),
+                               np.asarray(out["logits"]), atol=1e-5)
+
+    # the checkpoint read-for-inference path unpacks too: a PP
+    # checkpoint is consumable by the eval/export CLIs unchanged
+    from vit_spoof_detection_pda_tpu.utils.checkpoint import (
+        CheckpointManager, load_params_from_dir)
+    ckpts = CheckpointManager(str(tmp_path / "pp_ckpt"))
+    ckpts.save(1, trainer.state, force=True)
+    ckpts.close()
+    variables, _step = load_params_from_dir(str(tmp_path / "pp_ckpt"))
+    assert "block0" in variables["params"]["vit"]
+    logits2 = trainer.module.apply(variables, images)
+    np.testing.assert_allclose(np.asarray(logits2), np.asarray(logits),
+                               atol=1e-6)
 
 
 def test_trainer_pp_rejects_non_vit(tmp_path):

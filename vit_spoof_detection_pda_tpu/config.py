@@ -258,6 +258,10 @@ class ShardingConfig(_Base):
     seq_parallel: int = 1                      # sequence/context-parallel
     pipeline_parallel: int = 1                 # GPipe stage count
     pipeline_microbatches: int = 0             # 0: auto (2 * stages)
+    pipeline_remat: bool = False               # recompute block interiors
+                                               # in backward (activation
+                                               # memory ~ M x depth/S
+                                               # otherwise)
     fsdp: bool = False                         # ZeRO-3 param/opt layout
     fsdp_min_size: int = 2 ** 16               # leaves below stay replicated
 

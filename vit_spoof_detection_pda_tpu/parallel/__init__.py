@@ -26,6 +26,7 @@ from .pipeline import (
     pipe_param_specs,
     pipeline_apply,
     stack_block_params,
+    unpack_pipeline_params,
     unstack_block_params,
 )
 
@@ -34,4 +35,5 @@ __all__ = ["init_multi_host", "make_mesh", "make_seq_mesh",
            "shard_batch", "shard_params", "fsdp_param_specs",
            "shard_params_fsdp", "make_pipe_mesh", "pipeline_apply",
            "pack_pipeline_params", "pipe_param_specs",
-           "stack_block_params", "unstack_block_params"]
+           "stack_block_params", "unpack_pipeline_params",
+           "unstack_block_params"]

@@ -127,13 +127,39 @@ def pack_pipeline_params(variables, depth: int):
     return {**variables, "params": params}
 
 
-def _pipeline_encoder(x, stacked, block_fn, mesh: Mesh, microbatches: int):
+def unpack_pipeline_params(variables):
+    """Inverse of :func:`pack_pipeline_params`: the ``"blocks"`` stacked
+    subtree unstacks back into ``block{i}`` subtrees (the plain module
+    layout — for ``module.apply``, checkpoint export, and the torch
+    interop converters).  Traceable, so it can run inside a jitted eval
+    step over packed parameters; a no-op passthrough if the tree is
+    already in the plain layout."""
+    params = dict(variables["params"])
+    vit = dict(params["vit"])
+    if "blocks" not in vit:
+        return variables
+    stacked = vit.pop("blocks")
+    for i, bp in enumerate(unstack_block_params(stacked)):
+        vit[f"block{i}"] = bp
+    params["vit"] = vit
+    return {**variables, "params": params}
+
+
+def _pipeline_encoder(x, stacked, block_fn, mesh: Mesh, microbatches: int,
+                      remat: bool = False):
     """Run the stacked encoder over the (data, pipe) mesh.
 
     x: [B, T, D] activations (batch shardable over ``data``).
     stacked: block params with leading layer dim (sharded over ``pipe``).
     block_fn(params_i, x) -> x: one encoder block, pure function.
+    remat: rematerialize each block in backward — GPipe stores every
+    microbatch's per-layer residuals until its backward runs (activation
+    memory scales with M x depth/S); remat keeps only the block
+    BOUNDARY activations and recomputes the interior, the standard
+    memory lever for deep pipelines.
     """
+    if remat:
+        block_fn = jax.checkpoint(block_fn)
     n_stages = mesh.shape[PIPE_AXIS]
     n_data = mesh.shape.get(DATA_AXIS, 1)
     b, t, d = x.shape
@@ -244,7 +270,8 @@ def stacked_pipe_specs(stacked, *, tp: bool):
 
 
 def pipeline_apply(module, variables, images, mesh: Mesh, *,
-                   microbatches: int, train: bool = False, rngs=None):
+                   microbatches: int, train: bool = False, rngs=None,
+                   remat: bool = False):
     """Forward the full ViTAntiSpoof with the encoder pipelined.
 
     Equivalent to ``module.apply(variables, images, train=train)`` (same
@@ -285,7 +312,8 @@ def pipeline_apply(module, variables, images, mesh: Mesh, *,
                             module.norm_eps, dtype=dtype,
                             gelu=module.gelu).apply({"params": bp}, xx)
 
-    x = _pipeline_encoder(x, stacked, block_fn, mesh, microbatches)
+    x = _pipeline_encoder(x, stacked, block_fn, mesh, microbatches,
+                          remat=remat)
 
     # --- final norm + pool + head (outside the pipe)
     x = nn.LayerNorm(epsilon=module.norm_eps, dtype=dtype, name="norm").apply(

@@ -112,12 +112,62 @@ class Trainer:
         # shardings (the train step's in_shardings for the state are
         # inherited); a replicated init + re-init would transiently
         # double the optimizer memory on device 0
+        from ..parallel.pipeline import PIPE_AXIS
         param_layout = None
+        pipelined_apply = None
         if self.mesh.devices.size > 1:
             axis_sizes = dict(zip(self.mesh.axis_names,
                                   self.mesh.devices.shape))
             fsdp = getattr(config.sharding, "fsdp", False)
-            if axis_sizes.get(MODEL_AXIS, 1) > 1:
+            n_pipe = axis_sizes.get(PIPE_AXIS, 1)
+            if n_pipe > 1:
+                # pipeline-parallel training: parameters live in the
+                # PACKED pipeline layout (parallel/pipeline.py::
+                # pack_pipeline_params — the block{i} subtrees as one
+                # "blocks" stack, its layer dim sharded over pipe, so
+                # each stage holds 1/pipe of the encoder AND its Adam
+                # moments; with a model axis the stacked leaves also
+                # carry their Megatron trailing-dim specs).  The train
+                # forward routes through the GPipe schedule; eval
+                # unpacks inside its jitted step and runs the plain
+                # module forward (any batch size, GSPMD data-shards it).
+                from ..models.vit import ViTAntiSpoof
+                from ..parallel.pipeline import (
+                    pack_pipeline_params, pipe_param_specs, pipeline_apply)
+                from jax.sharding import NamedSharding
+                if fsdp:
+                    # mesh_from_config rejects this; guard explicit
+                    # meshes too
+                    raise ValueError(
+                        "fsdp composes with pure data parallelism only "
+                        "(mesh has a pipe axis > 1)")
+                if not isinstance(module, ViTAntiSpoof):
+                    raise ValueError(
+                        "pipeline_parallel supports the ViT anti-spoof "
+                        f"module only; got {type(module).__name__}")
+                micro = getattr(config.sharding, "pipeline_microbatches",
+                                0) or 2 * n_pipe
+                remat = getattr(config.sharding, "pipeline_remat", False)
+                mesh_pp = self.mesh
+                tp_in_pipe = axis_sizes.get(MODEL_AXIS, 1) > 1
+
+                def param_layout(p):
+                    packed = pack_pipeline_params(
+                        {"params": p}, module.depth)["params"]
+                    specs = pipe_param_specs(
+                        {"params": p}, module.depth,
+                        tp=tp_in_pipe)["params"]
+                    return jax.tree.map(
+                        lambda x, s: jax.device_put(
+                            x, NamedSharding(mesh_pp, s)), packed, specs)
+
+                def pipelined_apply(variables, images, train=False,
+                                    rngs=None):
+                    return pipeline_apply(module, variables, images,
+                                          mesh_pp, microbatches=micro,
+                                          train=train, rngs=rngs,
+                                          remat=remat)
+            elif axis_sizes.get(MODEL_AXIS, 1) > 1:
                 if fsdp:
                     # mesh_from_config rejects this; guard explicit meshes
                     # too — silently dropping fsdp would fake its memory
@@ -134,31 +184,7 @@ class Trainer:
         self.state = create_train_state(
             module, tx, rng, input_shape=(1, size, size, 3),
             variables=variables, param_layout=param_layout)
-        from ..parallel.pipeline import PIPE_AXIS
-        n_pipe = dict(zip(self.mesh.axis_names,
-                          self.mesh.devices.shape)).get(PIPE_AXIS, 1)
-        if n_pipe > 1:
-            # pipeline-parallel training: the train forward routes
-            # through the GPipe schedule (parallel/pipeline.py; with a
-            # model axis, Megatron TP runs inside each stage).  Eval
-            # keeps module.apply — the whole batch fits one forward and
-            # GSPMD data-shards it, no schedule needed.
-            from ..models.vit import ViTAntiSpoof
-            from ..parallel.pipeline import pipeline_apply
-            if not isinstance(module, ViTAntiSpoof):
-                raise ValueError(
-                    "pipeline_parallel supports the ViT anti-spoof "
-                    f"module only; got {type(module).__name__}")
-            micro = getattr(config.sharding, "pipeline_microbatches",
-                            0) or 2 * n_pipe
-            mesh_pp = self.mesh
-
-            def pipelined_apply(variables, images, train=False,
-                                rngs=None):
-                return pipeline_apply(module, variables, images,
-                                      mesh_pp, microbatches=micro,
-                                      train=train, rngs=rngs)
-
+        if pipelined_apply is not None:
             self.state = self.state.replace(apply_fn=pipelined_apply)
         if getattr(config.model, "fused_train_forward", False):
             from ..models.fasttrain import fast_apply_available, make_apply
@@ -179,8 +205,20 @@ class Trainer:
             tag: make_train_step(loss_fn, has_batch_stats=has_stats,
                                  mesh=self.mesh, batch_prep=prep)
             for tag, prep in preps.items()}
+        eval_apply = module.apply
+        if pipelined_apply is not None:
+            # packed-layout params: unpack INSIDE the jitted eval step
+            # (slices of the stacked leaves — a transient replicated
+            # copy, off the training memory peak) and run the plain
+            # module forward: no microbatch-divisibility constraint on
+            # eval batches
+            from ..parallel.pipeline import unpack_pipeline_params
+
+            def eval_apply(variables, images, **kw):
+                return module.apply(unpack_pipeline_params(variables),
+                                    images, **kw)
         self.eval_step = make_eval_step(
-            module.apply, has_batch_stats=has_stats, mesh=self.mesh)
+            eval_apply, has_batch_stats=has_stats, mesh=self.mesh)
 
     # ------------------------------------------------------------------
 

@@ -256,6 +256,14 @@ def load_checkpoint_bundle(directory: str, step: Optional[int] = None):
         variables = {"params": tree["params"]}
         if "batch_stats" in tree:
             variables["batch_stats"] = tree["batch_stats"]
+        # pipeline-parallel trainers save params in the packed layout
+        # (blocks stacked over the pipe axis); this is the read-for-
+        # inference/export path, so hand back the plain module layout
+        # (numpy views — no copy).  Resume restores into the Trainer's
+        # own packed target and never comes through here.
+        if "blocks" in variables["params"].get("vit", {}):
+            from ..parallel.pipeline import unpack_pipeline_params
+            variables = unpack_pipeline_params(variables)
         return variables, int(step), dict(restored["metrics"] or {})
     finally:
         mgr.close()
