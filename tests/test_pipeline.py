@@ -143,6 +143,15 @@ def test_validation_errors(setup):
     # b=8, m=8 -> microbatch size 1, not divisible by data=2
     with pytest.raises(ValueError, match="divisible by\\s+data"):
         pipeline_apply(module, variables, x, mesh, microbatches=8)
+    # packed tree whose stacked depth mismatches the module must raise
+    # like the unpacked path does (silent truncation guard)
+    from vit_spoof_detection_pda_tpu.parallel.pipeline import (
+        pack_pipeline_params)
+    packed = pack_pipeline_params(variables, module.depth)
+    deeper = tiny_model(depth=8)
+    with pytest.raises(ValueError, match="packed tree has 4"):
+        pipeline_apply(deeper, packed, x, make_pipe_mesh(4, data=2),
+                       microbatches=4)
 
 
 def test_pp_inside_attention_sharding(setup):

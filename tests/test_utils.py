@@ -106,3 +106,43 @@ def test_pinned_save_survives_best_k_retention(tmp_path):
         str(tmp_path / "ckpt"), step=45)
     assert metrics.get("preempted") is True
     mgr.close()
+
+
+def test_restore_diagnoses_pipeline_layout_mismatch(tmp_path):
+    """A checkpoint saved in the plain block{i} layout restored into a
+    PACKED pipeline template (or vice versa) must fail with the layout
+    diagnosis, not an opaque orbax missing-key error
+    (utils/checkpoint.py::CheckpointManager.restore)."""
+    import jax
+    import pytest
+
+    from vit_spoof_detection_pda_tpu.models.vit import ViTAntiSpoof
+    from vit_spoof_detection_pda_tpu.parallel.pipeline import (
+        pack_pipeline_params)
+    from vit_spoof_detection_pda_tpu.train import (create_train_state,
+                                                   make_optimizer)
+    from vit_spoof_detection_pda_tpu.utils.checkpoint import (
+        CheckpointManager)
+
+    module = ViTAntiSpoof(patch_size=8, embed_dim=32, depth=2,
+                          num_heads=2, hidden=16)
+    state = create_train_state(module, make_optimizer(1e-3),
+                               jax.random.PRNGKey(0),
+                               input_shape=(1, 16, 16, 3))
+    packed = state.replace(params=pack_pipeline_params(
+        {"params": state.params}, module.depth)["params"])
+
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mgr.save(1, state, force=True)
+    with pytest.raises(ValueError, match="plain module parameter layout"):
+        mgr.restore(packed, step=1)
+    # same-layout restore still works
+    r = mgr.restore(state, step=1)
+    assert int(r.step) == int(state.step)
+    mgr.close()
+
+    mgr2 = CheckpointManager(str(tmp_path / "ck2"))
+    mgr2.save(1, packed, force=True)
+    with pytest.raises(ValueError, match="packed pipeline parameter "):
+        mgr2.restore(state, step=1)
+    mgr2.close()

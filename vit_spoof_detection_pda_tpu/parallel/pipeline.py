@@ -290,6 +290,12 @@ def pipeline_apply(module, variables, images, mesh: Mesh, *,
     vit_params = params["vit"]
     if "blocks" in vit_params:                 # pack_pipeline_params layout
         stacked = vit_params["blocks"]
+        n_stacked = jax.tree.leaves(stacked)[0].shape[0]
+        if n_stacked != module.depth:
+            # mirror stack_block_params' guard: a mismatched stack would
+            # silently run the wrong number of blocks
+            raise ValueError(f"packed tree has {n_stacked} encoder "
+                             f"blocks but module depth={module.depth}")
         rest = {k: v for k, v in vit_params.items() if k != "blocks"}
     else:
         stacked, rest = stack_block_params(vit_params, module.depth)

@@ -165,6 +165,29 @@ class CheckpointManager:
         if step is None:
             raise FileNotFoundError(f"no checkpoints in {self.directory}")
         template = {"state": _state_tree(state)}
+        # pipeline-parallel trainers restore into a PACKED template
+        # (vit/blocks stacked subtree); a checkpoint saved in the plain
+        # block{i} layout (or vice versa) would die inside orbax with an
+        # opaque missing-key error — diagnose the layout mismatch here
+        try:
+            saved_vit = self._mgr.item_metadata(step)["tree"][
+                "state"]["params"].get("vit", {})
+        except (KeyError, TypeError):
+            saved_vit = {}
+        tmpl_vit = template["state"]["params"].get("vit", {})
+        if hasattr(saved_vit, "get") and hasattr(tmpl_vit, "get"):
+            saved_packed = "blocks" in saved_vit
+            tmpl_packed = "blocks" in tmpl_vit
+            if saved_packed != tmpl_packed:
+                raise ValueError(
+                    f"checkpoint at step {step} is in the "
+                    f"{'packed pipeline' if saved_packed else 'plain module'} "
+                    f"parameter layout but this trainer expects the "
+                    f"{'packed pipeline' if tmpl_packed else 'plain module'} "
+                    "layout — resume with the same sharding.pipeline_parallel "
+                    "setting the checkpoint was trained with, or load it for "
+                    "inference via load_params_from_dir (which always hands "
+                    "back the plain layout)")
         restored = self._mgr.restore(
             step,
             args=ocp.args.Composite(
