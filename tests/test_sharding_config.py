@@ -214,6 +214,79 @@ def test_pp_trained_params_unpack_to_module_layout(tmp_path):
                                atol=1e-6)
 
 
+def test_pp_checkpoint_resume_roundtrip(tmp_path):
+    """Full-state resume under PP: the packed checkpoint restores into a
+    fresh PP trainer's packed template (params AND Adam moments, driver
+    resume pattern train/driver.py:221-237) and training continues."""
+    from vit_spoof_detection_pda_tpu.utils.checkpoint import (
+        CheckpointManager)
+
+    images, labels = _synthetic(64)
+    bs = 32
+
+    def train_batches(epoch):
+        for i in range(0, len(images), bs):
+            yield {"image": images[i:i + bs], "label": labels[i:i + bs]}
+
+    def val_batches():
+        yield {"image": images[:bs], "label": labels[:bs]}
+
+    cfg = Config().with_overrides({
+        "optim.num_epochs": 2, "data.img_size": 16,
+        "sharding.pipeline_parallel": 2,
+        "checkpoint.save_dir": str(tmp_path / "ck"),
+    })
+
+    def make_trainer():
+        return Trainer(cfg, _tiny_vit(), train_batches=train_batches,
+                       val_batches=val_batches,
+                       steps_per_epoch=len(images) // bs)
+
+    t1 = make_trainer()
+    t1.fit()
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mgr.save(int(t1.state.step), t1.state, force=True)
+
+    t2 = make_trainer()
+    t2.state = mgr.restore(t2.state)
+    mgr.close()
+    assert int(t2.state.step) == int(t1.state.step)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), t1.state.params, t2.state.params)
+    best = t2.fit(start_epoch=1)          # continues the horizon
+    assert np.isfinite(best["val_f1"])
+
+
+def test_pp_composes_with_fused_batch_prep(tmp_path):
+    """On-device augmentation fused into the compiled step (batch_prep,
+    the online-training mechanism) composes with the PP schedule."""
+    calls = {"n": 0}
+
+    def prep(rng, imgs):
+        calls["n"] += 1          # trace-time marker
+        noise = 0.01 * jax.random.normal(rng, imgs.shape, imgs.dtype)
+        return imgs + noise
+
+    images, labels = _synthetic(64)
+    bs = 32
+    cfg = Config().with_overrides({
+        "optim.num_epochs": 1, "data.img_size": 16,
+        "sharding.pipeline_parallel": 2,
+    })
+    trainer = Trainer(
+        cfg, _tiny_vit(),
+        train_batches=lambda e: iter(
+            {"image": images[i:i + bs], "label": labels[i:i + bs]}
+            for i in range(0, len(images), bs)),
+        val_batches=lambda: iter(
+            [{"image": images[:bs], "label": labels[:bs]}]),
+        steps_per_epoch=len(images) // bs,
+        batch_prep=prep)
+    best = trainer.fit()
+    assert calls["n"] >= 1
+    assert np.isfinite(best["val_f1"])
+
+
 def test_trainer_pp_rejects_non_vit(tmp_path):
     from vit_spoof_detection_pda_tpu.models.resnet import ResNet50
 
