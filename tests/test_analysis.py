@@ -174,6 +174,39 @@ def test_benchmark_cli_smoke(tmp_path):
     assert out["batch_size"] == 4
 
 
+def test_benchmark_train_step(tmp_path):
+    """benchmark_train_step times the compiled fwd+bwd+AdamW program on
+    a tiny module (library surface; the CLI mode builds the flagship)."""
+    import jax.numpy as jnp
+
+    from vit_spoof_detection_pda_tpu.analysis.latency import (
+        benchmark_train_step)
+    from vit_spoof_detection_pda_tpu.models.vit import ViTAntiSpoof
+
+    module = ViTAntiSpoof(patch_size=8, embed_dim=32, depth=2,
+                          num_heads=2, hidden=16, dtype=jnp.float32)
+    out = benchmark_train_step(module, batch_size=4, img_size=16,
+                               iters=2, fused=False)
+    assert out["images_per_second"] > 0
+    assert out["ms_per_step"] > 0
+    assert out["fused_forward"] is False
+
+
+def test_benchmark_cli_train_step_validation():
+    """--train-step is its own mode and rejects inference-mode flags."""
+    import pytest
+
+    from vit_spoof_detection_pda_tpu.cli.benchmark import main
+    with pytest.raises(SystemExit):
+        main(["--train-step", "--device-latency"])
+    with pytest.raises(SystemExit):
+        main(["--train-step", "--fastserve"])
+    with pytest.raises(SystemExit):
+        main(["--train-step", "--model", "ResNet50_Pretrained"])
+    with pytest.raises(SystemExit):
+        main(["--no-fused-forward"])
+
+
 def test_benchmark_cli_device_latency(tmp_path):
     """--device-latency runs the differenced per-exec protocol end-to-end
     (bs=1 is the reference's single-image headline protocol)."""

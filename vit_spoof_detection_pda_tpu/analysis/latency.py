@@ -25,7 +25,7 @@ import json
 import logging
 import time
 from pathlib import Path
-from typing import Dict, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 
@@ -111,6 +111,68 @@ def benchmark_throughput(module, variables, *, batch_size: int = 128,
     return {
         "batch_size": batch_size,
         "ms_per_batch": dt * 1000.0,
+        "images_per_second": batch_size / dt,
+    }
+
+
+def benchmark_train_step(module=None, *, batch_size: int = 128,
+                         img_size: int = 224, iters: int = 10,
+                         loss_type: str = "focal", gelu: str = "erf",
+                         fused: Optional[bool] = None) -> dict:
+    """Steady-state compiled TRAIN-step throughput: forward + backward +
+    clip + AdamW + metrics as one program (train/step.py) on synthetic
+    normalized batches — the trainer's hot loop (reference
+    train_advanced.py:315-365), productized from the exp_r*_step
+    measurement scripts (BENCH_NOTES rounds 2-6: 123.1 ms erf /
+    112.7 ms tanh at B=128 on v5e).
+
+    ``fused`` forces the fused-block Pallas training forward
+    (models/fasttrain.py) on or off; default auto (on where available —
+    single TPU chip).  ``gelu="tanh"`` selects the fast serving-parity
+    profile like ``model.gelu`` in training configs.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.vit import ViTAntiSpoof
+    from ..ops import losses
+    from ..train.state import create_train_state, make_optimizer
+    from ..train.step import make_train_step
+
+    if module is None:
+        module = ViTAntiSpoof(dtype=jnp.bfloat16, gelu=gelu)
+    state = create_train_state(module, make_optimizer(3e-4),
+                               jax.random.PRNGKey(0),
+                               input_shape=(1, img_size, img_size, 3))
+    if fused is None:
+        from ..models.fasttrain import fast_apply_available
+        fused = fast_apply_available(module)
+    if fused:
+        from ..models.fasttrain import make_apply
+        state = state.replace(apply_fn=make_apply(module))
+    step = make_train_step(losses.make_loss_fn(loss_type),
+                           has_batch_stats=state.batch_stats is not None)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jnp.asarray(rng.standard_normal(
+            (batch_size, img_size, img_size, 3)).astype(np.float32)),
+        "label": jnp.asarray(rng.integers(0, 2, batch_size,
+                                          dtype=np.int64).astype(np.int32)),
+    }
+    state, metrics = step(state, batch)          # compile + warmup
+    float(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, batch)
+    float(metrics["loss"])                       # one scalar sync bound
+    dt = (time.perf_counter() - t0) / iters
+    return {
+        "batch_size": batch_size,
+        "fused_forward": bool(fused),
+        "gelu": gelu,
+        "ms_per_step": dt * 1000.0,
         "images_per_second": batch_size / dt,
     }
 

@@ -68,6 +68,17 @@ def main(argv=None):
                              "through its deserialized program instead of "
                              "a live model; a fixed-batch artifact pins "
                              "the batch size itself")
+    parser.add_argument("--train-step", action="store_true",
+                        help="time the compiled TRAIN step (forward + "
+                             "backward + clip + AdamW + metrics as one "
+                             "program) at --batch-size on synthetic "
+                             "batches — the trainer's hot loop; flagship "
+                             "ViT only.  model.gelu / loss.loss_type "
+                             "config overrides apply")
+    parser.add_argument("--no-fused-forward", action="store_true",
+                        help="with --train-step: force the plain module "
+                             "forward instead of the fused-block Pallas "
+                             "training forward (A/B)")
     parser.add_argument("--all-models", action="store_true",
                         help="with --device-latency: measure EVERY row of "
                              "the reference's per-model benchmark "
@@ -75,6 +86,16 @@ def main(argv=None):
                              "module-parity path and report speedups vs "
                              "its RTX A4500 numbers")
     args = parser.parse_args(argv)
+    if args.train_step:
+        if (args.device_latency or args.fastserve or args.lowlat
+                or args.all_models or args.artifact):
+            parser.error("--train-step is its own mode; drop the "
+                         "inference-mode flags")
+        if args.model != "Custom_ViT_FineTuned":
+            parser.error("--train-step times the flagship ViT training "
+                         "program; --model does not apply")
+    if args.no_fused_forward and not args.train_step:
+        parser.error("--no-fused-forward is a --train-step option")
     if args.all_models:
         if not args.device_latency:
             parser.error("--all-models is a --device-latency mode")
@@ -128,6 +149,20 @@ def main(argv=None):
                          "(the mode was compiled at export time)")
     setup_logging()
     cfg = resolve_config(args)
+
+    if args.train_step:
+        import jax.numpy as jnp2
+
+        from ..analysis.latency import benchmark_train_step
+        from ..models.vit import ViTAntiSpoof
+        module = ViTAntiSpoof(dtype=jnp2.bfloat16, gelu=cfg.model.gelu)
+        out = benchmark_train_step(
+            module, batch_size=args.batch_size,
+            img_size=cfg.data.img_size, iters=args.iters or 10,
+            loss_type=cfg.loss.loss_type, gelu=cfg.model.gelu,
+            fused=False if args.no_fused_forward else None)
+        print(json.dumps(out))
+        return out
 
     if args.artifact:
         from ..models.artifact import load_serving_artifact

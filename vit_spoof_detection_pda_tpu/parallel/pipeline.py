@@ -36,6 +36,17 @@ multi-controller scheduler:
 - The whole schedule is `jax.grad`-differentiable (scan + ppermute have
   exact transposes), giving GPipe semantics: full forward, then full
   backward, bubble fraction (S-1)/(M+S-1) in each direction.
+- 1F1B / interleaved (Megatron) schedules are deliberate NON-goals in
+  this formulation: their bubble win comes from interleaving forward
+  and backward microbatches in time, and `jax.grad` of a scan runs the
+  transposed (backward) scan strictly after the forward — round-robin
+  virtual stages alone (forward-only) makes the bubble WORSE, not
+  better ((SV-1)/(M+SV-1) idle chunk-slots vs GPipe's (S-1)/(M+S-1)).
+  Expressing 1F1B would mean hand-scheduling the backward as explicit
+  per-chunk VJPs inside the tick loop, forfeiting the
+  one-jax.grad-of-one-program property this design is built on; raise
+  ``microbatches`` instead (bubble ~ 1/M) and use ``remat`` to keep
+  the activation footprint flat.
 
 All block math reuses the flax modules functionally
 (`EncoderBlock.apply` on a per-layer param slice), so there is exactly
