@@ -190,6 +190,21 @@ def test_benchmark_train_step(tmp_path):
     assert out["images_per_second"] > 0
     assert out["ms_per_step"] > 0
     assert out["fused_forward"] is False
+    assert out["achieved_tflops"] >= 0
+
+
+def test_vit_flops_per_image():
+    """Analytic ViT FLOPs: the flagship B/16 @ 224 lands at the
+    published 17.6 GMACs forward figure (x2 in FLOPs); non-ViT modules
+    return None."""
+    from vit_spoof_detection_pda_tpu.analysis.latency import (
+        vit_flops_per_image)
+    from vit_spoof_detection_pda_tpu.models.resnet import ResNet50
+    from vit_spoof_detection_pda_tpu.models.vit import ViTAntiSpoof
+
+    fl = vit_flops_per_image(ViTAntiSpoof(), 224)
+    assert 34e9 < fl < 36.5e9, fl
+    assert vit_flops_per_image(ResNet50(num_classes=2), 224) is None
 
 
 def test_benchmark_cli_train_step_validation():

@@ -108,11 +108,44 @@ def benchmark_throughput(module, variables, *, batch_size: int = 128,
     outs = [infer(variables, batch) for _ in range(iters)]
     np.asarray(outs[-1]["prob1"])
     dt = (time.perf_counter() - t0) / iters
-    return {
+    out = {
         "batch_size": batch_size,
         "ms_per_batch": dt * 1000.0,
         "images_per_second": batch_size / dt,
     }
+    fl = vit_flops_per_image(module, img_size)
+    if fl is not None:
+        out["achieved_tflops"] = round(fl * out["images_per_second"]
+                                       / 1e12, 2)
+    return out
+
+
+def vit_flops_per_image(module, img_size: int) -> Optional[float]:
+    """Analytic FORWARD FLOPs/image for the ViT family (multiply-adds
+    count 2): patch-embed GEMM + per-layer QKV / QK^T / AV / proj / MLP
+    GEMMs + head (LN/softmax/GELU vector FLOPs are <1% and omitted —
+    the standard transformer-FLOPs convention).  ViT-B/16 @ 224 ->
+    ~35.2 GFLOP (= the published 17.6 GMACs x 2).  Returns None for non-ViT modules; used for the
+    ``achieved_tflops`` observability fields in the benchmark outputs
+    (the MFU numbers BENCH_NOTES.md quotes by hand: peak bf16 on a v5e
+    chip is 197 TFLOP/s)."""
+    p = getattr(module, "patch_size", None)
+    d = getattr(module, "embed_dim", None)
+    depth = getattr(module, "depth", None)
+    if not (p and d and depth):
+        return None
+    t = (img_size // p) ** 2 + 1
+    mlp = int(d * getattr(module, "mlp_ratio", 4.0))
+    per_layer = (2 * t * d * 3 * d        # fused QKV
+                 + 2 * t * t * d          # Q K^T
+                 + 2 * t * t * d          # A V
+                 + 2 * t * d * d          # proj
+                 + 2 * t * d * mlp * 2)   # fc1 + fc2
+    embed = 2 * (t - 1) * (p * p * 3) * d
+    hidden = getattr(module, "hidden", 0)
+    ncls = getattr(module, "num_classes", 2)
+    head = 2 * d * hidden + 2 * hidden * ncls if hidden else 2 * d * ncls
+    return float(embed + depth * per_layer + head)
 
 
 def benchmark_train_step(module=None, *, batch_size: int = 128,
@@ -168,13 +201,20 @@ def benchmark_train_step(module=None, *, batch_size: int = 128,
         state, metrics = step(state, batch)
     float(metrics["loss"])                       # one scalar sync bound
     dt = (time.perf_counter() - t0) / iters
-    return {
+    out = {
         "batch_size": batch_size,
         "fused_forward": bool(fused),
         "gelu": gelu,
         "ms_per_step": dt * 1000.0,
         "images_per_second": batch_size / dt,
     }
+    fl = vit_flops_per_image(module, img_size)
+    if fl is not None:
+        # fwd + bwd ~ 3x fwd GEMM FLOPs (the standard training-FLOPs
+        # convention: dL/dx and dL/dW each re-run every GEMM)
+        out["achieved_tflops"] = round(3 * fl * out["images_per_second"]
+                                       / 1e12, 2)
+    return out
 
 
 def benchmark_device_latency(infer, variables, *, batch_size: int = 1,
