@@ -262,11 +262,32 @@ def test_tp_pp_sgd_step_matches_single_device(setup):
             err_msg=jax.tree_util.keystr(path))
 
 
-def test_tp_pp_indivisible_heads_dense_fallback(setup):
+@pytest.mark.parametrize("data,pipe,model", [(1, 2, 4), (1, 4, 2)])
+def test_tp_pp_nested_pallas_equivalence(setup, data, pipe, model):
+    """The NESTED Pallas path (interpret) at model=4 (h_loc=1) and the
+    1x4x2 shape — the plain forward-equivalence params run these configs
+    through the dense fallback only (no manual_attention context), so
+    without this the nested kernel is never exercised beyond 2x2x2."""
+    from vit_spoof_detection_pda_tpu.ops.attention import (_context,
+                                                           manual_attention)
+
+    module, variables, x, ref = setup
+    mesh = make_pipe_mesh(pipe, data=data, model=model)
+    before = _context["pallas_calls"]
+    with manual_attention(interpret=True):
+        got = jax.jit(lambda v, im: pipeline_apply(
+            module, v, im, mesh, microbatches=4))(variables, x)
+        got = np.asarray(got)
+    assert _context["pallas_calls"] > before, \
+        "nested Pallas path not taken"
+    np.testing.assert_allclose(got, np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_tp_pp_indivisible_heads_dense_fallback():
     """num_heads % model != 0: attention drops to the dense einsum
     (GSPMD partitions it over the auto model axis) and the pipeline
     still matches the plain module."""
-    module = tiny_model()
     module = ViTAntiSpoof(patch_size=16, embed_dim=66, depth=4,
                           num_heads=3, hidden=32, dropout=0.0)
     x = make_inputs()

@@ -557,7 +557,9 @@ def dispatch_attention_qkv(qkv, num_heads: int, dense_fallback):
     """Pick the best attention path for the fused [B, T, 3D] projection:
 
     0. `manual_attention` context (caller already inside a shard_map,
-       e.g. the PP schedule) -> per-device Pallas kernel, no nesting,
+       e.g. the PP schedule) -> per-device Pallas kernel; if the region
+       left a ``model`` mesh axis in AUTO mode (DPxTPxPP), heads shard
+       over it with a NESTED shard_map (`_tp_head_sharded_nested`),
     1. multi-device mesh in context: seq axis sharded -> sequence-
        parallel CP kernel; model axis sharded -> head-sharded kernel;
        otherwise shard_map around the Pallas kernel over the data axis,
@@ -618,9 +620,37 @@ def _auto_model_axis_size() -> int:
     from ..parallel.mesh import MODEL_AXIS
 
     am = jax.sharding.get_abstract_mesh()
-    if am is None or MODEL_AXIS not in getattr(am, "auto_axes", ()):
+    if am is None or MODEL_AXIS not in am.axis_names:
+        return 1
+    # no getattr default: if a jax upgrade renames auto_axes this must
+    # fail HERE, not silently report 1 and leave the model axis in AUTO
+    # mode where GSPMD cannot partition the pallas_call
+    if MODEL_AXIS not in am.auto_axes:
         return 1
     return dict(zip(am.axis_names, am.axis_sizes))[MODEL_AXIS]
+
+
+def _head_major_relayout(qkv, num_heads: int):
+    """Relabel the fused [B, T, 3D] = [q | k | v] stream head-major:
+    [B, T, H, 3*dh], head h owning its contiguous [q_h | k_h | v_h]
+    block — the ONE layout both TP attention paths shard over the model
+    axis (keep this the single definition; the fused-stream order is
+    layout-critical).  Returns (head_major, dh)."""
+    b, t, d3 = qkv.shape
+    d = d3 // 3
+    dh = d // num_heads
+    hm = qkv.reshape(b, t, 3, num_heads, dh).transpose(0, 1, 3, 2, 4)
+    return hm.reshape(b, t, num_heads, 3 * dh), dh
+
+
+def _local_heads_attention(x, h_loc: int, dh: int, interpret: bool):
+    """Inverse of :func:`_head_major_relayout` on a local head shard:
+    rebuild the fused [b, T, 3*h_loc*dh] layout and run the unchanged
+    Pallas kernel on the local heads."""
+    bl, t = x.shape[0], x.shape[1]
+    fused = x.reshape(bl, t, h_loc, 3, dh).transpose(0, 1, 3, 2, 4)
+    fused = fused.reshape(bl, t, 3 * h_loc * dh)
+    return fused_attention_qkv(fused, h_loc, interpret)
 
 
 def _tp_head_sharded_nested(qkv, num_heads: int, n_model: int,
@@ -635,22 +665,13 @@ def _tp_head_sharded_nested(qkv, num_heads: int, n_model: int,
 
     from ..parallel.mesh import MODEL_AXIS
 
-    b, t, d3 = qkv.shape
-    d = d3 // 3
-    dh = d // num_heads
     h_loc = num_heads // n_model
     _context["pallas_calls"] += 1
-
-    hm = qkv.reshape(b, t, 3, num_heads, dh).transpose(0, 1, 3, 2, 4)
-    hm = hm.reshape(b, t, num_heads, 3 * dh)
-
-    def local(x):
-        fused = x.reshape(b, t, h_loc, 3, dh).transpose(0, 1, 3, 2, 4)
-        fused = fused.reshape(b, t, 3 * h_loc * dh)
-        return fused_attention_qkv(fused, h_loc, interpret)
+    hm, dh = _head_major_relayout(qkv, num_heads)
 
     f = jax.shard_map(
-        local, in_specs=P(None, None, MODEL_AXIS, None),
+        lambda x: _local_heads_attention(x, h_loc, dh, interpret),
+        in_specs=P(None, None, MODEL_AXIS, None),
         out_specs=P(None, None, MODEL_AXIS),
         axis_names=frozenset({MODEL_AXIS}), check_vma=False)
     return f(hm)
@@ -679,23 +700,13 @@ def _tp_head_sharded(qkv, num_heads: int, mesh, n_model: int,
 
     from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
 
-    b, t, d3 = qkv.shape
-    d = d3 // 3
-    dh = d // num_heads
     h_loc = num_heads // n_model
     _context["pallas_calls"] += 1
-
-    hm = qkv.reshape(b, t, 3, num_heads, dh).transpose(0, 1, 3, 2, 4)
-    hm = hm.reshape(b, t, num_heads, 3 * dh)
-
-    def local(x):
-        bl = x.shape[0]
-        fused = x.reshape(bl, t, h_loc, 3, dh).transpose(0, 1, 3, 2, 4)
-        fused = fused.reshape(bl, t, 3 * h_loc * dh)
-        return fused_attention_qkv(fused, h_loc, interpret)
+    hm, dh = _head_major_relayout(qkv, num_heads)
 
     f = jax.shard_map(
-        local, mesh=mesh,
+        lambda x: _local_heads_attention(x, h_loc, dh, interpret),
+        mesh=mesh,
         in_specs=P(DATA_AXIS, None, MODEL_AXIS, None),
         out_specs=P(DATA_AXIS, None, MODEL_AXIS), check_vma=False)
     return f(hm)
