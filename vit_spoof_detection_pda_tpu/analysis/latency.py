@@ -115,8 +115,8 @@ def benchmark_throughput(module, variables, *, batch_size: int = 128,
     }
     fl = vit_flops_per_image(module, img_size)
     if fl is not None:
-        out["achieved_tflops"] = round(fl * out["images_per_second"]
-                                       / 1e12, 2)
+        out["achieved_tflops"] = float(
+            f"{fl * out['images_per_second'] / 1e12:.3g}")
     return out
 
 
@@ -212,8 +212,8 @@ def benchmark_train_step(module=None, *, batch_size: int = 128,
     if fl is not None:
         # fwd + bwd ~ 3x fwd GEMM FLOPs (the standard training-FLOPs
         # convention: dL/dx and dL/dW each re-run every GEMM)
-        out["achieved_tflops"] = round(3 * fl * out["images_per_second"]
-                                       / 1e12, 2)
+        out["achieved_tflops"] = float(
+            f"{3 * fl * out['images_per_second'] / 1e12:.3g}")
     return out
 
 
