@@ -114,7 +114,33 @@ def test_lowlat_modes_export_from_cpu_host(tmp_path):
                                        mode=mode, batch_size=2,
                                        img_size=32)
         assert meta["mode"] == mode
+        assert meta["int8_weights"] is False
         A.load_serving_artifact(tmp_path / mode)
+
+
+def test_lowlat_int8_export(tmp_path):
+    """int8_weights freezes the quantized encoder stream: the weight
+    file shrinks vs the bf16 export and the descriptor records the
+    quantization; non-lowlat modes reject the flag."""
+    m, variables = _tiny()
+    meta = A.save_serving_artifact(tmp_path / "bf16", m, variables,
+                                   mode="lowlat", batch_size=1,
+                                   img_size=32)
+    meta8 = A.save_serving_artifact(tmp_path / "int8", m, variables,
+                                    mode="lowlat", batch_size=1,
+                                    img_size=32, int8_weights=True)
+    assert meta8["int8_weights"] is True
+    size = (tmp_path / "bf16" / "weights.npz").stat().st_size
+    size8 = (tmp_path / "int8" / "weights.npz").stat().st_size
+    assert size8 < size
+    A.load_serving_artifact(tmp_path / "int8")
+
+    with pytest.raises(ValueError, match="int8_weights"):
+        A.export_serving(m, variables, mode="batch_grid", batch_size=2,
+                         int8_weights=True)
+    with pytest.raises(ValueError, match="int8_weights"):
+        A.export_serving(m, variables, mode="module", batch_size=2,
+                         int8_weights=True)
 
 
 def test_pallas_mode_rejects_symbolic_batch_and_bad_platforms(tmp_path):
@@ -210,6 +236,9 @@ def test_export_serving_cli_registry_model(tmp_path):
         main([str(tmp_path / "x"), "--model", "NopeNet"])
     with pytest.raises(SystemExit):          # no --model, no checkpoint
         main([str(tmp_path / "x")])
+    with pytest.raises(SystemExit):          # int8 needs --mode lowlat
+        main([str(tmp_path / "x"), "--model", "SigNet_F",
+              "--batch-size", "1", "--lowlat-int8"])
 
 
 def test_fleet_artifact_sharded_roundtrip(tmp_path):

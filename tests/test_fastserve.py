@@ -285,3 +285,34 @@ def test_make_serving_fn_regime_map_and_parity():
     if jax.default_backend() != "tpu":
         with pytest.raises(RuntimeError, match="interpret"):
             make_serving_fn(m, variables, batch_size=4)
+
+
+def test_make_serving_fn_int8_weights():
+    """int8_weights rides the lowlat route only: quantized scores track
+    the full-precision ones within the weight-quantization envelope, and
+    the batch-amortized modes reject the flag before any packing."""
+    from vit_spoof_detection_pda_tpu.models.fastserve import (
+        make_serving_fn, serving_program)
+
+    m = ViTAntiSpoof(patch_size=4, embed_dim=64, depth=2, num_heads=2,
+                     hidden=16, gelu="tanh")
+    variables = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    rng = np.random.default_rng(1)
+    u8 = jnp.asarray(rng.integers(0, 256, (1, 32, 32, 3), dtype=np.uint8))
+
+    base = make_serving_fn(m, variables, batch_size=1, dtype=jnp.float32,
+                           interpret=True)
+    quant = make_serving_fn(m, variables, batch_size=1, dtype=jnp.float32,
+                            int8_weights=True, interpret=True)
+    b, q = np.asarray(base(u8)), np.asarray(quant(u8))
+    assert np.all((q >= 0) & (q <= 1))
+    np.testing.assert_allclose(q, b, atol=0.05)   # quantization noise
+
+    weights, _, _ = serving_program(m, variables, mode="lowlat",
+                                    int8_weights=True)
+    assert weights["packed_w"].dtype == jnp.int8
+
+    for mode in ("batch_grid", "fastserve"):
+        with pytest.raises(ValueError, match="int8_weights"):
+            make_serving_fn(m, variables, batch_size=4, mode=mode,
+                            int8_weights=True, interpret=True)

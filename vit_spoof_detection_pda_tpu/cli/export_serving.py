@@ -39,6 +39,11 @@ def main(argv=None):
                         help="freeze a static batch (required for the "
                         "Pallas modes); default: symbolic — one program, "
                         "any batch (module mode only)")
+    parser.add_argument("--lowlat-int8", action="store_true",
+                        help="freeze the weight-only int8 encoder stream "
+                        "(halves the artifact's weight file and the B=1 "
+                        "HBM weight traffic; opt-in quantized numerics; "
+                        "--mode lowlat only)")
     args = parser.parse_args(argv)
     setup_logging()
     cfg = resolve_config(args)
@@ -48,6 +53,9 @@ def main(argv=None):
     if args.mode != "module" and args.batch_size is None:
         parser.error(f"--mode {args.mode} compiles static Mosaic "
                      "kernels; pass --batch-size")
+    if args.lowlat_int8 and args.mode != "lowlat":
+        parser.error("--lowlat-int8 quantizes the per-item lowlat "
+                     "stream; pass --mode lowlat")
 
     import jax.numpy as jnp
 
@@ -95,10 +103,13 @@ def main(argv=None):
 
     meta = save_serving_artifact(
         args.output, module, variables, mode=args.mode,
-        batch_size=args.batch_size, img_size=cfg.data.img_size)
+        batch_size=args.batch_size, img_size=cfg.data.img_size,
+        int8_weights=args.lowlat_int8)
     b = meta["batch_size"] if meta["batch_size"] is not None else "symbolic"
+    quant = ", int8 weights" if meta.get("int8_weights") else ""
     print(f"serving artifact ({meta['mode']}, batch={b}, "
-          f"platforms={','.join(meta['platforms'])}) -> {args.output}")
+          f"platforms={','.join(meta['platforms'])}{quant}) -> "
+          f"{args.output}")
     return args.output
 
 

@@ -122,7 +122,8 @@ def _score_infer_fn(raw_fn, **kwargs):
 
 def export_serving(module, variables, *, mode: str = "module",
                    batch_size=None, img_size: int = 224,
-                   input_dtype=jnp.float32, platforms=None, mesh=None):
+                   input_dtype=jnp.float32, platforms=None, mesh=None,
+                   int8_weights: bool = False):
     """Build (exported, weights, meta) for a serving program.
 
     ``batch_size=None`` exports a symbolic batch dimension (one program,
@@ -135,6 +136,11 @@ def export_serving(module, variables, *, mode: str = "module",
     collectives baked into the StableHLO).  Module mode only; the
     artifact then requires a matching-size device context at load
     (jax.export records the device assignment).
+
+    ``int8_weights`` (``mode="lowlat"`` only): freeze the weight-only
+    int8 encoder stream — the artifact's weight file halves and the
+    frozen program carries the quantized numerics (opt-in; see
+    ``fastserve.serving_program``).
     """
     from .vit import ViTAntiSpoof
 
@@ -160,6 +166,10 @@ def export_serving(module, variables, *, mode: str = "module",
                              f"the {ndata}-way data axis")
 
     if mode == "module":
+        if int8_weights:
+            raise ValueError("int8_weights packs the lowlat encoder "
+                             "stream; mode='module' exports the plain "
+                             "eval program (pass mode='lowlat')")
         # the EXACT eval program (eval/runner.py) — reusing it keeps the
         # frozen-artifact contract from drifting off the live eval path
         from ..eval.runner import make_infer_fn
@@ -179,7 +189,8 @@ def export_serving(module, variables, *, mode: str = "module",
                              f"platforms must be ('tpu',), got {platforms}")
         # the EXACT live regime construction (weights layout + raw fn)
         from .fastserve import serving_program
-        weights, raw, kw = serving_program(module, variables, mode=mode)
+        weights, raw, kw = serving_program(module, variables, mode=mode,
+                                           int8_weights=int8_weights)
         infer = jax.jit(_score_infer_fn(raw, **kw))
     else:
         raise ValueError(f"unknown serving mode {mode!r}")
@@ -209,6 +220,7 @@ def export_serving(module, variables, *, mode: str = "module",
                    "pred": "argmax label, 1 = live"},
         "compute_dtype": ("bfloat16" if mode in _PALLAS_MODES
                           else np.dtype(input_dtype).name),
+        "int8_weights": bool(int8_weights),
         "model": type(module).__name__,
         "geometry": geom,
         "jax_version": jax.__version__,

@@ -401,13 +401,18 @@ def serving_forward_sharded(params, batch, mesh, *, fn=serving_forward,
 
 
 def serving_program(module, variables, *, mode: str,
-                    dtype=jnp.bfloat16):
+                    dtype=jnp.bfloat16, int8_weights: bool = False):
     """Resolve a serving regime to ``(weights, raw_fn, kwargs)``: fold
     normalization into the patch-embed GEMM and pack the mode's weight
     layout.  The single source of truth for regime construction, shared
     by :func:`make_serving_fn` (live jit) and
     ``models/artifact.export_serving`` (frozen jax.export) so the
-    exported program can never drift from the live one."""
+    exported program can never drift from the live one.
+
+    ``int8_weights`` (``mode="lowlat"`` only): pack the encoder
+    superblocks weight-only int8 — halves the per-image HBM weight
+    stream that floors B=1 latency (BENCH_NOTES round 9).  Opt-in
+    quantized numerics; activations and the stem/head stay ``dtype``."""
     from .vit import ViTAntiSpoof, fold_normalization
 
     if not isinstance(module, ViTAntiSpoof):
@@ -415,6 +420,11 @@ def serving_program(module, variables, *, mode: str,
                         f"{type(module).__name__} (use "
                         "eval.runner.make_fastserve_infer for the "
                         "linear-head models)")
+    if int8_weights and mode != "lowlat":
+        raise ValueError(
+            "int8_weights quantizes the per-item lowlat weight stream; "
+            f"mode={mode!r} amortizes weights across the batch and stays "
+            "full-precision (pass mode='lowlat')")
     geom = dict(num_heads=module.num_heads, patch_size=module.patch_size,
                 norm_eps=module.norm_eps)
     folded = fold_normalization(variables)["params"]
@@ -425,7 +435,8 @@ def serving_program(module, variables, *, mode: str,
         raise ValueError(f"unknown serving mode {mode!r}")
     prepared = prepare_lowlat(folded, depth=module.depth, dtype=dtype,
                               batch_grid=(mode == "batch_grid"),
-                              per_item=(mode == "lowlat"))
+                              per_item=(mode == "lowlat"),
+                              int8_weights=int8_weights)
     raw = (serving_forward_lowlat_batch if mode == "batch_grid"
            else serving_forward_lowlat)
     return prepared, raw, dict(geom, dtype=dtype)
@@ -433,7 +444,7 @@ def serving_program(module, variables, *, mode: str,
 
 def make_serving_fn(module, variables, *, batch_size: int,
                     mode: str = "auto", dtype=jnp.bfloat16,
-                    interpret: bool = False):
+                    int8_weights: bool = False, interpret: bool = False):
     """Production serving factory: fold normalization, pack weights, and
     return a jitted ``uint8 [B,H,W,3] -> P(live) [B]`` function on the
     measured regime winner for ``batch_size`` (BENCH_NOTES rounds 7-9,
@@ -447,6 +458,9 @@ def make_serving_fn(module, variables, *, batch_size: int,
       throughput mode; 4,636 img/s/chip at B=128)
 
     ``mode`` overrides the map ("fastserve" | "lowlat" | "batch_grid").
+    ``int8_weights`` (lowlat only): weight-only int8 encoder stream —
+    halves the HBM weight traffic that floors B=1 latency, at opt-in
+    quantized numerics (see :func:`serving_program`).
     ``module``: the ``ViTAntiSpoof`` instance (geometry source);
     ``variables``: its UNFOLDED variables (folding happens here).
     Weights stay runtime arguments of the compiled program (closed over
@@ -462,6 +476,7 @@ def make_serving_fn(module, variables, *, batch_size: int,
         mode = ("lowlat" if batch_size == 1 else
                 "batch_grid" if batch_size < 16 else "fastserve")
     weights, raw, kw = serving_program(module, variables, mode=mode,
-                                       dtype=dtype)
+                                       dtype=dtype,
+                                       int8_weights=int8_weights)
     fn = jax.jit(lambda p, b: raw(p, b, interpret=interpret, **kw))
     return lambda batch_u8: fn(weights, batch_u8)
