@@ -38,7 +38,7 @@ def main():
     from vit_spoof_detection_pda_tpu.train import (create_train_state,
                                                    make_optimizer,
                                                    make_train_step)
-    from vit_spoof_detection_pda_tpu.train.step import optax_global_norm
+    from vit_spoof_detection_pda_tpu.train.step import _global_norm_f32
 
     B = 128
     loss_fn = losses.make_loss_fn("focal")
@@ -64,7 +64,7 @@ def main():
         key = jax.random.PRNGKey(1)
         loss, grads = jax.value_and_grad(loss_of)(
             params, batch["image"], batch["label"], key)
-        return loss, optax_global_norm(grads)
+        return loss, _global_norm_f32(grads)
 
     @jax.jit
     def fwd_step(params, batch):
