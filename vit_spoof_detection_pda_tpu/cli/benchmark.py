@@ -48,14 +48,15 @@ def main(argv=None):
                              "for A/B against archived numbers")
     parser.add_argument("--lowlat-batch-grid", action="store_true",
                         help="with --lowlat: the batch-grid kernel (weights "
-                             "stream once per <=4-image chunk instead of "
-                             "once per image) — the B=2..16 regime; "
+                             "stream once per 2-image chunk instead of "
+                             "once per image) — the B=2..15 regime; "
                              "anti-spoof head only")
     parser.add_argument("--lowlat-int8", action="store_true",
                         help="with --lowlat: stream the encoder weights "
-                             "weight-only int8 (half the B=1 HBM weight "
-                             "traffic; opt-in quantized numerics) — "
-                             "anti-spoof head only")
+                             "weight-only int8 (half the HBM weight "
+                             "traffic, but measured slower than bf16 at "
+                             "B=1 — memory-constrained deployments only) "
+                             "— anti-spoof head only")
     parser.add_argument("--interpret", action="store_true",
                         help="run --lowlat's Pallas kernel in interpret "
                              "mode (debugging off-TPU; slow)")

@@ -318,15 +318,18 @@ def serving_forward_lowlat_batch(prepared, batch, *, num_heads: int = 12,
                                  patch_size: int = 16,
                                  norm_eps: float = 1e-6,
                                  dtype=jnp.bfloat16,
-                                 chunk_size: int = 4,
+                                 chunk_size: int = 2,
                                  interpret: bool = False):
     """Batch-grid latency path (B~2-16): the whole encoder is still ONE
     Pallas program per <=4-item chunk, but the grid walks phases only,
     so each weight superblock streams from HBM once per chunk instead
     of once per image (ops/lowlat.py::encoder_forward_lowlat_batchgrid).
     ``prepared``: :func:`prepare_lowlat` with ``batch_grid=True``.
-    ``chunk_size`` (<=4) trades VMEM residency / Mosaic program size
-    against weight re-streams: chunk 4 streams weights B/4 times.
+    ``chunk_size`` (<=4) trades VMEM residency against weight
+    re-streams; measured on v5e (BENCH_NOTES round 12,
+    exp_r12_smallb): chunk 2 is the sweet spot — 0.248 ms/img at B=4
+    vs 0.494 for chunk 4 (four resident streams evict the
+    double-buffering margin) and 0.276 for per-item chunks.
     Same anti-spoof scores as :func:`serving_forward_lowlat` within
     f32-reassociation tolerance."""
     from ..ops.lowlat import encoder_forward_lowlat_batchgrid
@@ -410,9 +413,11 @@ def serving_program(module, variables, *, mode: str,
     exported program can never drift from the live one.
 
     ``int8_weights`` (``mode="lowlat"`` only): pack the encoder
-    superblocks weight-only int8 — halves the per-image HBM weight
-    stream that floors B=1 latency (BENCH_NOTES round 9).  Opt-in
-    quantized numerics; activations and the stem/head stay ``dtype``."""
+    superblocks weight-only int8 — halves the HBM weight stream at the
+    cost of an in-VMEM dequant pass.  Measured SLOWER than bf16 at B=1
+    (0.467 vs 0.348-0.424 ms/img, BENCH_NOTES round 12); opt-in for
+    memory-constrained deployments only.  Activations and the
+    stem/head stay ``dtype``."""
     from .vit import ViTAntiSpoof, fold_normalization
 
     if not isinstance(module, ViTAntiSpoof):
@@ -453,14 +458,17 @@ def make_serving_fn(module, variables, *, batch_size: int,
     - ``B == 1``  -> ``lowlat`` (whole encoder as ONE Pallas program;
       fold-ends image->logits single kernel when patch_dim == embed_dim)
     - ``2..15``   -> ``batch_grid`` (same single-program encoder, weights
-      stream once per <=4-image chunk instead of once per image)
+      stream once per 2-image chunk — the measured VMEM sweet spot,
+      0.23-0.25 ms/img at B=2/4 vs 0.28 per-item / 0.30-0.33 fastserve;
+      BENCH_NOTES round 12)
     - ``B >= 16`` -> ``fastserve`` (per-layer fused kernels — the
-      throughput mode; 4,636 img/s/chip at B=128)
+      throughput mode; 4,632 img/s/chip at B=128)
 
     ``mode`` overrides the map ("fastserve" | "lowlat" | "batch_grid").
     ``int8_weights`` (lowlat only): weight-only int8 encoder stream —
-    halves the HBM weight traffic that floors B=1 latency, at opt-in
-    quantized numerics (see :func:`serving_program`).
+    halves HBM weight traffic but measured slower than bf16 at B=1;
+    opt-in for memory-constrained deployments (see
+    :func:`serving_program`).
     ``module``: the ``ViTAntiSpoof`` instance (geometry source);
     ``variables``: its UNFOLDED variables (folding happens here).
     Weights stay runtime arguments of the compiled program (closed over

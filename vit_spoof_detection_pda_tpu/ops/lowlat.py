@@ -448,13 +448,14 @@ def pack_encoder_weights(vit_params, *, depth: int = 12,
     the B=1 latency regime: each superblock column (an output channel /
     fc2 (chunk, output) pair) gets an f32 scale ``max|w|/127`` stored as
     S row 4 (``S [depth*3, 5, 4D]``), and the kernel dequantizes the
-    block in VMEM right before its dots.  Rationale: at B=1 the kernel
-    sits on the HBM weight-stream floor (BENCH_NOTES round 7 — ~162 MB
-    bf16/image); int8 halves that stream while the dequant runs on
-    VMEM-resident data.  This is the opposite regime from the REJECTED
-    B=128 int8 serving path (BENCH_NOTES rounds 1-2: compute-bound,
-    where quant/dequant elementwise passes cost more than the MXU rate
-    saved) — opt-in until the hardware probe settles the win."""
+    block in VMEM right before its dots.  Hardware verdict (BENCH_NOTES
+    round 12, exp_r11): the B=1 weight-stream-floor hypothesis was
+    REJECTED — int8 measures 0.467 ms/img vs 0.348-0.424 bf16 (the
+    in-VMEM dequant pass costs more than the halved stream saves;
+    Mosaic already overlaps the bf16 stream), and only edges bf16 at
+    B=4 (0.254 vs 0.277).  Stays opt-in for memory-constrained
+    deployments (score drift ~9e-4); bf16 is the latency default, like
+    the earlier-rejected B=128 compute-bound int8 path (rounds 1-2)."""
     d, hidden = _pack_geom(vit_params)
     ws, ss = [], []
     f32 = jnp.float32
