@@ -256,8 +256,20 @@ def test_make_serving_fn_regime_map_and_parity():
     folded = fold_normalization(variables)
     rng = np.random.default_rng(0)
 
+    from vit_spoof_detection_pda_tpu.models.fastserve import (
+        auto_serving_mode)
+
+    # the measured regime table itself (BENCH_NOTES round 12)
+    assert auto_serving_mode(1) == "lowlat"
+    assert auto_serving_mode(2) == "batch_grid"
+    assert auto_serving_mode(16) == "batch_grid"
+    assert auto_serving_mode(17) == "fastserve"
+    assert auto_serving_mode(128) == "fastserve"
+    with pytest.raises(ValueError, match="batch_size"):
+        auto_serving_mode(0)
+
     for bs, want_mode in [(1, "lowlat"), (3, "batch_grid"),
-                          (16, "fastserve")]:
+                          (17, "fastserve")]:
         u8 = jnp.asarray(rng.integers(0, 256, (bs, 32, 32, 3),
                                       dtype=np.uint8))
         fn = make_serving_fn(m, variables, batch_size=bs,

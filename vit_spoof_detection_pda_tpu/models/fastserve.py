@@ -447,22 +447,37 @@ def serving_program(module, variables, *, mode: str,
     return prepared, raw, dict(geom, dtype=dtype)
 
 
+def auto_serving_mode(batch_size: int) -> str:
+    """The measured regime table (TPU v5e, BENCH_NOTES rounds 7-12):
+    B=1 whole-encoder per-item kernel; 2..16 batch-grid (2-image weight
+    chunks, 0.23-0.25 ms/img — still ahead of fastserve at B=16 by
+    ~2%); >=17 per-layer fastserve (0.225 ms/img by B=32, 0.216 at
+    B=128)."""
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    if batch_size == 1:
+        return "lowlat"
+    return "batch_grid" if batch_size <= 16 else "fastserve"
+
+
 def make_serving_fn(module, variables, *, batch_size: int,
                     mode: str = "auto", dtype=jnp.bfloat16,
                     int8_weights: bool = False, interpret: bool = False):
     """Production serving factory: fold normalization, pack weights, and
     return a jitted ``uint8 [B,H,W,3] -> P(live) [B]`` function on the
-    measured regime winner for ``batch_size`` (BENCH_NOTES rounds 7-9,
+    measured regime winner for ``batch_size`` (BENCH_NOTES rounds 7-12,
     TPU v5e):
 
-    - ``B == 1``  -> ``lowlat`` (whole encoder as ONE Pallas program;
-      fold-ends image->logits single kernel when patch_dim == embed_dim)
-    - ``2..15``   -> ``batch_grid`` (same single-program encoder, weights
-      stream once per 2-image chunk — the measured VMEM sweet spot,
-      0.23-0.25 ms/img at B=2/4 vs 0.28 per-item / 0.30-0.33 fastserve;
-      BENCH_NOTES round 12)
-    - ``B >= 16`` -> ``fastserve`` (per-layer fused kernels — the
-      throughput mode; 4,632 img/s/chip at B=128)
+    - ``B == 1``  -> ``lowlat`` (whole encoder as ONE Pallas program,
+      ~0.30 ms/img; fold-ends image->logits single kernel available
+      when patch_dim == embed_dim)
+    - ``2..16``   -> ``batch_grid`` (same single-program encoder, weights
+      stream once per 2-image chunk — the measured VMEM sweet spot:
+      0.23-0.25 ms/img flat across B=2..32 vs 0.25-0.33 fastserve;
+      BENCH_NOTES round 12, exp_r12/r13 interleaved repeats)
+    - ``B >= 17`` -> ``fastserve`` (per-layer fused kernels — the
+      throughput mode; crosses below batch-grid by B=32 at 0.225
+      ms/img, 4,632 img/s/chip at B=128)
 
     ``mode`` overrides the map ("fastserve" | "lowlat" | "batch_grid").
     ``int8_weights`` (lowlat only): weight-only int8 encoder stream —
@@ -481,8 +496,7 @@ def make_serving_fn(module, variables, *, batch_size: int,
             f"'{jax.default_backend()}' backend pass interpret=True "
             "(debugging) or use the module path")
     if mode == "auto":
-        mode = ("lowlat" if batch_size == 1 else
-                "batch_grid" if batch_size < 16 else "fastserve")
+        mode = auto_serving_mode(batch_size)
     weights, raw, kw = serving_program(module, variables, mode=mode,
                                        dtype=dtype,
                                        int8_weights=int8_weights)
