@@ -12,6 +12,7 @@ COMMANDS = {
     "export": "vit_spoof_detection_pda_tpu.cli.export",
     "export-serving": "vit_spoof_detection_pda_tpu.cli.export_serving",
     "predict": "vit_spoof_detection_pda_tpu.cli.predict",
+    "serve": "vit_spoof_detection_pda_tpu.cli.serve",
 }
 
 

@@ -61,27 +61,54 @@ def decode_image(path: str, size: int, resize: str = "exact") -> np.ndarray:
     from PIL import Image
     try:
         with Image.open(path) as im:
-            im = im.convert("RGB")
-            if resize == "exact":
-                im = im.resize((size, size), Image.BILINEAR)
-            else:
-                w, h = im.size
-                # half-away-from-zero like the native path's lround
-                # (decoder.cpp) — Python round() is banker's rounding
-                # and disagrees on exact .5 scales (e.g. 65*32/64),
-                # which would give the two decoders different grids
-                if w <= h:
-                    nw, nh = size, max(1, int(h * size / w + 0.5))
-                else:
-                    nw, nh = max(1, int(w * size / h + 0.5)), size
-                im = im.resize((nw, nh), Image.BILINEAR)
-                left = (nw - size) // 2
-                top = (nh - size) // 2
-                im = im.crop((left, top, left + size, top + size))
-            return np.asarray(im, dtype=np.uint8)
+            return _pil_to_sized_rgb(im, size, resize)
     except Exception as e:                       # noqa: BLE001
         log.warning("decode failed for %s (%s) — black fallback", path, e)
         return np.zeros((size, size, 3), np.uint8)
+
+
+def _pil_to_sized_rgb(im, size: int, resize: str) -> np.ndarray:
+    """RGB-convert + resize an open PIL image to (size, size, 3) uint8
+    with the same geometry as the native decoder (decode_image docstring
+    for the resize semantics)."""
+    from PIL import Image
+
+    im = im.convert("RGB")
+    if resize == "exact":
+        im = im.resize((size, size), Image.BILINEAR)
+    else:
+        w, h = im.size
+        # half-away-from-zero like the native path's lround
+        # (decoder.cpp) — Python round() is banker's rounding
+        # and disagrees on exact .5 scales (e.g. 65*32/64),
+        # which would give the two decoders different grids
+        if w <= h:
+            nw, nh = size, max(1, int(h * size / w + 0.5))
+        else:
+            nw, nh = max(1, int(w * size / h + 0.5)), size
+        im = im.resize((nw, nh), Image.BILINEAR)
+        left = (nw - size) // 2
+        top = (nh - size) // 2
+        im = im.crop((left, top, left + size, top + size))
+    return np.asarray(im, dtype=np.uint8)
+
+
+def decode_image_bytes(data: bytes, size: int,
+                       resize: str = "exact") -> np.ndarray:
+    """Decode in-memory image bytes to (size, size, 3) uint8 RGB.
+
+    The serving-daemon flavor of :func:`decode_image`: same geometry,
+    but RAISES ``ValueError`` on undecodable input instead of the
+    dataset pipeline's black-image fallback — a scoring service must
+    reject a corrupt upload, not silently score a black frame."""
+    import io
+
+    from PIL import Image
+    try:
+        with Image.open(io.BytesIO(data)) as im:
+            return _pil_to_sized_rgb(im, size, resize)
+    except Exception as e:                       # noqa: BLE001
+        raise ValueError(f"undecodable image bytes ({e})") from e
 
 
 def shard_for_host(records: Sequence[Record]) -> List[Record]:
