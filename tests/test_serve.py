@@ -274,6 +274,31 @@ def test_http_concurrent_requests_batch_and_agree(server, artifacts):
     assert stats["batches"] <= before + len(values)
 
 
+def test_http_raw_frame_upload(server, artifacts):
+    """application/x-pad-raw: pre-decoded uint8 RGB bytes skip the host
+    JPEG decode; wrong length is a 400."""
+    srv, _, _ = server
+    root, _, _ = artifacts
+    port = srv.server_address[1]
+    art = A.load_serving_artifact(root / "sym")
+    frame = np.full((SIZE, SIZE, 3), 77, np.uint8)
+
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/score", data=frame.tobytes(),
+        method="POST", headers={"Content-Type": "application/x-pad-raw"})
+    with urllib.request.urlopen(req, timeout=30) as r:
+        out = json.loads(r.read())
+    want = float(np.asarray(art(jnp.asarray(frame[None]))["prob1"])[0])
+    assert out["prob_live"] == pytest.approx(want, abs=1e-6)
+
+    bad = urllib.request.Request(
+        f"http://127.0.0.1:{port}/score", data=b"\x00" * 10,
+        method="POST", headers={"Content-Type": "application/x-pad-raw"})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(bad, timeout=30)
+    assert ei.value.code == 400
+
+
 def test_http_rejects_garbage_and_unknown_paths(server):
     srv, _, _ = server
     port = srv.server_address[1]
@@ -303,6 +328,33 @@ def test_http_healthz_and_stats(server):
     assert status == 200
     assert stats["requests"] >= 1
     assert "latency_ms" in stats
+
+
+def test_build_programs_live_regime_table(artifacts):
+    """Live mode: per-shape programs on the measured regime winners,
+    scores matching the artifact program (same folded weights)."""
+    from vit_spoof_detection_pda_tpu.serve import build_programs_live
+    root, m, variables = artifacts
+    programs, img_size, metas = build_programs_live(
+        m, variables, shapes=(1, 2, 4), img_size=SIZE, interpret=True)
+    assert img_size == SIZE
+    assert sorted(programs) == [1, 2, 4]
+    assert metas[0]["shapes"] == {1: "lowlat", 2: "batch_grid",
+                                  4: "batch_grid"}
+    art = A.load_serving_artifact(root / "sym")
+    batch = np.stack([_img(40), _img(200)])
+    got = programs[2](batch)
+    want = np.asarray(art(jnp.asarray(batch))["prob1"])
+    # module artifact is f32; live Pallas regimes are bf16
+    np.testing.assert_allclose(got["prob1"], want, atol=2e-2)
+    assert got["pred"].dtype == np.int32
+    b = MicroBatcher(programs, img_size=SIZE, max_wait_ms=1.0)
+    try:
+        out = b.submit(_img(40)).result(timeout=30)
+        assert out["prob1"] == pytest.approx(float(got["prob1"][0]),
+                                             abs=2e-2)
+    finally:
+        b.close()
 
 
 def test_serve_cli_validates_args():

@@ -1,30 +1,47 @@
-"""`serve` command: run the HTTP scoring service over frozen serving
-artifacts (export-serving output) with cross-request micro-batching.
+"""`serve` command: run the HTTP scoring service with cross-request
+micro-batching — over frozen serving artifacts (export-serving output)
+or straight from an Orbax checkpoint (live mode, no export step).
 
+    # artifact flavor (deployment: no model code needed at runtime)
     python -m vit_spoof_detection_pda_tpu serve ./artifact_lowlat \
         ./artifact_grid16 --port 8417 --max-wait-ms 2
 
+    # live flavor (research box: checkpoint -> regime table directly)
+    python -m vit_spoof_detection_pda_tpu serve --checkpoint ./ckpts \
+        --shapes 1,2,4,8,16
+
 Each artifact contributes its compiled batch shape (fixed-batch Pallas
 artifacts) or power-of-two buckets (symbolic-batch module artifacts);
-concurrent requests coalesce into the smallest shape that fits.  See
-serve/server.py for the endpoints.
+live mode builds one program per shape on the measured regime winner
+(models/fastserve.py::auto_serving_mode).  Concurrent requests coalesce
+into the smallest shape that fits.  See serve/server.py for endpoints.
 """
 
 from __future__ import annotations
 
 import argparse
 
-from .common import setup_logging
+from .common import add_config_args, resolve_config, setup_logging
 
 
 def main(argv=None):
     parser = argparse.ArgumentParser(
-        description="HTTP scoring service over frozen serving artifacts")
-    parser.add_argument("artifacts", nargs="+",
+        description="HTTP scoring service with cross-request "
+                    "micro-batching")
+    add_config_args(parser)
+    parser.add_argument("artifacts", nargs="*",
                         help="artifact directories (export-serving); a "
                         "fixed-batch artifact adds its shape, a "
                         "symbolic-batch one fans across 1,2,4,... "
                         "buckets")
+    parser.add_argument("--checkpoint", default=None,
+                        help="live mode: serve straight from an Orbax "
+                        "checkpoint dir (config-built anti-spoof ViT; "
+                        "mutually exclusive with artifact dirs)")
+    parser.add_argument("--shapes", default="1,2,4,8,16",
+                        help="live mode: comma-separated batch shapes "
+                        "to compile (each gets the measured regime "
+                        "winner)")
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8417,
                         help="0 picks an ephemeral port")
@@ -38,6 +55,9 @@ def main(argv=None):
     parser.add_argument("--no-warmup", action="store_true",
                         help="skip compiling every batch shape at "
                         "startup (first requests pay compile latency)")
+    parser.add_argument("--interpret", action="store_true",
+                        help="live mode off-TPU: run the Pallas regimes "
+                        "in interpret mode (debugging only — slow)")
     args = parser.parse_args(argv)
     setup_logging()
 
@@ -45,11 +65,42 @@ def main(argv=None):
         parser.error("--max-batch must be >= 1")
     if args.max_wait_ms < 0:
         parser.error("--max-wait-ms must be >= 0")
+    if bool(args.artifacts) == bool(args.checkpoint):
+        parser.error("pass either artifact directories OR --checkpoint")
 
     from ..serve import serve
-    serve(args.artifacts, host=args.host, port=args.port,
-          max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
-          warmup=not args.no_warmup)
+    if args.artifacts:
+        serve(args.artifacts, host=args.host, port=args.port,
+              max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+              warmup=not args.no_warmup)
+        return
+
+    try:
+        shapes = sorted({int(s) for s in args.shapes.split(",") if s})
+    except ValueError:
+        parser.error(f"--shapes must be comma-separated ints, got "
+                     f"{args.shapes!r}")
+    if not shapes or shapes[0] < 1:
+        parser.error(f"--shapes must be >= 1, got {args.shapes!r}")
+
+    import jax.numpy as jnp
+
+    from ..models.registry import build_vit_from_config
+    from ..serve.server import (build_programs_live,
+                                make_server_from_programs, run_server)
+    from ..utils.checkpoint import load_checkpoint_bundle
+
+    cfg = resolve_config(args)
+    module = build_vit_from_config(cfg.model, jnp.bfloat16)
+    variables, step, _metrics = load_checkpoint_bundle(args.checkpoint)
+    programs, img_size, metas = build_programs_live(
+        module, variables, shapes=shapes, img_size=cfg.data.img_size,
+        interpret=args.interpret)
+    metas[0]["checkpoint"] = {"path": args.checkpoint, "step": step}
+    server = make_server_from_programs(
+        programs, img_size, metas, host=args.host, port=args.port,
+        max_wait_ms=args.max_wait_ms)
+    run_server(server, warmup=not args.no_warmup)
 
 
 if __name__ == "__main__":

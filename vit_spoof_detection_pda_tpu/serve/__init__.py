@@ -12,7 +12,10 @@ caller sees single-request latency plus a bounded batching window.
 """
 
 from .batcher import MicroBatcher
-from .server import build_programs_from_artifacts, make_server, serve
+from .server import (build_programs_from_artifacts, build_programs_live,
+                     make_server, make_server_from_programs, run_server,
+                     serve)
 
 __all__ = ["MicroBatcher", "build_programs_from_artifacts",
-           "make_server", "serve"]
+           "build_programs_live", "make_server",
+           "make_server_from_programs", "run_server", "serve"]

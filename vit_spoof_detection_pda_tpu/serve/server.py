@@ -128,13 +128,25 @@ class _Handler(BaseHTTPRequestHandler):
             return
         data = self.rfile.read(length)
 
-        from ..data.loader import decode_image_bytes
         t0 = time.monotonic()
-        try:
-            image = decode_image_bytes(data, srv.batcher.img_size)
-        except ValueError as e:
-            self._send_json(422, {"error": str(e)})
-            return
+        n = srv.batcher.img_size
+        if self.headers.get("Content-Type") == "application/x-pad-raw":
+            # pre-decoded frame: exactly n*n*3 raw uint8 RGB bytes —
+            # skips host JPEG decode for upstream services that already
+            # hold pixels (camera pipelines, video frame extractors)
+            if length != n * n * 3:
+                self._send_json(400, {
+                    "error": f"x-pad-raw body must be {n}*{n}*3 = "
+                             f"{n * n * 3} bytes, got {length}"})
+                return
+            image = np.frombuffer(data, np.uint8).reshape(n, n, 3)
+        else:
+            from ..data.loader import decode_image_bytes
+            try:
+                image = decode_image_bytes(data, n)
+            except ValueError as e:
+                self._send_json(422, {"error": str(e)})
+                return
         try:
             result = srv.batcher.submit(image).result(
                 timeout=srv.request_timeout)
@@ -150,6 +162,9 @@ class _Handler(BaseHTTPRequestHandler):
 
 class PADServer(ThreadingHTTPServer):
     daemon_threads = True
+    # socketserver's default listen backlog is 5 — bursts of fresh
+    # connections (every urllib request is one) get RST under load
+    request_queue_size = 128
 
     def __init__(self, addr, batcher: MicroBatcher, metas,
                  request_timeout: float = 60.0):
@@ -167,6 +182,48 @@ class PADServer(ThreadingHTTPServer):
         self.batcher.close()
 
 
+def build_programs_live(module, variables, *,
+                        shapes: Sequence[int] = (1, 2, 4, 8, 16),
+                        img_size: int = 224, interpret: bool = False):
+    """Program table from a LIVE model — no export step.  Each shape
+    gets the measured regime winner (fastserve.auto_serving_mode);
+    shapes sharing a regime share one jitted callable (jax retraces per
+    concrete batch shape on first use).  ``pred`` derives from
+    prob >= 0.5, which equals the artifact programs' 2-class argmax."""
+    from ..models.fastserve import auto_serving_mode, make_serving_fn
+
+    sizes = sorted({int(s) for s in shapes})
+    per_mode, programs, modes = {}, {}, {}
+    for s in sizes:
+        mode = auto_serving_mode(s)
+        fn = per_mode.get(mode)
+        if fn is None:
+            fn = per_mode[mode] = make_serving_fn(
+                module, variables, batch_size=s, mode=mode,
+                interpret=interpret)
+
+        def call(batch, fn=fn):
+            prob1 = np.asarray(fn(batch), np.float32)
+            return {"prob1": prob1,
+                    "pred": (prob1 >= 0.5).astype(np.int32)}
+
+        programs[s] = call
+        modes[s] = mode
+    metas = [{"source": "live", "model": type(module).__name__,
+              "img_size": int(img_size), "shapes": modes}]
+    return programs, int(img_size), metas
+
+
+def make_server_from_programs(programs, img_size, metas, *,
+                              host: str = "127.0.0.1", port: int = 8417,
+                              max_wait_ms: float = 2.0,
+                              request_timeout: float = 60.0) -> PADServer:
+    batcher = MicroBatcher(programs, img_size=img_size,
+                           max_wait_ms=max_wait_ms)
+    return PADServer((host, port), batcher, metas,
+                     request_timeout=request_timeout)
+
+
 def make_server(artifact_dirs: Sequence[str], *, host: str = "127.0.0.1",
                 port: int = 8417, max_batch: int = 16,
                 max_wait_ms: float = 2.0,
@@ -177,20 +234,15 @@ def make_server(artifact_dirs: Sequence[str], *, host: str = "127.0.0.1",
     ephemeral one)."""
     programs, img_size, metas = build_programs_from_artifacts(
         artifact_dirs, max_batch=max_batch)
-    batcher = MicroBatcher(programs, img_size=img_size,
-                           max_wait_ms=max_wait_ms)
-    return PADServer((host, port), batcher, metas,
-                     request_timeout=request_timeout)
+    return make_server_from_programs(
+        programs, img_size, metas, host=host, port=port,
+        max_wait_ms=max_wait_ms, request_timeout=request_timeout)
 
 
-def serve(artifact_dirs: Sequence[str], *, host: str = "127.0.0.1",
-          port: int = 8417, max_batch: int = 16, max_wait_ms: float = 2.0,
-          warmup: bool = True):
-    """Blocking entry point (the ``serve`` CLI): load, warm every
-    compiled shape with a zero batch (first-request latency stays flat),
-    then serve until interrupted."""
-    server = make_server(artifact_dirs, host=host, port=port,
-                         max_batch=max_batch, max_wait_ms=max_wait_ms)
+def run_server(server: PADServer, *, warmup: bool = True):
+    """Warm every compiled shape with a zero batch (first-request
+    latency stays flat), then block in the accept loop until
+    interrupted."""
     b = server.batcher
     if warmup:
         for size in b.batch_sizes:
@@ -212,3 +264,12 @@ def serve(artifact_dirs: Sequence[str], *, host: str = "127.0.0.1",
         server.server_close()
         server.batcher.close()
     return server
+
+
+def serve(artifact_dirs: Sequence[str], *, host: str = "127.0.0.1",
+          port: int = 8417, max_batch: int = 16, max_wait_ms: float = 2.0,
+          warmup: bool = True):
+    """Blocking entry point (the ``serve`` CLI, artifact flavor)."""
+    server = make_server(artifact_dirs, host=host, port=port,
+                         max_batch=max_batch, max_wait_ms=max_wait_ms)
+    return run_server(server, warmup=warmup)
