@@ -96,6 +96,20 @@ except urllib.error.HTTPError as e:
     assert e.code == 400, e.code
 print("wrong-length raw frame -> 400 ok")
 
+# batch endpoint: N frames in one request, ordered results
+rng = np.random.default_rng(3)
+frames = rng.integers(0, 256, (5, SIZE, SIZE, 3), dtype=np.uint8)
+want_b = [float(programs[1](frames[i:i + 1])["prob1"][0])
+          for i in range(5)]
+req = urllib.request.Request(
+    f"http://127.0.0.1:{port}/score-batch", data=frames.tobytes(),
+    method="POST", headers={"Content-Type": "application/x-pad-raw"})
+outb = json.loads(urllib.request.urlopen(req, timeout=120).read())
+assert outb["count"] == 5
+for got, w in zip(outb["prob_live"], want_b):
+    assert abs(got - w) < 1e-4, (outb["prob_live"], want_b)
+print("score-batch endpoint parity ok:", outb["prob_live"])
+
 # stats endpoint alive
 stats = json.loads(urllib.request.urlopen(
     f"http://127.0.0.1:{port}/stats", timeout=60).read())

@@ -299,6 +299,63 @@ def test_http_raw_frame_upload(server, artifacts):
     assert ei.value.code == 400
 
 
+def test_batcher_submit_many_orders_and_coalesces():
+    calls = []
+    b = MicroBatcher({4: _fake_program(calls)}, img_size=SIZE,
+                     max_wait_ms=50.0)
+    try:
+        vals = [10, 20, 30, 40, 50, 60]
+        futs = b.submit_many(np.stack([_img(v) for v in vals]))
+        outs = [f.result(timeout=5) for f in futs]
+        for v, o in zip(vals, outs):
+            assert o["prob1"] == pytest.approx(v / 255.0)
+        assert len(calls) == 2 and all(c == 4 for c in calls)
+        with pytest.raises(ValueError, match="expected uint8"):
+            b.submit_many(np.zeros((2, SIZE, SIZE, 3), np.float32))
+        with pytest.raises(ValueError, match="expected uint8"):
+            b.submit_many(np.zeros((SIZE, SIZE, 3), np.uint8))
+    finally:
+        b.close()
+
+
+def test_http_score_batch_endpoint(server, artifacts):
+    """/score-batch: one request, N raw frames, ordered arrays back;
+    wrong content type is 415, ragged length is 400."""
+    srv, _, _ = server
+    root, _, _ = artifacts
+    port = srv.server_address[1]
+    art = A.load_serving_artifact(root / "sym")
+    vals = [15, 85, 170, 240, 33]
+    frames = np.stack([_img(v) for v in vals])
+
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/score-batch", data=frames.tobytes(),
+        method="POST", headers={"Content-Type": "application/x-pad-raw"})
+    with urllib.request.urlopen(req, timeout=60) as r:
+        out = json.loads(r.read())
+    assert out["count"] == len(vals)
+    want = np.asarray(art(jnp.asarray(frames))["prob1"])
+    np.testing.assert_allclose(out["prob_live"], want, atol=1e-6)
+    assert out["pred"] == [int(p >= 0.5) for p in want]
+
+    # wrong content type -> 415
+    bad_ct = urllib.request.Request(
+        f"http://127.0.0.1:{port}/score-batch", data=frames.tobytes(),
+        method="POST")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(bad_ct, timeout=30)
+    assert ei.value.code == 415
+
+    # non-multiple length -> 400
+    ragged = urllib.request.Request(
+        f"http://127.0.0.1:{port}/score-batch",
+        data=frames.tobytes()[:-7], method="POST",
+        headers={"Content-Type": "application/x-pad-raw"})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(ragged, timeout=30)
+    assert ei.value.code == 400
+
+
 def test_http_rejects_garbage_and_unknown_paths(server):
     srv, _, _ = server
     port = srv.server_address[1]

@@ -108,6 +108,28 @@ class MicroBatcher:
         self._queue.put(_Request(image=image, future=fut))
         return fut
 
+    def submit_many(self, frames: np.ndarray) -> list:
+        """Enqueue a block of (N, H, W, 3) uint8 frames; returns one
+        Future per frame (order preserved).  The dispatcher's window
+        sweep coalesces consecutively queued frames into full device
+        batches, so a block amortizes exactly like concurrent clients
+        — without per-frame HTTP requests."""
+        frames = np.asarray(frames)
+        want = (self._img_size, self._img_size, 3)
+        if frames.ndim != 4 or frames.shape[1:] != want \
+                or frames.dtype != np.uint8:
+            raise ValueError(
+                f"expected uint8 (N, {want[0]}, {want[1]}, 3) block, "
+                f"got {frames.dtype} {frames.shape}")
+        if self._closed:
+            raise RuntimeError("MicroBatcher is closed")
+        futs = []
+        for i in range(frames.shape[0]):
+            fut: Future = Future()
+            self._queue.put(_Request(image=frames[i], future=fut))
+            futs.append(fut)
+        return futs
+
     def stats(self) -> dict:
         """Counters + latency percentiles (ms, submit -> result)."""
         with self._lock:

@@ -5,9 +5,15 @@ decode parallelizes across clients while the single dispatcher thread
 owns the device):
 
 - ``POST /score`` — request body = image bytes (JPEG/PNG/anything PIL
-  decodes).  Response: ``{"prob_live": p, "pred": 0|1,
+  decodes), or one raw pre-decoded ``n*n*3`` uint8 RGB frame with
+  ``Content-Type: application/x-pad-raw`` (skips host decode).
+  Response: ``{"prob_live": p, "pred": 0|1,
   "label": "live"|"spoof", "latency_ms": t}`` (1 = live,
   data/conventions.py).  Undecodable bodies get HTTP 422.
+- ``POST /score-batch`` — N concatenated raw frames in one request
+  (``application/x-pad-raw``); response carries parallel
+  ``prob_live``/``pred`` arrays.  Amortizes per-request HTTP + decode
+  overhead for bulk/video callers.
 - ``GET /healthz`` — liveness + artifact metadata.
 - ``GET /stats`` — batcher counters and latency percentiles.
 
@@ -34,6 +40,7 @@ from .batcher import MicroBatcher
 log = logging.getLogger(__name__)
 
 _MAX_BODY = 32 * 1024 * 1024          # 32 MB: generous for one image
+_MAX_BATCH_FRAMES = 1024              # /score-batch cap (~154 MB at 224²)
 
 
 def build_programs_from_artifacts(artifact_dirs: Sequence[str], *,
@@ -110,6 +117,9 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_json(404, {"error": f"unknown path {self.path}"})
 
     def do_POST(self):                           # noqa: N802 (stdlib API)
+        if self.path == "/score-batch":
+            self._score_batch()
+            return
         if self.path != "/score":
             self._send_json(404, {"error": f"unknown path {self.path}"})
             return
@@ -157,6 +167,58 @@ class _Handler(BaseHTTPRequestHandler):
             "prob_live": result["prob1"],
             "pred": result["pred"],
             "label": "live" if result["pred"] == 1 else "spoof",
+            "latency_ms": round((time.monotonic() - t0) * 1000.0, 3)})
+
+    def _score_batch(self):
+        """``POST /score-batch``: one request scores a whole block of
+        pre-decoded frames — body = N x (n*n*3) raw uint8 RGB bytes
+        (``application/x-pad-raw``), N inferred from the length.  This
+        amortizes the HTTP + decode tax the single-image JPEG path pays
+        per frame (the measured e2e ceiling on a 1-core host, BENCH_NOTES
+        round 13); the dispatcher still packs the frames onto the
+        compiled batch shapes, interleaved fairly with ``/score``
+        traffic.  Response arrays preserve frame order."""
+        srv = self.server
+        if self.headers.get("Content-Type") != "application/x-pad-raw":
+            self._send_json(415, {
+                "error": "score-batch takes Content-Type "
+                         "application/x-pad-raw (concatenated raw "
+                         "uint8 RGB frames)"})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+        except ValueError:
+            length = 0
+        n = srv.batcher.img_size
+        frame_bytes = n * n * 3
+        if length <= 0 or length % frame_bytes != 0:
+            self._send_json(400, {
+                "error": f"body must be a positive multiple of "
+                         f"{n}*{n}*3 = {frame_bytes} bytes, got "
+                         f"{length}"})
+            return
+        count = length // frame_bytes
+        if count > _MAX_BATCH_FRAMES:
+            self._send_json(413, {
+                "error": f"{count} frames exceeds the per-request cap "
+                         f"of {_MAX_BATCH_FRAMES}; split the block"})
+            return
+        data = self.rfile.read(length)
+        t0 = time.monotonic()
+        frames = np.frombuffer(data, np.uint8).reshape(count, n, n, 3)
+        try:
+            futs = srv.batcher.submit_many(frames)
+            deadline = t0 + srv.request_timeout
+            results = [f.result(timeout=max(0.0, deadline -
+                                            time.monotonic()))
+                       for f in futs]
+        except Exception as e:                   # noqa: BLE001
+            self._send_json(500, {"error": f"inference failed: {e}"})
+            return
+        self._send_json(200, {
+            "prob_live": [r["prob1"] for r in results],
+            "pred": [r["pred"] for r in results],
+            "count": count,
             "latency_ms": round((time.monotonic() - t0) * 1000.0, 3)})
 
 
