@@ -156,6 +156,27 @@ h2 = json.loads(urllib.request.urlopen(
 assert h2["artifacts"][0]["checkpoint"]["step"] == 7, h2["artifacts"]
 print("CLI live mode end-to-end ok:", out3["prob_live"])
 
+# hot-reload: save a NEW checkpoint step, POST /admin/reload, and the
+# server must swap to the new weights with the old score changing
+state2 = create_train_state(module, make_optimizer(1e-3),
+                            jax.random.PRNGKey(42),
+                            input_shape=(1, SIZE, SIZE, 3))
+mgr2 = CheckpointManager(str(ckdir))
+assert mgr2.save(8, state2, metrics={"val_f1": 1.0})
+mgr2.close()
+req = urllib.request.Request(
+    f"http://127.0.0.1:{port2}/admin/reload", data=b"", method="POST")
+rel = json.loads(urllib.request.urlopen(req, timeout=300).read())
+assert rel["reloaded"] is True
+assert rel["artifacts"][0]["checkpoint"]["step"] == 8, rel["artifacts"]
+req = urllib.request.Request(
+    f"http://127.0.0.1:{port2}/score", data=frame.tobytes(),
+    method="POST", headers={"Content-Type": "application/x-pad-raw"})
+out4 = json.loads(urllib.request.urlopen(req, timeout=120).read())
+assert abs(out4["prob_live"] - want) > 1e-6, "reload did not swap weights"
+print("live hot-reload ok: step 7 score", want, "-> step 8 score",
+      out4["prob_live"])
+
 # ---- golden metrics oracle replay (regression canary) ----
 import csv
 

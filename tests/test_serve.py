@@ -356,6 +356,72 @@ def test_http_score_batch_endpoint(server, artifacts):
     assert ei.value.code == 400
 
 
+def test_http_admin_reload_swaps_programs(tmp_path):
+    """/admin/reload rebuilds from the artifact dirs with zero downtime:
+    a re-exported artifact (new weights) changes the served scores; a
+    server without a rebuild source answers 403."""
+    m, variables = _tiny()
+    v2 = m.init(jax.random.PRNGKey(9), jnp.zeros((1, SIZE, SIZE, 3)))
+    d = tmp_path / "art"
+    A.save_serving_artifact(d, m, variables, mode="module",
+                            batch_size=None, img_size=SIZE,
+                            platforms=("cpu",))
+    srv = make_server([str(d)], port=0, max_batch=2, max_wait_ms=1.0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        frame = _img(77)
+
+        def score():
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/score", data=frame.tobytes(),
+                method="POST",
+                headers={"Content-Type": "application/x-pad-raw"})
+            with urllib.request.urlopen(req, timeout=30) as r:
+                return json.loads(r.read())["prob_live"]
+
+        s1 = score()
+        A.save_serving_artifact(d, m, v2, mode="module",
+                                batch_size=None, img_size=SIZE,
+                                platforms=("cpu",))
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/admin/reload", data=b"",
+            method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+        assert out["reloaded"] is True
+        assert out["batch_sizes"] == [1, 2]
+        s2 = score()
+        art2 = A.load_serving_artifact(d)
+        want2 = float(np.asarray(art2(jnp.asarray(frame[None]))["prob1"])[0])
+        assert s2 == pytest.approx(want2, abs=1e-6)
+        assert abs(s1 - s2) > 1e-9    # new weights actually serving
+    finally:
+        srv.shutdown_clean()
+        t.join(timeout=10)
+
+
+def test_http_admin_reload_without_source_is_403():
+    from vit_spoof_detection_pda_tpu.serve import make_server_from_programs
+    srv = make_server_from_programs(
+        {1: _fake_program()}, SIZE, [{"source": "test"}], port=0,
+        max_wait_ms=1.0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/admin/reload", data=b"",
+            method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 403
+    finally:
+        srv.shutdown_clean()
+        t.join(timeout=10)
+
+
 def test_http_rejects_garbage_and_unknown_paths(server):
     srv, _, _ = server
     port = srv.server_address[1]

@@ -92,14 +92,24 @@ def main(argv=None):
 
     cfg = resolve_config(args)
     module = build_vit_from_config(cfg.model, jnp.bfloat16)
-    variables, step, _metrics = load_checkpoint_bundle(args.checkpoint)
-    programs, img_size, metas = build_programs_live(
-        module, variables, shapes=shapes, img_size=cfg.data.img_size,
-        interpret=args.interpret)
-    metas[0]["checkpoint"] = {"path": args.checkpoint, "step": step}
+
+    def build(step=None):
+        """(programs, img_size, metas) from the checkpoint dir — also
+        the /admin/reload source (picks up the LATEST step, so a
+        training run saving new bests hot-swaps into the service)."""
+        variables, got_step, _metrics = load_checkpoint_bundle(
+            args.checkpoint, step=step)
+        programs, img_size, metas = build_programs_live(
+            module, variables, shapes=shapes, img_size=cfg.data.img_size,
+            interpret=args.interpret)
+        metas[0]["checkpoint"] = {"path": args.checkpoint,
+                                  "step": got_step}
+        return programs, img_size, metas
+
+    programs, img_size, metas = build()
     server = make_server_from_programs(
         programs, img_size, metas, host=args.host, port=args.port,
-        max_wait_ms=args.max_wait_ms)
+        max_wait_ms=args.max_wait_ms, rebuild=build)
     run_server(server, warmup=not args.no_warmup)
 
 

@@ -16,6 +16,10 @@ owns the device):
   overhead for bulk/video callers.
 - ``GET /healthz`` — liveness + artifact metadata.
 - ``GET /stats`` — batcher counters and latency percentiles.
+- ``POST /admin/reload`` — zero-downtime program-table swap from the
+  server's source (re-read artifact dirs / reload the live checkpoint):
+  the replacement warms before taking traffic, the old dispatcher
+  drains its queue.
 
 The server is fed by frozen serving artifacts (models/artifact.py): one
 symbolic-batch module artifact serves every batch size, and/or several
@@ -29,6 +33,7 @@ from __future__ import annotations
 
 import json
 import logging
+import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Sequence
@@ -120,6 +125,9 @@ class _Handler(BaseHTTPRequestHandler):
         if self.path == "/score-batch":
             self._score_batch()
             return
+        if self.path == "/admin/reload":
+            self._reload()
+            return
         if self.path != "/score":
             self._send_json(404, {"error": f"unknown path {self.path}"})
             return
@@ -158,7 +166,7 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send_json(422, {"error": str(e)})
                 return
         try:
-            result = srv.batcher.submit(image).result(
+            result = _submit_retry(srv, lambda b: b.submit(image)).result(
                 timeout=srv.request_timeout)
         except Exception as e:                   # noqa: BLE001
             self._send_json(500, {"error": f"inference failed: {e}"})
@@ -207,7 +215,7 @@ class _Handler(BaseHTTPRequestHandler):
         t0 = time.monotonic()
         frames = np.frombuffer(data, np.uint8).reshape(count, n, n, 3)
         try:
-            futs = srv.batcher.submit_many(frames)
+            futs = _submit_retry(srv, lambda b: b.submit_many(frames))
             deadline = t0 + srv.request_timeout
             results = [f.result(timeout=max(0.0, deadline -
                                             time.monotonic()))
@@ -221,6 +229,64 @@ class _Handler(BaseHTTPRequestHandler):
             "count": count,
             "latency_ms": round((time.monotonic() - t0) * 1000.0, 3)})
 
+    def _reload(self):
+        """``POST /admin/reload``: rebuild the program table from the
+        server's source (artifact dirs, or the live checkpoint dir) and
+        swap it in with zero downtime — the new MicroBatcher warms
+        every compiled shape BEFORE the swap, traffic keeps flowing on
+        the old one meanwhile, and the old dispatcher drains its queue
+        on close.  Picks up re-exported artifacts / a new best
+        checkpoint without dropping a request."""
+        srv = self.server
+        if srv.rebuild is None:
+            self._send_json(403, {"error": "this server was built "
+                                           "without a rebuild source"})
+            return
+        t0 = time.monotonic()
+        if not srv.reload_lock.acquire(blocking=False):
+            self._send_json(409, {"error": "a reload is already in "
+                                           "progress"})
+            return
+        try:
+            programs, img_size, metas = srv.rebuild()
+            if int(img_size) != srv.batcher.img_size:
+                self._send_json(409, {
+                    "error": f"reload changed img_size "
+                             f"{srv.batcher.img_size} -> {img_size}; "
+                             f"start a new server instance instead"})
+                return
+            new_b = MicroBatcher(programs, img_size=int(img_size),
+                                 max_wait_ms=srv.max_wait_ms)
+            for size in new_b.batch_sizes:   # warm before taking traffic
+                new_b._programs[size](np.zeros(
+                    (size, int(img_size), int(img_size), 3), np.uint8))
+            old = srv.batcher
+            srv.batcher, srv.metas = new_b, metas
+            old.close()
+        except Exception as e:               # noqa: BLE001
+            log.exception("reload failed")
+            self._send_json(500, {"error": f"reload failed: {e}"})
+            return
+        finally:
+            srv.reload_lock.release()
+        self._send_json(200, {
+            "reloaded": True,
+            "batch_sizes": list(srv.batcher.batch_sizes),
+            "artifacts": srv.metas,
+            "latency_ms": round((time.monotonic() - t0) * 1000.0, 3)})
+
+
+def _submit_retry(srv, submit):
+    """Submit against the current batcher; if a hot-swap closed it
+    between the handler's read and the enqueue (the only race reload
+    leaves open), retry once on the replacement."""
+    try:
+        return submit(srv.batcher)
+    except RuntimeError as e:
+        if "closed" not in str(e):
+            raise
+        return submit(srv.batcher)
+
 
 class PADServer(ThreadingHTTPServer):
     daemon_threads = True
@@ -229,11 +295,15 @@ class PADServer(ThreadingHTTPServer):
     request_queue_size = 128
 
     def __init__(self, addr, batcher: MicroBatcher, metas,
-                 request_timeout: float = 60.0):
+                 request_timeout: float = 60.0, rebuild=None,
+                 max_wait_ms: float = 2.0):
         super().__init__(addr, _Handler)
         self.batcher = batcher
         self.metas = metas
         self.request_timeout = request_timeout
+        self.rebuild = rebuild          # () -> (programs, img_size, metas)
+        self.max_wait_ms = max_wait_ms
+        self.reload_lock = threading.Lock()
         self.started = time.monotonic()
 
     def shutdown_clean(self):
@@ -279,11 +349,16 @@ def build_programs_live(module, variables, *,
 def make_server_from_programs(programs, img_size, metas, *,
                               host: str = "127.0.0.1", port: int = 8417,
                               max_wait_ms: float = 2.0,
-                              request_timeout: float = 60.0) -> PADServer:
+                              request_timeout: float = 60.0,
+                              rebuild=None) -> PADServer:
+    """``rebuild`` (optional ``() -> (programs, img_size, metas)``)
+    enables ``POST /admin/reload`` — zero-downtime program-table swap
+    from the same source (re-exported artifacts / a newer checkpoint)."""
     batcher = MicroBatcher(programs, img_size=img_size,
                            max_wait_ms=max_wait_ms)
     return PADServer((host, port), batcher, metas,
-                     request_timeout=request_timeout)
+                     request_timeout=request_timeout, rebuild=rebuild,
+                     max_wait_ms=max_wait_ms)
 
 
 def make_server(artifact_dirs: Sequence[str], *, host: str = "127.0.0.1",
@@ -293,12 +368,14 @@ def make_server(artifact_dirs: Sequence[str], *, host: str = "127.0.0.1",
     """Assemble programs + batcher + HTTP server (not yet serving).
     Callers drive ``serve_forever()`` / ``shutdown()`` themselves; the
     chosen port is ``server.server_address[1]`` (pass ``port=0`` for an
-    ephemeral one)."""
+    ephemeral one).  ``/admin/reload`` re-reads the same artifact dirs."""
     programs, img_size, metas = build_programs_from_artifacts(
         artifact_dirs, max_batch=max_batch)
     return make_server_from_programs(
         programs, img_size, metas, host=host, port=port,
-        max_wait_ms=max_wait_ms, request_timeout=request_timeout)
+        max_wait_ms=max_wait_ms, request_timeout=request_timeout,
+        rebuild=lambda: build_programs_from_artifacts(
+            artifact_dirs, max_batch=max_batch))
 
 
 def run_server(server: PADServer, *, warmup: bool = True):
