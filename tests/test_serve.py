@@ -299,6 +299,49 @@ def test_http_raw_frame_upload(server, artifacts):
     assert ei.value.code == 400
 
 
+def test_batcher_plan_minimizes_padding():
+    """The dispatch planner prefers zero-pad decompositions over one
+    padded dispatch (round-15 hardware lesson: padded rows compute and
+    transfer like real ones)."""
+    p = _fake_program()
+    b = MicroBatcher({1: p, 16: p, 128: p}, img_size=SIZE)
+    try:
+        assert b._plan(32) == (16, 16)
+        assert b._plan(17) == (16, 1)
+        assert b._plan(20) == (16, 1, 1, 1, 1)
+        assert b._plan(128) == (128,)
+        assert b._plan(1) == (1,)
+        assert b._plan(127) == (16,) * 7 + (1,) * 15
+    finally:
+        b.close()
+    b2 = MicroBatcher({4: p, 16: p}, img_size=SIZE)
+    try:
+        assert b2._plan(3) == (4,)        # must pad when no exact fit
+        assert b2._plan(7) == (4, 4)      # 1 pad beats 9 pads on the 16
+        assert b2._plan(12) == (4, 4, 4)
+    finally:
+        b2.close()
+
+
+def test_batcher_split_window_routes_and_orders():
+    """A window larger than the mid shape splits across dispatches and
+    every future still gets its own row."""
+    calls = []
+    p = _fake_program(calls)
+    b = MicroBatcher({1: p, 4: p, 32: p}, img_size=SIZE,
+                     max_wait_ms=100.0)
+    try:
+        vals = list(range(10, 70, 10))    # 6 items -> plan (4, 1, 1)
+        futs = b.submit_many(np.stack([_img(v) for v in vals]))
+        outs = [f.result(timeout=5) for f in futs]
+        for v, o in zip(vals, outs):
+            assert o["prob1"] == pytest.approx(v / 255.0)
+        assert sorted(calls) == [1, 1, 4]
+        assert b.stats()["padded_rows"] == 0
+    finally:
+        b.close()
+
+
 def test_batcher_submit_many_orders_and_coalesces():
     calls = []
     b = MicroBatcher({4: _fake_program(calls)}, img_size=SIZE,
