@@ -465,6 +465,127 @@ def test_http_admin_reload_without_source_is_403():
         t.join(timeout=10)
 
 
+def test_http_error_paths_close_keepalive_connection(server):
+    """Error responses that may leave body bytes unread must carry
+    Connection: close — otherwise an HTTP/1.1 keep-alive client has the
+    leftover body parsed as its next request line."""
+    import http.client
+    srv, _, _ = server
+    port = srv.server_address[1]
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+    try:
+        # wrong content type on /score-batch: 415 without reading body
+        conn.request("POST", "/score-batch", body=b"\xff" * 5000,
+                     headers={"Content-Type": "image/jpeg"})
+        r = conn.getresponse()
+        assert r.status == 415
+        assert (r.getheader("Connection") or "").lower() == "close"
+        r.read()
+    finally:
+        conn.close()
+
+
+def test_http_content_type_parameters_and_truncated_body(server, artifacts):
+    """MIME parameters on x-pad-raw still route to the raw path; a
+    truncated raw body gets a clean 400, not a dropped connection."""
+    import socket
+    srv, _, _ = server
+    root, _, _ = artifacts
+    port = srv.server_address[1]
+    art = A.load_serving_artifact(root / "sym")
+    frame = _img(123)
+
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/score", data=frame.tobytes(),
+        method="POST",
+        headers={"Content-Type": "application/x-pad-raw; charset=binary"})
+    with urllib.request.urlopen(req, timeout=30) as r:
+        out = json.loads(r.read())
+    want = float(np.asarray(art(jnp.asarray(frame[None]))["prob1"])[0])
+    assert out["prob_live"] == pytest.approx(want, abs=1e-6)
+
+    # declare a full frame, send half, half-close -> 400 "truncated"
+    body = frame.tobytes()[: frame.nbytes // 2]
+    s = socket.create_connection(("127.0.0.1", port), timeout=30)
+    try:
+        head = (f"POST /score HTTP/1.1\r\nHost: x\r\n"
+                f"Content-Type: application/x-pad-raw\r\n"
+                f"Content-Length: {frame.nbytes}\r\n\r\n").encode()
+        s.sendall(head + body)
+        s.shutdown(socket.SHUT_WR)
+        resp = b""
+        while True:
+            chunk = s.recv(65536)
+            if not chunk:
+                break
+            resp += chunk
+        assert b" 400 " in resp.split(b"\r\n", 1)[0]
+        assert b"truncated" in resp
+    finally:
+        s.close()
+
+
+def test_http_reload_failure_keeps_serving(tmp_path):
+    """A rebuild that raises yields 500 and the OLD programs keep
+    serving; the half-built batcher is released."""
+    from vit_spoof_detection_pda_tpu.serve import make_server_from_programs
+
+    boom = {"on": False}
+
+    def rebuild():
+        if boom["on"]:
+            raise RuntimeError("bad re-export")
+        return {1: _fake_program()}, SIZE, [{"source": "v2"}]
+
+    srv = make_server_from_programs(
+        {1: _fake_program()}, SIZE, [{"source": "v1"}], port=0,
+        max_wait_ms=1.0, rebuild=rebuild)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+
+        def reload_req():
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/admin/reload", data=b"",
+                method="POST")
+            return json.loads(urllib.request.urlopen(
+                req, timeout=60).read())
+
+        assert reload_req()["reloaded"] is True   # healthy swap works
+        boom["on"] = True
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            reload_req()
+        assert ei.value.code == 500
+        # old programs still serve after the failed reload
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/score", data=_img(60).tobytes(),
+            method="POST",
+            headers={"Content-Type": "application/x-pad-raw"})
+        out = json.loads(urllib.request.urlopen(req, timeout=30).read())
+        assert out["prob_live"] == pytest.approx(60 / 255.0)
+    finally:
+        srv.shutdown_clean()
+        t.join(timeout=10)
+
+
+def test_build_programs_last_listed_wins_uniformly(artifacts, tmp_path):
+    """Two symbolic artifacts: the LAST one owns every bucket (was
+    first-wins via setdefault, contradicting the documented rule)."""
+    root, m, variables = artifacts
+    v2 = m.init(jax.random.PRNGKey(21), jnp.zeros((1, SIZE, SIZE, 3)))
+    A.save_serving_artifact(tmp_path / "sym2", m, v2, mode="module",
+                            batch_size=None, img_size=SIZE,
+                            platforms=("cpu",))
+    programs, _, _ = build_programs_from_artifacts(
+        [str(root / "sym"), str(tmp_path / "sym2")], max_batch=2)
+    batch = _img(77)[None]
+    art2 = A.load_serving_artifact(tmp_path / "sym2")
+    want = float(np.asarray(art2(jnp.asarray(batch))["prob1"])[0])
+    got = float(programs[1](batch)["prob1"][0])
+    assert got == pytest.approx(want, abs=1e-7)
+
+
 def test_http_rejects_garbage_and_unknown_paths(server):
     srv, _, _ = server
     port = srv.server_address[1]

@@ -81,6 +81,11 @@ class MicroBatcher:
         self._closed = False
         self._plan_cache: Dict[int, Sequence[int]] = {}
         self._lock = threading.Lock()
+        # orders every enqueue against close(): a submit that passed the
+        # closed check has its item in the queue BEFORE the shutdown
+        # sentinel, so the drain resolves it (no silently stranded
+        # Futures during a hot-swap)
+        self._submit_gate = threading.Lock()
         self._stats = {"requests": 0, "batches": 0, "images": 0,
                        "padded_rows": 0, "errors": 0}
         self._latencies: list = []          # bounded reservoir, ms
@@ -106,10 +111,11 @@ class MicroBatcher:
             raise ValueError(
                 f"expected uint8 {want} image, got "
                 f"{image.dtype} {image.shape}")
-        if self._closed:
-            raise RuntimeError("MicroBatcher is closed")
-        fut: Future = Future()
-        self._queue.put(_Request(image=image, future=fut))
+        with self._submit_gate:
+            if self._closed:
+                raise RuntimeError("MicroBatcher is closed")
+            fut: Future = Future()
+            self._queue.put(_Request(image=image, future=fut))
         return fut
 
     def submit_many(self, frames: np.ndarray) -> list:
@@ -125,13 +131,14 @@ class MicroBatcher:
             raise ValueError(
                 f"expected uint8 (N, {want[0]}, {want[1]}, 3) block, "
                 f"got {frames.dtype} {frames.shape}")
-        if self._closed:
-            raise RuntimeError("MicroBatcher is closed")
         futs = []
-        for i in range(frames.shape[0]):
-            fut: Future = Future()
-            self._queue.put(_Request(image=frames[i], future=fut))
-            futs.append(fut)
+        with self._submit_gate:
+            if self._closed:
+                raise RuntimeError("MicroBatcher is closed")
+            for i in range(frames.shape[0]):
+                fut: Future = Future()
+                self._queue.put(_Request(image=frames[i], future=fut))
+                futs.append(fut)
         return futs
 
     def stats(self) -> dict:
@@ -150,12 +157,24 @@ class MicroBatcher:
                 "max": round(float(lats.max()), 3)}
         return out
 
+    def warmup(self, timeout: float = 600.0):
+        """Run every compiled shape once on a zero batch, THROUGH the
+        dispatcher (an exact-fit block always plans as one unsplit
+        dispatch), so first real requests don't pay compile / first-
+        dispatch latency.  Used at server start and before a hot-swap."""
+        for size in self._sizes:
+            frames = np.zeros((size, self._img_size, self._img_size, 3),
+                              np.uint8)
+            for f in self.submit_many(frames):
+                f.result(timeout=timeout)
+
     def close(self, timeout: float = 10.0):
         """Stop accepting work, drain the queue, join the dispatcher."""
-        if self._closed:
-            return
-        self._closed = True
-        self._queue.put(_SENTINEL)
+        with self._submit_gate:
+            if self._closed:
+                return
+            self._closed = True
+            self._queue.put(_SENTINEL)
         self._thread.join(timeout=timeout)
 
     # -- dispatcher ----------------------------------------------------

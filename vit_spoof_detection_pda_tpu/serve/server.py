@@ -87,7 +87,7 @@ def build_programs_from_artifacts(artifact_dirs: Sequence[str], *,
         else:
             b = 1
             while b <= max_batch:
-                programs.setdefault(b, call)
+                programs[b] = call      # last listed wins, uniformly
                 b *= 2
     return programs, img_size, metas
 
@@ -99,13 +99,30 @@ class _Handler(BaseHTTPRequestHandler):
     def log_message(self, fmt, *args):           # route through logging
         log.debug("%s %s", self.address_string(), fmt % args)
 
-    def _send_json(self, code: int, payload: dict):
+    def _send_json(self, code: int, payload: dict, close: bool = False):
         body = json.dumps(payload).encode()
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
+        if close:
+            self.send_header("Connection", "close")
         self.end_headers()
         self.wfile.write(body)
+
+    def _reject(self, code: int, payload: dict):
+        """Error response on a path that may leave declared request-body
+        bytes unread: close the connection afterwards, or an HTTP/1.1
+        keep-alive client would have the leftover bytes parsed as its
+        NEXT request line (spurious 400s consumed by a later call)."""
+        self.close_connection = True
+        self._send_json(code, payload, close=True)
+
+    def _content_type(self) -> str:
+        """Media type, lowercased, MIME parameters stripped
+        ('application/x-pad-raw; charset=binary' routes like the bare
+        type)."""
+        raw = self.headers.get("Content-Type") or ""
+        return raw.split(";")[0].strip().lower()
 
     def do_GET(self):                            # noqa: N802 (stdlib API)
         srv = self.server
@@ -129,7 +146,7 @@ class _Handler(BaseHTTPRequestHandler):
             self._reload()
             return
         if self.path != "/score":
-            self._send_json(404, {"error": f"unknown path {self.path}"})
+            self._reject(404, {"error": f"unknown path {self.path}"})
             return
         srv = self.server
         try:
@@ -137,23 +154,27 @@ class _Handler(BaseHTTPRequestHandler):
         except ValueError:
             length = 0
         if length <= 0:
-            self._send_json(400, {"error": "empty body (send the image "
-                                           "bytes as the request body)"})
+            self._reject(400, {"error": "empty body (send the image "
+                                        "bytes as the request body)"})
             return
         if length > _MAX_BODY:
-            self._send_json(413, {"error": f"body {length} B exceeds "
-                                           f"{_MAX_BODY} B"})
+            self._reject(413, {"error": f"body {length} B exceeds "
+                                        f"{_MAX_BODY} B"})
             return
         data = self.rfile.read(length)
+        if len(data) != length:
+            self._reject(400, {"error": f"truncated body: declared "
+                                        f"{length} B, got {len(data)}"})
+            return
 
         t0 = time.monotonic()
         n = srv.batcher.img_size
-        if self.headers.get("Content-Type") == "application/x-pad-raw":
+        if self._content_type() == "application/x-pad-raw":
             # pre-decoded frame: exactly n*n*3 raw uint8 RGB bytes —
             # skips host JPEG decode for upstream services that already
             # hold pixels (camera pipelines, video frame extractors)
             if length != n * n * 3:
-                self._send_json(400, {
+                self._reject(400, {
                     "error": f"x-pad-raw body must be {n}*{n}*3 = "
                              f"{n * n * 3} bytes, got {length}"})
                 return
@@ -187,8 +208,8 @@ class _Handler(BaseHTTPRequestHandler):
         compiled batch shapes, interleaved fairly with ``/score``
         traffic.  Response arrays preserve frame order."""
         srv = self.server
-        if self.headers.get("Content-Type") != "application/x-pad-raw":
-            self._send_json(415, {
+        if self._content_type() != "application/x-pad-raw":
+            self._reject(415, {
                 "error": "score-batch takes Content-Type "
                          "application/x-pad-raw (concatenated raw "
                          "uint8 RGB frames)"})
@@ -200,18 +221,22 @@ class _Handler(BaseHTTPRequestHandler):
         n = srv.batcher.img_size
         frame_bytes = n * n * 3
         if length <= 0 or length % frame_bytes != 0:
-            self._send_json(400, {
+            self._reject(400, {
                 "error": f"body must be a positive multiple of "
                          f"{n}*{n}*3 = {frame_bytes} bytes, got "
                          f"{length}"})
             return
         count = length // frame_bytes
         if count > _MAX_BATCH_FRAMES:
-            self._send_json(413, {
+            self._reject(413, {
                 "error": f"{count} frames exceeds the per-request cap "
                          f"of {_MAX_BATCH_FRAMES}; split the block"})
             return
         data = self.rfile.read(length)
+        if len(data) != length:
+            self._reject(400, {"error": f"truncated body: declared "
+                                        f"{length} B, got {len(data)}"})
+            return
         t0 = time.monotonic()
         frames = np.frombuffer(data, np.uint8).reshape(count, n, n, 3)
         try:
@@ -238,36 +263,48 @@ class _Handler(BaseHTTPRequestHandler):
         on close.  Picks up re-exported artifacts / a new best
         checkpoint without dropping a request."""
         srv = self.server
+        try:                                  # drain any request body so
+            length = int(self.headers.get("Content-Length", 0))
+        except ValueError:                    # keep-alive stays coherent
+            length = 0
+        if length > 0:
+            self.rfile.read(min(length, _MAX_BODY))
         if srv.rebuild is None:
-            self._send_json(403, {"error": "this server was built "
-                                           "without a rebuild source"})
+            self._reject(403, {"error": "this server was built "
+                                        "without a rebuild source"})
             return
         t0 = time.monotonic()
         if not srv.reload_lock.acquire(blocking=False):
-            self._send_json(409, {"error": "a reload is already in "
-                                           "progress"})
+            self._reject(409, {"error": "a reload is already in "
+                                        "progress"})
             return
+        new_b = None
         try:
             programs, img_size, metas = srv.rebuild()
             if int(img_size) != srv.batcher.img_size:
-                self._send_json(409, {
+                self._reject(409, {
                     "error": f"reload changed img_size "
                              f"{srv.batcher.img_size} -> {img_size}; "
                              f"start a new server instance instead"})
                 return
             new_b = MicroBatcher(programs, img_size=int(img_size),
                                  max_wait_ms=srv.max_wait_ms)
-            for size in new_b.batch_sizes:   # warm before taking traffic
-                new_b._programs[size](np.zeros(
-                    (size, int(img_size), int(img_size), 3), np.uint8))
+            # warm before taking traffic, through the new batcher's own
+            # dispatcher (each batcher keeps a single enqueuer thread;
+            # the old one is still serving live traffic meanwhile —
+            # inherent to a zero-downtime swap)
+            new_b.warmup()
             old = srv.batcher
             srv.batcher, srv.metas = new_b, metas
+            new_b = None                      # handed over — don't close
             old.close()
         except Exception as e:               # noqa: BLE001
             log.exception("reload failed")
-            self._send_json(500, {"error": f"reload failed: {e}"})
+            self._reject(500, {"error": f"reload failed: {e}"})
             return
         finally:
+            if new_b is not None:             # failed before the swap:
+                new_b.close()                 # release thread + weights
             srv.reload_lock.release()
         self._send_json(200, {
             "reloaded": True,
@@ -321,7 +358,10 @@ def build_programs_live(module, variables, *,
     gets the measured regime winner (fastserve.auto_serving_mode);
     shapes sharing a regime share one jitted callable (jax retraces per
     concrete batch shape on first use).  ``pred`` derives from
-    prob >= 0.5, which equals the artifact programs' 2-class argmax."""
+    prob > 0.5 — matching models/artifact.py:119 exactly (an argmax tie
+    at P=0.5 resolves to class 0 = spoof in both flavors, so a
+    deployment can flip between artifact and live servers without
+    changing boundary decisions)."""
     from ..models.fastserve import auto_serving_mode, make_serving_fn
 
     sizes = sorted({int(s) for s in shapes})
@@ -337,7 +377,7 @@ def build_programs_live(module, variables, *,
         def call(batch, fn=fn):
             prob1 = np.asarray(fn(batch), np.float32)
             return {"prob1": prob1,
-                    "pred": (prob1 >= 0.5).astype(np.int32)}
+                    "pred": (prob1 > 0.5).astype(np.int32)}
 
         programs[s] = call
         modes[s] = mode
@@ -384,12 +424,10 @@ def run_server(server: PADServer, *, warmup: bool = True):
     interrupted."""
     b = server.batcher
     if warmup:
-        for size in b.batch_sizes:
-            t0 = time.monotonic()
-            zeros = np.zeros((size, b.img_size, b.img_size, 3), np.uint8)
-            b._programs[size](zeros)
-            log.info("warmed batch shape %d in %.1fs", size,
-                     time.monotonic() - t0)
+        t0 = time.monotonic()
+        b.warmup()
+        log.info("warmed batch shapes %s in %.1fs", list(b.batch_sizes),
+                 time.monotonic() - t0)
     host_, port_ = server.server_address[:2]
     log.info("PAD serving on http://%s:%s (shapes %s, window %.1f ms)",
              host_, port_, list(b.batch_sizes), b._max_wait * 1000)
