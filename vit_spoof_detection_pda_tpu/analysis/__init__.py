@@ -10,8 +10,12 @@ directory:
 `latency.py`       — single-image latency protocol + batched throughput.
 `summary.py`       — final_summary.json generator.
 `figures.py`       — publication-figure suite (reference data_vis/).
+`attention_maps.py` — attention-rollout saliency overlays (beyond the
+reference: explains WHY a mined failed case scored as it did).
 """
 
+from .attention_maps import (attention_rollout, cls_patch_relevance,
+                             generate_attention_overlays)
 from .distributions import analyze_score_distributions
 from .failed_cases import extract_failed_cases
 from .latency import benchmark_models, benchmark_single_image
@@ -19,6 +23,8 @@ from .summary import generate_summary_statistics
 
 __all__ = [
     "analyze_score_distributions", "extract_failed_cases",
+    "attention_rollout", "cls_patch_relevance",
+    "generate_attention_overlays",
     "benchmark_models", "benchmark_single_image",
     "generate_summary_statistics",
 ]

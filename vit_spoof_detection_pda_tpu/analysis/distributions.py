@@ -83,6 +83,9 @@ def analyze_score_distributions(results_dir: str) -> dict:
     with open(results / "score_distribution_analysis.json", "w") as f:
         json.dump(all_distributions, f, indent=2)
 
+    if not all_distributions:          # nothing evaluated yet: no
+        return all_distributions       # comparison CSV to write
+
     comparison = pd.DataFrame([
         {
             "model": d["model_name"],

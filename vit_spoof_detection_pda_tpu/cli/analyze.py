@@ -22,6 +22,13 @@ def main(argv=None):
     parser.add_argument("--latency", action="store_true",
                         help="also run the latency benchmark protocol")
     parser.add_argument("--top-n", type=int, default=20)
+    parser.add_argument("--attention-overlays", default=None,
+                        metavar="IMAGE_DIR",
+                        help="write attention-rollout heat overlays for "
+                        "every image in this directory (point it at a "
+                        "mined failed_cases_analysis/<model>/"
+                        "false_positives dir); needs "
+                        "eval.checkpoint_path")
     args = parser.parse_args(argv)
     setup_logging()
     cfg = resolve_config(args)
@@ -52,6 +59,28 @@ def main(argv=None):
             for name in MODEL_REGISTRY}
         out["latency"] = benchmark_models(
             builders, records, output_dir=results_dir)
+
+    if args.attention_overlays:
+        from pathlib import Path
+
+        import jax.numpy as jnp
+
+        from ..analysis.attention_maps import generate_attention_overlays
+        from ..models.registry import build_model
+
+        src = Path(args.attention_overlays)
+        exts = {".jpg", ".jpeg", ".png", ".bmp", ".webp"}
+        paths = sorted(p for p in src.iterdir()
+                       if p.suffix.lower() in exts) if src.is_dir() else []
+        if not paths:
+            parser.error(f"--attention-overlays: no images under {src}")
+        module, variables = build_model(
+            "Custom_ViT_FineTuned",
+            checkpoint_path=cfg.eval.checkpoint_path, dtype=jnp.bfloat16)
+        out["attention_overlays"] = generate_attention_overlays(
+            module, variables, paths,
+            f"{results_dir}/attention_maps",
+            img_size=cfg.data.img_size)
 
     if args.figures:
         from ..analysis.figures import generate_all_figures

@@ -73,12 +73,30 @@ class Attention(nn.Module):
 
     num_heads: int
     dtype: Dtype = jnp.float32
+    # Opt-in explainability tap (analysis/attention_maps.py): forces the
+    # dense einsum path and sows the float32 [B, H, T, T] softmax into
+    # the "intermediates" collection.  Same parameter tree — construct a
+    # capture variant of the module and apply the trained params.
+    capture: bool = False
 
     @nn.compact
     def __call__(self, x):
         d = x.shape[-1]
         dh = d // self.num_heads
         qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(x)  # [B,T,3D]
+
+        if self.capture:
+            parts = qkv.reshape(x.shape[0], x.shape[1], 3,
+                                self.num_heads, dh)
+            q, k, v = parts[:, :, 0], parts[:, :, 1], parts[:, :, 2]
+            scale = jnp.asarray(dh, jnp.float32) ** -0.5
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32) * scale
+            weights = jax.nn.softmax(logits, axis=-1)
+            self.sow("intermediates", "attn_probs", weights)
+            out = jnp.einsum("bhqk,bkhd->bqhd", weights.astype(self.dtype),
+                             v).reshape(x.shape[0], x.shape[1], d)
+            return nn.Dense(d, dtype=self.dtype, name="proj")(out)
 
         def dense(qkv):
             parts = qkv.reshape(x.shape[0], x.shape[1], 3,
@@ -120,12 +138,14 @@ class EncoderBlock(nn.Module):
     norm_eps: float = 1e-6          # timm default; HF ViT uses 1e-12
     dtype: Dtype = jnp.float32
     gelu: str = "erf"
+    capture_attention: bool = False
 
     @nn.compact
     def __call__(self, x):
         d = x.shape[-1]
         y = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm1")(x)
-        x = x + Attention(self.num_heads, dtype=self.dtype, name="attn")(y)
+        x = x + Attention(self.num_heads, dtype=self.dtype, name="attn",
+                          capture=self.capture_attention)(y)
         y = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm2")(x)
         x = x + MlpBlock(int(d * self.mlp_ratio), dtype=self.dtype,
                          gelu=self.gelu, name="mlp")(y)
@@ -158,6 +178,7 @@ class ViT(nn.Module):
     norm_eps: float = 1e-6           # timm 1e-6; HF ViT 1e-12
     dtype: Dtype = jnp.float32
     gelu: str = "erf"                # "tanh": serving fast path
+    capture_attention: bool = False  # sow per-layer softmax (analysis)
 
     @nn.compact
     def __call__(self, x):
@@ -182,6 +203,7 @@ class ViT(nn.Module):
         for i in range(self.depth):
             x = EncoderBlock(self.num_heads, self.mlp_ratio, self.norm_eps,
                              dtype=self.dtype, gelu=self.gelu,
+                             capture_attention=self.capture_attention,
                              name=f"block{i}")(x)
         x = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm")(x)
         if self.pool == "token":
@@ -225,12 +247,15 @@ class ViTAntiSpoof(nn.Module):
 
     norm_eps: float = 1e-6
     gelu: str = "erf"                # "tanh": serving fast path
+    capture_attention: bool = False  # sow per-layer softmax (analysis)
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         feats = ViT(self.patch_size, self.embed_dim, self.depth,
                     self.num_heads, self.mlp_ratio, norm_eps=self.norm_eps,
-                    dtype=self.dtype, gelu=self.gelu, name="vit")(x)
+                    dtype=self.dtype, gelu=self.gelu,
+                    capture_attention=self.capture_attention,
+                    name="vit")(x)
         return AntiSpoofHead(self.hidden, self.num_classes, self.dropout,
                              dtype=self.dtype, name="head")(
             feats.astype(jnp.float32), train=train)
