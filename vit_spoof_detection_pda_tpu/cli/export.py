@@ -19,6 +19,10 @@ def main(argv=None):
                         help="orbax checkpoint dir (Trainer output) or "
                         "torch/safetensors file loadable by the registry")
     parser.add_argument("output", help="destination .pth path")
+    parser.add_argument("--ema", action="store_true",
+                        help="export the Polyak/EMA shadow weights "
+                        "(optim.ema_decay training) instead of the "
+                        "last iterate (orbax checkpoints only)")
     args = parser.parse_args(argv)
     setup_logging()
     cfg = resolve_config(args)
@@ -35,8 +39,11 @@ def main(argv=None):
     epoch, metrics = 0, {}
     if os.path.isdir(args.checkpoint):
         from ..utils.checkpoint import load_checkpoint_bundle
-        variables, _step, metrics = load_checkpoint_bundle(args.checkpoint)
+        variables, _step, metrics = load_checkpoint_bundle(
+            args.checkpoint, ema=args.ema)
         epoch = int(metrics.get("epoch", 0))
+    elif args.ema:
+        parser.error("--ema needs an orbax checkpoint directory")
     else:
         # registry format dispatch (.pth/.safetensors/.npz) but STRICT
         # conversion (raises on any missing tensor) — deliberately NOT

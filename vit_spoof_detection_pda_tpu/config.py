@@ -165,6 +165,12 @@ class OptimConfig(_Base):
     min_lr: float = 1e-6
     max_grad_norm: float = 1.0
     gradient_accumulation_steps: int = 1
+    # Polyak/EMA shadow weights (train/state.py::ema_of_params): None =
+    # off (reference behavior).  When set (e.g. 0.999), validation and
+    # best-checkpoint selection run on the EMA weights — the standard
+    # production-serving average — and `export --ema` /
+    # `load_checkpoint_bundle(ema=True)` retrieve them.
+    ema_decay: Optional[float] = None
 
 
 @dataclass(frozen=True)

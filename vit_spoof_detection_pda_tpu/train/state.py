@@ -9,7 +9,7 @@ state, fixing the reference's resume gap (its loader restores only
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -35,21 +35,77 @@ class TrainState(struct.PyTreeNode):
         )
 
 
+class EmaState(NamedTuple):
+    """State of :func:`ema_of_params` — a shadow copy of the params."""
+
+    ema: Any
+
+
+def ema_of_params(decay: float) -> optax.GradientTransformation:
+    """Track an exponential moving average of the POST-update params.
+
+    Production-serving weights: EMA of the trajectory generalizes
+    better than the last iterate (Polyak averaging; standard in vision
+    training, absent from the reference).  Lives INSIDE the optimizer
+    chain so it checkpoints/restores/shards with the rest of the
+    optimizer state for free — chained after adamw, the incoming
+    ``updates`` are the final deltas, so ``params + updates`` is the
+    new iterate being averaged.  Retrieval: :func:`find_ema_params`.
+    """
+    if not 0.0 < decay < 1.0:
+        raise ValueError(f"ema decay must be in (0, 1), got {decay}")
+
+    def init_fn(params):
+        # a REAL copy: jnp.asarray would alias the live param buffers
+        # and the donated train step would then donate each twice
+        return EmaState(ema=jax.tree.map(jnp.copy, params))
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("ema_of_params needs params in update()")
+        new_params = optax.apply_updates(params, updates)
+        ema = jax.tree.map(lambda e, p: decay * e + (1.0 - decay) * p,
+                           state.ema, new_params)
+        return updates, EmaState(ema=ema)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def find_ema_params(opt_state) -> Optional[Any]:
+    """Locate the EMA shadow params inside a (possibly MultiSteps- or
+    tuple-nested) optimizer state; None when EMA is not enabled."""
+    if isinstance(opt_state, EmaState):
+        return opt_state.ema
+    if isinstance(opt_state, optax.MultiStepsState):
+        return find_ema_params(opt_state.inner_opt_state)
+    if isinstance(opt_state, (tuple, list)):
+        for sub in opt_state:
+            found = find_ema_params(sub)
+            if found is not None:
+                return found
+    return None
+
+
 def make_optimizer(learning_rate, *, weight_decay: float = 0.05,
                    beta1: float = 0.9, beta2: float = 0.999,
                    max_grad_norm: Optional[float] = 1.0,
-                   gradient_accumulation_steps: int = 1):
-    """AdamW chain: global-norm clip -> adamw[ -> MultiSteps].
+                   gradient_accumulation_steps: int = 1,
+                   ema_decay: Optional[float] = None):
+    """AdamW chain: global-norm clip -> adamw[ -> params-EMA][ -> MultiSteps].
 
     Mirrors the reference's clip_grad_norm(1.0) + AdamW(3e-4, wd=0.05,
     betas 0.9/0.999) + gradient_accumulation_steps
-    (train_advanced.py:332-339, 592-597).
+    (train_advanced.py:332-339, 592-597).  ``ema_decay`` adds the
+    Polyak shadow params (inside MultiSteps, so the EMA ticks once per
+    EFFECTIVE optimizer step, not per micro-batch).
     """
     chain = []
     if max_grad_norm is not None:
         chain.append(optax.clip_by_global_norm(max_grad_norm))
     chain.append(optax.adamw(learning_rate, b1=beta1, b2=beta2,
                              weight_decay=weight_decay))
+    if ema_decay is not None:
+        chain.append(ema_of_params(ema_decay))
     tx = optax.chain(*chain)
     if gradient_accumulation_steps > 1:
         # documented deviation: MultiSteps applies the MEAN of the

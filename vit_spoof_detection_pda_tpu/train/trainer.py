@@ -90,7 +90,8 @@ class Trainer:
             beta1=config.optim.beta1, beta2=config.optim.beta2,
             max_grad_norm=config.optim.max_grad_norm,
             gradient_accumulation_steps=(
-                config.optim.gradient_accumulation_steps))
+                config.optim.gradient_accumulation_steps),
+            ema_decay=getattr(config.optim, "ema_decay", None))
 
         class_weights = None
         if config.loss.loss_type == "weighted_ce":
@@ -448,6 +449,14 @@ class Trainer:
         # data axis first (shard_params_fsdp does the same lookup)
         dsize = dict(zip(self.mesh.axis_names,
                          self.mesh.devices.shape)).get(DATA_AXIS, 1)
+        # with EMA enabled, validate the weights that would DEPLOY (the
+        # Polyak shadow), so best-checkpoint selection tracks them
+        eval_params = self.state.params
+        if getattr(self.config.optim, "ema_decay", None) is not None:
+            from .state import find_ema_params
+            ema = find_ema_params(self.state.opt_state)
+            if ema is not None:
+                eval_params = ema
         scores, labels, losses = [], [], []
         n_seen = 0
         for batch in self.val_batches():
@@ -460,7 +469,7 @@ class Trainer:
                 pad = jnp.zeros((target - b,) + images.shape[1:],
                                 images.dtype)
                 images = jnp.concatenate([images, pad])
-            out = self.eval_step(self.state.params, self.state.batch_stats,
+            out = self.eval_step(eval_params, self.state.batch_stats,
                                  images)
             # loss stays ON DEVICE until after the loop (a float() here
             # would sync the queue every batch — the reference's .item()

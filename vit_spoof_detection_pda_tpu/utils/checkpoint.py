@@ -241,10 +241,33 @@ def _py(v) -> Any:
     return v.item() if hasattr(v, "item") else v
 
 
-def load_checkpoint_bundle(directory: str, step: Optional[int] = None):
+def _find_ema_subtree(node):
+    """The EMA shadow inside a RESTORED (template-free) opt_state:
+    train/state.py::EmaState round-trips through orbax as a container
+    whose only child is ``ema`` (its single NamedTuple field)."""
+    if isinstance(node, dict):
+        keys = set(node)
+        if keys == {"ema"}:
+            return node["ema"]
+        it = node.values()
+    elif isinstance(node, (list, tuple)):
+        it = node
+    else:
+        return None
+    for sub in it:
+        found = _find_ema_subtree(sub)
+        if found is not None:
+            return found
+    return None
+
+
+def load_checkpoint_bundle(directory: str, step: Optional[int] = None,
+                           ema: bool = False):
     """(variables, step, metrics) from an Orbax checkpoint directory in
     ONE manager pass — params plus the metrics JSON (epoch, val_f1, ...
-    from Trainer saves), no state template needed."""
+    from Trainer saves), no state template needed.  ``ema=True`` hands
+    back the Polyak shadow weights (optim.ema_decay training) instead
+    of the last iterate; raises if the run trained without EMA."""
     directory = os.path.abspath(directory)
     # item_handlers make item_metadata readable from a FRESH manager
     # (without them the metadata tree is empty and restore_args below
@@ -276,7 +299,15 @@ def load_checkpoint_bundle(directory: str, step: Optional[int] = None):
                 tree=ocp.args.PyTreeRestore(restore_args=ra),
                 metrics=ocp.args.JsonRestore()))
         tree = restored["tree"]["state"]
-        variables = {"params": tree["params"]}
+        params = tree["params"]
+        if ema:
+            shadow = _find_ema_subtree(tree.get("opt_state"))
+            if shadow is None:
+                raise ValueError(
+                    f"checkpoint at {directory} (step {step}) has no EMA "
+                    f"state — train with optim.ema_decay set")
+            params = shadow
+        variables = {"params": params}
         if "batch_stats" in tree:
             variables["batch_stats"] = tree["batch_stats"]
         # pipeline-parallel trainers save params in the packed layout
