@@ -329,6 +329,70 @@ def test_benchmark_cli_lowlat_int8_flag_validation():
                         "--lowlat-batch-grid", "--interpret"])
 
 
+def test_threshold_operating_point(tmp_path):
+    """A non-default threshold bakes into the frozen program's pred
+    (P(live) > t), records in the descriptor, and loads back through
+    ServingArtifact.threshold; default artifacts keep the implicit 0.5
+    (= module mode's argmax rule)."""
+    m, variables = _tiny()
+    meta = A.save_serving_artifact(tmp_path / "t9", m, variables,
+                                   mode="module", batch_size=8,
+                                   img_size=32, platforms=("cpu",),
+                                   threshold=0.9)
+    assert meta["threshold"] == 0.9
+    art = A.load_serving_artifact(tmp_path / "t9")
+    assert art.threshold == 0.9
+    batch = _u8(8)
+    got = art(batch)
+    p = np.asarray(got["prob1"])
+    np.testing.assert_array_equal(np.asarray(got["pred"]),
+                                  (p > 0.9).astype(np.int32))
+
+    A.save_serving_artifact(tmp_path / "d", m, variables, mode="module",
+                            batch_size=8, img_size=32,
+                            platforms=("cpu",))
+    d = A.load_serving_artifact(tmp_path / "d")
+    assert d.threshold == 0.5
+    np.testing.assert_array_equal(np.asarray(d(batch)["pred"]),
+                                  (p > 0.5).astype(np.int32))
+    # scores are threshold-independent
+    np.testing.assert_allclose(np.asarray(d(batch)["prob1"]), p,
+                               atol=1e-6)
+
+    # the Pallas export paths carry it through _score_infer_fn
+    meta_fs = A.save_serving_artifact(tmp_path / "fs", m, variables,
+                                      mode="fastserve", batch_size=4,
+                                      img_size=32, threshold=0.7)
+    assert meta_fs["threshold"] == 0.7
+    assert A.load_serving_artifact(tmp_path / "fs").threshold == 0.7
+
+    for bad in (0.0, 1.0, -0.2, 1.5):
+        with pytest.raises(ValueError, match="threshold"):
+            A.export_serving(m, variables, mode="module", batch_size=2,
+                             platforms=("cpu",), threshold=bad)
+
+
+def test_export_serving_cli_threshold_flag(tmp_path):
+    """--threshold validation on the CLI: floats in (0,1) pass through;
+    'optimal' demands an orbax checkpoint dir without --model."""
+    from vit_spoof_detection_pda_tpu.cli.export_serving import main
+
+    out = tmp_path / "art"
+    main([str(out), "--model", "SigNet_F", "--batch-size", "1",
+          "--threshold", "0.62"])
+    assert A.load_serving_artifact(out).threshold == 0.62
+
+    with pytest.raises(SystemExit):          # not a float
+        main([str(tmp_path / "x"), "--model", "SigNet_F",
+              "--batch-size", "1", "--threshold", "high"])
+    with pytest.raises(SystemExit):          # out of range
+        main([str(tmp_path / "x"), "--model", "SigNet_F",
+              "--batch-size", "1", "--threshold", "1.0"])
+    with pytest.raises(SystemExit):          # optimal needs a Trainer dir
+        main([str(tmp_path / "x"), "--model", "SigNet_F",
+              "--batch-size", "1", "--threshold", "optimal"])
+
+
 def test_corrupt_weights_detected_at_load(tmp_path):
     """A truncated/bit-flipped weights file fails loudly at load (sha256
     in meta), not as garbage scores."""

@@ -228,6 +228,25 @@ def test_export_serving_cli(workspace):
     assert np.all((np.asarray(got["prob1"]) >= 0)
                   & (np.asarray(got["prob1"]) <= 1))
 
+    # --threshold optimal deploys the checkpoint's validated operating
+    # point (persisted by Trainer._fit_epochs from the val sweep)
+    out2 = workspace / "serve_art_opt"
+    main([str(workspace / "ckpts"), str(out2),
+          "--set", "data.img_size=32",
+          "--set", "model.embed_dim=64",
+          "--set", "model.depth=1",
+          "--set", "model.num_heads=2",
+          "--set", "model.head_hidden=16",
+          "--threshold", "optimal"])
+    art2 = load_serving_artifact(out2)
+    assert 0.3 <= art2.threshold <= 0.7            # sweep grid bounds
+    got2 = art2(batch)
+    np.testing.assert_allclose(np.asarray(got2["prob1"]),
+                               np.asarray(got["prob1"]), atol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(got2["pred"]),
+        (np.asarray(got2["prob1"]) > art2.threshold).astype(np.int32))
+
 
 @pytest.mark.slow  # consumes test_train_cli_tiny's checkpoint
 def test_train_cli_resume(workspace):

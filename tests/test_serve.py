@@ -644,12 +644,36 @@ def test_build_programs_live_regime_table(artifacts):
         b.close()
 
 
+def test_build_programs_live_threshold(artifacts):
+    """Live mode deploys a configured operating point: pred flips at
+    prob > t, the meta records it, out-of-range values fail fast."""
+    from vit_spoof_detection_pda_tpu.serve import build_programs_live
+    _root, m, variables = artifacts
+    programs, _sz, metas = build_programs_live(
+        m, variables, shapes=(2,), img_size=SIZE, interpret=True,
+        threshold=0.9)
+    assert metas[0]["threshold"] == 0.9
+    out = programs[2](np.stack([_img(40), _img(200)]))
+    np.testing.assert_array_equal(
+        out["pred"], (out["prob1"] > 0.9).astype(np.int32))
+
+    with pytest.raises(ValueError, match="threshold"):
+        build_programs_live(m, variables, shapes=(2,), img_size=SIZE,
+                            interpret=True, threshold=1.0)
+
+
 def test_serve_cli_validates_args():
     from vit_spoof_detection_pda_tpu.cli.serve import main
     with pytest.raises(SystemExit):
         main(["./nowhere", "--max-batch", "0"])
     with pytest.raises(SystemExit):
         main(["./nowhere", "--max-wait-ms", "-1"])
+    with pytest.raises(SystemExit):          # artifacts carry their own
+        main(["./nowhere", "--threshold", "0.7"])
+    with pytest.raises(SystemExit):          # not a float
+        main(["--checkpoint", "./ck", "--threshold", "max"])
+    with pytest.raises(SystemExit):          # out of range
+        main(["--checkpoint", "./ck", "--threshold", "0"])
 
 
 def test_serve_cli_passes_through(monkeypatch):

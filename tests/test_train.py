@@ -176,6 +176,16 @@ def test_trainer_end_to_end(tmp_path):
     assert (tmp_path / "metrics.jsonl").read_text().count("\n") >= 3
     mgr.close()
 
+    # the checkpoint carries the validated operating point (consumed by
+    # export-serving/serve --threshold optimal)
+    from vit_spoof_detection_pda_tpu.utils.checkpoint import (
+        load_checkpoint_bundle)
+    _vars, _step, metrics = load_checkpoint_bundle(str(tmp_path / "ckpt"))
+    t = cfg.threshold
+    assert t.t_min <= metrics["optimal_threshold"] <= t.t_max
+    assert 0.0 <= metrics["optimal_f1"] <= 1.0
+    assert 0.0 <= metrics["auc"] <= 1.0
+
 
 def test_sweep_driver_runs():
     from vit_spoof_detection_pda_tpu.train.sweep import run_sweep

@@ -44,12 +44,33 @@ def main(argv=None):
                         "(halves the artifact's weight file and the B=1 "
                         "HBM weight traffic; opt-in quantized numerics; "
                         "--mode lowlat only)")
+    parser.add_argument("--threshold", default="0.5",
+                        help="operating point baked into the program's "
+                        "pred output: a float in (0,1), or 'optimal' to "
+                        "deploy the checkpoint's validated "
+                        "optimal_threshold metric (orbax checkpoints "
+                        "saved by Trainer runs with threshold "
+                        "optimization on)")
     args = parser.parse_args(argv)
     setup_logging()
     cfg = resolve_config(args)
 
     if args.checkpoint is not None and not os.path.exists(args.checkpoint):
         parser.error(f"checkpoint not found: {args.checkpoint}")
+    threshold = None
+    if args.threshold != "optimal":
+        try:
+            threshold = float(args.threshold)
+        except ValueError:
+            parser.error(f"--threshold must be a float or 'optimal', "
+                         f"got {args.threshold!r}")
+        if not 0.0 < threshold < 1.0:
+            parser.error(f"--threshold must be in (0, 1), got {threshold}")
+    elif args.model is not None or args.checkpoint is None \
+            or not os.path.isdir(args.checkpoint):
+        parser.error("--threshold optimal reads the optimal_threshold "
+                     "metric from an orbax checkpoint directory "
+                     "(Trainer output, without --model)")
     if args.mode != "module" and args.batch_size is None:
         parser.error(f"--mode {args.mode} compiles static Mosaic "
                      "kernels; pass --batch-size")
@@ -96,6 +117,14 @@ def main(argv=None):
             from ..utils.checkpoint import load_checkpoint_bundle
             variables, _step, _metrics = load_checkpoint_bundle(
                 args.checkpoint)
+            if threshold is None:
+                if "optimal_threshold" not in _metrics:
+                    parser.error(
+                        "--threshold optimal: this checkpoint carries no "
+                        "optimal_threshold metric (train with "
+                        "threshold.optimize on a Trainer new enough to "
+                        "persist it, or pass an explicit float)")
+                threshold = float(_metrics["optimal_threshold"])
         else:
             from ..models.registry import _load_state_dict
             variables = convert.antispoof_from_torch(
@@ -104,11 +133,13 @@ def main(argv=None):
     meta = save_serving_artifact(
         args.output, module, variables, mode=args.mode,
         batch_size=args.batch_size, img_size=cfg.data.img_size,
-        int8_weights=args.lowlat_int8)
+        int8_weights=args.lowlat_int8,
+        threshold=0.5 if threshold is None else threshold)
     b = meta["batch_size"] if meta["batch_size"] is not None else "symbolic"
     quant = ", int8 weights" if meta.get("int8_weights") else ""
     print(f"serving artifact ({meta['mode']}, batch={b}, "
-          f"platforms={','.join(meta['platforms'])}{quant}) -> "
+          f"platforms={','.join(meta['platforms'])}{quant}, "
+          f"threshold={meta['threshold']}) -> "
           f"{args.output}")
     return args.output
 

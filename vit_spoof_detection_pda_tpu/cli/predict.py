@@ -72,7 +72,7 @@ def main(argv=None):
             fh.close()
     live = sum(r[2] for r in rows)
     print(f"scored {len(rows)} images ({live} live / "
-          f"{len(rows) - live} spoof at 0.5) "
+          f"{len(rows) - live} spoof at {artifact.threshold}) "
           f"[{artifact.meta['mode']} artifact]", file=sys.stderr)
     return rows
 

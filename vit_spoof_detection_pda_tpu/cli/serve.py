@@ -58,6 +58,12 @@ def main(argv=None):
     parser.add_argument("--interpret", action="store_true",
                         help="live mode off-TPU: run the Pallas regimes "
                         "in interpret mode (debugging only — slow)")
+    parser.add_argument("--threshold", default="0.5",
+                        help="live mode: the operating point for pred — "
+                        "a float in (0,1), or 'optimal' to deploy the "
+                        "checkpoint's validated optimal_threshold "
+                        "metric (frozen artifacts carry their own "
+                        "threshold from export-serving)")
     args = parser.parse_args(argv)
     setup_logging()
 
@@ -67,6 +73,19 @@ def main(argv=None):
         parser.error("--max-wait-ms must be >= 0")
     if bool(args.artifacts) == bool(args.checkpoint):
         parser.error("pass either artifact directories OR --checkpoint")
+    if args.artifacts and args.threshold != "0.5":
+        parser.error("--threshold applies to live mode only; frozen "
+                     "artifacts carry their operating point from "
+                     "export-serving --threshold")
+    threshold = None
+    if args.threshold != "optimal":
+        try:
+            threshold = float(args.threshold)
+        except ValueError:
+            parser.error(f"--threshold must be a float or 'optimal', "
+                         f"got {args.threshold!r}")
+        if not 0.0 < threshold < 1.0:
+            parser.error(f"--threshold must be in (0, 1), got {threshold}")
 
     from ..serve import serve
     if args.artifacts:
@@ -96,12 +115,23 @@ def main(argv=None):
     def build(step=None):
         """(programs, img_size, metas) from the checkpoint dir — also
         the /admin/reload source (picks up the LATEST step, so a
-        training run saving new bests hot-swaps into the service)."""
+        training run saving new bests hot-swaps into the service;
+        --threshold optimal re-reads the new best's operating point
+        too)."""
         variables, got_step, _metrics = load_checkpoint_bundle(
             args.checkpoint, step=step)
+        t = threshold
+        if t is None:
+            if "optimal_threshold" not in _metrics:
+                raise SystemExit(
+                    "--threshold optimal: this checkpoint carries no "
+                    "optimal_threshold metric (train with "
+                    "threshold.optimize on a Trainer new enough to "
+                    "persist it, or pass an explicit float)")
+            t = float(_metrics["optimal_threshold"])
         programs, img_size, metas = build_programs_live(
             module, variables, shapes=shapes, img_size=cfg.data.img_size,
-            interpret=args.interpret)
+            interpret=args.interpret, threshold=t)
         metas[0]["checkpoint"] = {"path": args.checkpoint,
                                   "step": got_step}
         return programs, img_size, metas

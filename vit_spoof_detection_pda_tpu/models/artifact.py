@@ -112,18 +112,29 @@ def _load_weights(path: Path, spec):
 # ---------------------------------------------------------------------------
 # export
 
-def _score_infer_fn(raw_fn, **kwargs):
+def _score_infer_fn(raw_fn, threshold: float = 0.5, **kwargs):
     def infer(weights, batch_u8):
         out = raw_fn(weights, batch_u8, **kwargs)
         score = (out if out.ndim == 1 else out[:, 1]).astype(jnp.float32)
-        return {"prob1": score, "pred": (score > 0.5).astype(jnp.int32)}
+        return {"prob1": score,
+                "pred": (score > threshold).astype(jnp.int32)}
     return infer
+
+
+def _rethreshold(infer, threshold: float):
+    """Recompute ``pred`` from ``prob1`` at a non-default operating
+    point (module mode's argmax pred IS prob1 > 0.5 — same tie rule)."""
+    def fn(weights, batch):
+        out = infer(weights, batch)
+        return {"prob1": out["prob1"],
+                "pred": (out["prob1"] > threshold).astype(jnp.int32)}
+    return fn
 
 
 def export_serving(module, variables, *, mode: str = "module",
                    batch_size=None, img_size: int = 224,
                    input_dtype=jnp.float32, platforms=None, mesh=None,
-                   int8_weights: bool = False):
+                   int8_weights: bool = False, threshold: float = 0.5):
     """Build (exported, weights, meta) for a serving program.
 
     ``batch_size=None`` exports a symbolic batch dimension (one program,
@@ -141,8 +152,20 @@ def export_serving(module, variables, *, mode: str = "module",
     int8 encoder stream — the artifact's weight file halves and the
     frozen program carries the quantized numerics (opt-in; see
     ``fastserve.serving_program``).
+
+    ``threshold``: the OPERATING POINT baked into ``pred`` — P(live) >
+    threshold.  The reference's workflow centers on threshold
+    optimization (train_advanced.py:449-462 optimal-F1 sweep,
+    test.py:254-257 EER threshold) but its deployment ships weights
+    only, losing the operating point; here the deployed program carries
+    it (recorded in the descriptor).  Default 0.5 matches the
+    reference's ``predicted_label_0.5`` artifact column.
     """
     from .vit import ViTAntiSpoof
+
+    threshold = float(threshold)
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
 
     geom = {}
     if isinstance(module, ViTAntiSpoof):
@@ -174,6 +197,8 @@ def export_serving(module, variables, *, mode: str = "module",
         # frozen-artifact contract from drifting off the live eval path
         from ..eval.runner import make_infer_fn
         infer = make_infer_fn(module, input_dtype=input_dtype, mesh=mesh)
+        if threshold != 0.5:
+            infer = jax.jit(_rethreshold(infer, threshold))
         weights = variables
         if platforms is None:
             platforms = ("cpu", "tpu")
@@ -191,7 +216,7 @@ def export_serving(module, variables, *, mode: str = "module",
         from .fastserve import serving_program
         weights, raw, kw = serving_program(module, variables, mode=mode,
                                            int8_weights=int8_weights)
-        infer = jax.jit(_score_infer_fn(raw, **kw))
+        infer = jax.jit(_score_infer_fn(raw, threshold=threshold, **kw))
     else:
         raise ValueError(f"unknown serving mode {mode!r}")
 
@@ -217,7 +242,8 @@ def export_serving(module, variables, *, mode: str = "module",
                   "layout": "[B, H, W, 3] RGB, raw 0-255 (normalization "
                             "is inside the program)"},
         "output": {"prob1": "P(live); 1 = live (data/conventions.py)",
-                   "pred": "argmax label, 1 = live"},
+                   "pred": f"1 = live at P(live) > {threshold}"},
+        "threshold": threshold,
         "compute_dtype": ("bfloat16" if mode in _PALLAS_MODES
                           else np.dtype(input_dtype).name),
         "int8_weights": bool(int8_weights),
@@ -282,6 +308,12 @@ class ServingArtifact:
         if self._batch_sharding is not None:
             batch_u8 = jax.device_put(batch_u8, self._batch_sharding)
         return self._call(self.weights, batch_u8)
+
+    @property
+    def threshold(self) -> float:
+        """The operating point baked into the program's ``pred``
+        (pre-threshold artifacts carried the implicit 0.5)."""
+        return float(self.meta.get("threshold", 0.5))
 
 
 def load_serving_artifact(path, mesh=None) -> ServingArtifact:

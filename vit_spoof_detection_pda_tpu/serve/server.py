@@ -353,17 +353,23 @@ class PADServer(ThreadingHTTPServer):
 
 def build_programs_live(module, variables, *,
                         shapes: Sequence[int] = (1, 2, 4, 8, 16),
-                        img_size: int = 224, interpret: bool = False):
+                        img_size: int = 224, interpret: bool = False,
+                        threshold: float = 0.5):
     """Program table from a LIVE model — no export step.  Each shape
     gets the measured regime winner (fastserve.auto_serving_mode);
     shapes sharing a regime share one jitted callable (jax retraces per
     concrete batch shape on first use).  ``pred`` derives from
-    prob > 0.5 — matching models/artifact.py:119 exactly (an argmax tie
-    at P=0.5 resolves to class 0 = spoof in both flavors, so a
-    deployment can flip between artifact and live servers without
-    changing boundary decisions)."""
+    prob > ``threshold`` — matching models/artifact.py's frozen-program
+    rule exactly (an argmax tie at the boundary resolves to class 0 =
+    spoof in both flavors, so a deployment can flip between artifact
+    and live servers without changing boundary decisions).  The serve
+    CLI's ``--threshold optimal`` deploys the checkpoint's validated
+    operating point here."""
     from ..models.fastserve import auto_serving_mode, make_serving_fn
 
+    threshold = float(threshold)
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
     sizes = sorted({int(s) for s in shapes})
     per_mode, programs, modes = {}, {}, {}
     for s in sizes:
@@ -377,12 +383,13 @@ def build_programs_live(module, variables, *,
         def call(batch, fn=fn):
             prob1 = np.asarray(fn(batch), np.float32)
             return {"prob1": prob1,
-                    "pred": (prob1 > 0.5).astype(np.int32)}
+                    "pred": (prob1 > threshold).astype(np.int32)}
 
         programs[s] = call
         modes[s] = mode
     metas = [{"source": "live", "model": type(module).__name__,
-              "img_size": int(img_size), "shapes": modes}]
+              "img_size": int(img_size), "shapes": modes,
+              "threshold": threshold}]
     return programs, int(img_size), metas
 
 

@@ -308,11 +308,14 @@ class Trainer:
                     # ties the existing best checkpoints and a tie can
                     # lose the GC race, silently evicting the resume
                     # state
+                    metrics = {"val_f1": best["val_f1"],
+                               "epoch": best["epoch"],
+                               "preempted": True}
+                    if "optimal_threshold" in best:
+                        metrics["optimal_threshold"] = float(
+                            best["optimal_threshold"])
                     self.checkpoints.save(
-                        step, self.state,
-                        metrics={"val_f1": best["val_f1"],
-                                 "epoch": best["epoch"],
-                                 "preempted": True},
+                        step, self.state, metrics=metrics,
                         config=self.config.to_dict(), force=True,
                         pin=True)
                 self.checkpoints.wait_until_finished()
@@ -339,6 +342,15 @@ class Trainer:
             self.logger.log(epoch_summary, step=int(self.state.step))
 
             val_f1 = float(val_metrics["f1"])
+            # persist the validated OPERATING POINT with the weights:
+            # export-serving --threshold optimal and serve --threshold
+            # optimal deploy it (the reference computes an optimal
+            # threshold every epoch, train_advanced.py:449-462, but its
+            # .pth checkpoints drop it)
+            ckpt_metrics = {"val_f1": val_f1, "epoch": epoch}
+            for k in ("optimal_threshold", "optimal_f1", "auc"):
+                if k in val_metrics:
+                    ckpt_metrics[k] = float(val_metrics[k])
             if val_f1 > best["val_f1"]:
                 best = {"val_f1": val_f1, "epoch": epoch,
                         **{k: float(v) for k, v in val_metrics.items()
@@ -346,13 +358,13 @@ class Trainer:
                 if self.checkpoints:
                     self.checkpoints.save(
                         int(self.state.step), self.state,
-                        metrics={"val_f1": val_f1, "epoch": epoch},
+                        metrics=ckpt_metrics,
                         config=self.config.to_dict(), force=True)
             elif self.checkpoints and (
                     (epoch + 1) % cfg.checkpoint.save_every_epochs == 0):
                 self.checkpoints.save(
                     int(self.state.step), self.state,
-                    metrics={"val_f1": val_f1, "epoch": epoch},
+                    metrics=ckpt_metrics,
                     config=self.config.to_dict())
 
             if stopper.update(val_f1):
