@@ -12,10 +12,16 @@ directory:
 `figures.py`       — publication-figure suite (reference data_vis/).
 `attention_maps.py` — attention-rollout saliency overlays (beyond the
 reference: explains WHY a mined failed case scored as it did).
+`calibration.py`   — reliability curves, ECE/MCE/Brier/NLL, temperature
+scaling (beyond the reference: production deployments need calibrated
+P(spoof), not just ranked scores).
 """
 
 from .attention_maps import (attention_rollout, cls_patch_relevance,
                              generate_attention_overlays)
+from .calibration import (analyze_calibration, apply_temperature,
+                          calibration_errors, fit_temperature,
+                          plot_reliability_diagram, reliability_curve)
 from .distributions import analyze_score_distributions
 from .failed_cases import extract_failed_cases
 from .latency import benchmark_models, benchmark_single_image
@@ -25,6 +31,8 @@ __all__ = [
     "analyze_score_distributions", "extract_failed_cases",
     "attention_rollout", "cls_patch_relevance",
     "generate_attention_overlays",
+    "analyze_calibration", "apply_temperature", "calibration_errors",
+    "fit_temperature", "plot_reliability_diagram", "reliability_curve",
     "benchmark_models", "benchmark_single_image",
     "generate_summary_statistics",
 ]

@@ -21,6 +21,11 @@ def main(argv=None):
                         help="also render the publication figure suite")
     parser.add_argument("--latency", action="store_true",
                         help="also run the latency benchmark protocol")
+    parser.add_argument("--calibration", action="store_true",
+                        help="also run the probability-calibration "
+                        "report (reliability curves, ECE, temperature "
+                        "scaling) + diagram")
+    parser.add_argument("--calibration-bins", type=int, default=15)
     parser.add_argument("--top-n", type=int, default=20)
     parser.add_argument("--attention-overlays", default=None,
                         metavar="IMAGE_DIR",
@@ -43,6 +48,13 @@ def main(argv=None):
         out["summary"] = generate_summary_statistics(results_dir)
     except FileNotFoundError:
         print("model_comparison.csv missing — run evaluate-all first")
+
+    if args.calibration:
+        from ..analysis.calibration import (analyze_calibration,
+                                            plot_reliability_diagram)
+        out["calibration"] = analyze_calibration(
+            results_dir, n_bins=args.calibration_bins)
+        out["calibration_figure"] = plot_reliability_diagram(results_dir)
 
     if args.latency:
         import jax.numpy as jnp
