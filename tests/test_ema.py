@@ -130,6 +130,74 @@ def test_trainer_ema_checkpoint_and_export(tmp_path):
         load_checkpoint_bundle(str(tmp_path / "plain"), ema=True)
 
 
+def test_export_serving_deploys_ema_weights(tmp_path, caplog):
+    """export-serving --ema freezes the shadow (scores differ from the
+    raw-iterate artifact and match an artifact built from the ema
+    bundle); --threshold optimal without --ema on an EMA-trained
+    checkpoint warns about the weights/operating-point mismatch."""
+    import logging
+
+    import jax
+    import jax.numpy as jnp
+
+    from vit_spoof_detection_pda_tpu.cli.export_serving import main
+    from vit_spoof_detection_pda_tpu.models.artifact import (
+        load_serving_artifact)
+    from vit_spoof_detection_pda_tpu.models.vit import ViTAntiSpoof
+    from vit_spoof_detection_pda_tpu.train.trainer import Trainer
+    from vit_spoof_detection_pda_tpu.utils.checkpoint import (
+        CheckpointManager)
+
+    rng = np.random.default_rng(2)
+    images = rng.random((32, 32, 32, 3)).astype(np.float32)
+    labels = (images.mean((1, 2, 3)) > 0.5).astype(np.int32)
+
+    cfg = Config().with_overrides({
+        "optim.num_epochs": 1, "optim.learning_rate": 3e-3,
+        "optim.ema_decay": 0.7,
+        "data.img_size": 32,
+        "model.fused_train_forward": False,
+        "telemetry.jsonl_path": str(tmp_path / "m.jsonl"),
+    })
+    module = ViTAntiSpoof(patch_size=16, embed_dim=64, depth=1,
+                          num_heads=2, hidden=16)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    trainer = Trainer(cfg, module,
+                      train_batches=_batches(images, labels, bs=8),
+                      val_batches=lambda: iter(_batches(
+                          images, labels, bs=8)(0)),
+                      steps_per_epoch=4, checkpoints=mgr)
+    trainer.fit()
+    mgr.close()
+
+    geom = ["--set", "data.img_size=32", "--set", "model.embed_dim=64",
+            "--set", "model.depth=1", "--set", "model.num_heads=2",
+            "--set", "model.head_hidden=16"]
+    main([str(tmp_path / "ckpt"), str(tmp_path / "raw_art"),
+          "--batch-size", "4", *geom])
+    with caplog.at_level(logging.WARNING):
+        main([str(tmp_path / "ckpt"), str(tmp_path / "ema_art"),
+              "--batch-size", "4", "--ema", "--threshold", "optimal",
+              *geom])
+    art_raw = load_serving_artifact(tmp_path / "raw_art")
+    art_ema = load_serving_artifact(tmp_path / "ema_art")
+    assert 0.3 <= art_ema.threshold <= 0.7
+
+    batch = jnp.asarray(rng.integers(0, 256, (4, 32, 32, 3),
+                                     dtype=np.uint8))
+    p_raw = np.asarray(art_raw(batch)["prob1"])
+    p_ema = np.asarray(art_ema(batch)["prob1"])
+    assert not np.allclose(p_raw, p_ema)           # different weights
+
+    # and the mismatch warning fires when optimal is deployed WITHOUT
+    # the weights it was validated on
+    with caplog.at_level(logging.WARNING):
+        caplog.clear()
+        main([str(tmp_path / "ckpt"), str(tmp_path / "warn_art"),
+              "--batch-size", "4", "--threshold", "optimal", *geom])
+    assert any("EMA shadow" in r.message for r in caplog.records)
+
+
 def test_validate_uses_ema_weights(tmp_path):
     """validate() scores with the shadow when EMA is on: zero out the
     RAW params — metrics must not change (shadow still the trained one);

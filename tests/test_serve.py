@@ -670,6 +670,10 @@ def test_serve_cli_validates_args():
         main(["./nowhere", "--max-wait-ms", "-1"])
     with pytest.raises(SystemExit):          # artifacts carry their own
         main(["./nowhere", "--threshold", "0.7"])
+    with pytest.raises(SystemExit):          # parsed compare: 0.50 too
+        main(["./nowhere", "--threshold", "0.50"])
+    with pytest.raises(SystemExit):          # --ema is live-mode only
+        main(["./nowhere", "--ema"])
     with pytest.raises(SystemExit):          # not a float
         main(["--checkpoint", "./ck", "--threshold", "max"])
     with pytest.raises(SystemExit):          # out of range

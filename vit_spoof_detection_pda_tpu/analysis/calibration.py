@@ -54,6 +54,8 @@ def reliability_curve(scores, labels, *, n_bins: int = 15,
                          f"{labels.shape}")
     if scores.size == 0:
         raise ValueError("empty score vector")
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
     if strategy == "uniform":
         edges = np.linspace(0.0, 1.0, n_bins + 1)
     elif strategy == "quantile":
@@ -77,13 +79,8 @@ def reliability_curve(scores, labels, *, n_bins: int = 15,
     return prob_true, prob_pred, counts[nonzero]
 
 
-def calibration_errors(scores, labels, *, n_bins: int = 15,
-                       strategy: str = "uniform") -> dict:
-    """{"ece", "mce", "brier", "nll"} of P(label==1) scores."""
-    scores = np.asarray(scores, np.float64)
-    labels = np.asarray(labels, np.float64)
-    prob_true, prob_pred, counts = reliability_curve(
-        scores, labels, n_bins=n_bins, strategy=strategy)
+def _errors_from_curve(curve, scores, labels) -> dict:
+    prob_true, prob_pred, counts = curve
     gap = np.abs(prob_true - prob_pred)
     p = np.clip(scores, _EPS, 1.0 - _EPS)
     return {
@@ -93,6 +90,16 @@ def calibration_errors(scores, labels, *, n_bins: int = 15,
         "nll": float(-np.mean(labels * np.log(p)
                               + (1 - labels) * np.log1p(-p))),
     }
+
+
+def calibration_errors(scores, labels, *, n_bins: int = 15,
+                       strategy: str = "uniform") -> dict:
+    """{"ece", "mce", "brier", "nll"} of P(label==1) scores."""
+    scores = np.asarray(scores, np.float64)
+    labels = np.asarray(labels, np.float64)
+    curve = reliability_curve(scores, labels, n_bins=n_bins,
+                              strategy=strategy)
+    return _errors_from_curve(curve, scores, labels)
 
 
 def fit_temperature(scores, labels, *, max_iter: int = 100,
@@ -162,15 +169,14 @@ def analyze_calibration(results_dir: str, *, n_bins: int = 15,
                         model_dir.name)
             continue
 
-        errors = calibration_errors(scores, labels, n_bins=n_bins,
-                                    strategy=strategy)
+        flabels = labels.astype(np.float64)
+        prob_true, prob_pred, counts = curve = reliability_curve(
+            scores, labels, n_bins=n_bins, strategy=strategy)
+        errors = _errors_from_curve(curve, scores, flabels)
         temperature = fit_temperature(scores, labels)
         rescaled = apply_temperature(scores, temperature)
         after = calibration_errors(rescaled, labels, n_bins=n_bins,
                                    strategy=strategy)
-
-        prob_true, prob_pred, counts = reliability_curve(
-            scores, labels, n_bins=n_bins, strategy=strategy)
         pd.DataFrame({
             "mean_predicted_prob": prob_pred,
             "observed_frequency": prob_true,

@@ -65,3 +65,48 @@ def setup_logging(level=logging.INFO):
     logging.basicConfig(
         level=level,
         format="%(asctime)s - %(name)s - %(levelname)s - %(message)s")
+
+
+def parse_threshold(parser: argparse.ArgumentParser, raw):
+    """Shared --threshold plumbing (export-serving / serve): ``None``
+    passes through (flag not given), ``"optimal"`` passes through as the
+    resolve-from-checkpoint sentinel, anything else must parse to a
+    float in (0, 1)."""
+    if raw is None or raw == "optimal":
+        return raw
+    try:
+        t = float(raw)
+    except ValueError:
+        parser.error(f"--threshold must be a float or 'optimal', "
+                     f"got {raw!r}")
+    if not 0.0 < t < 1.0:
+        parser.error(f"--threshold must be in (0, 1), got {t}")
+    return t
+
+
+def optimal_threshold_from_metrics(metrics: dict, checkpoint: str) -> float:
+    """The checkpoint's validated operating point, or a ValueError that
+    names the fix (a plain exception on purpose: the serve daemon's
+    /admin/reload handler converts it to a 500 — a SystemExit would
+    escape its `except Exception` and silently kill the handler
+    thread).  CLIs convert it to parser.error at startup."""
+    if "optimal_threshold" not in metrics:
+        raise ValueError(
+            f"checkpoint at {checkpoint} carries no optimal_threshold "
+            "metric — train with threshold.optimize on a Trainer new "
+            "enough to persist it, or pass an explicit --threshold "
+            "float")
+    return float(metrics["optimal_threshold"])
+
+
+def warn_ema_threshold_mismatch(metrics: dict, *, ema: bool,
+                                optimal: bool):
+    """An EMA-trained checkpoint validates (and persists) its operating
+    point on the SHADOW weights — deploying the raw iterate at that
+    threshold mixes weights and operating point from different models."""
+    if optimal and metrics.get("ema_decay") is not None and not ema:
+        logging.getLogger(__name__).warning(
+            "this checkpoint trained with optim.ema_decay=%s: its "
+            "optimal_threshold was validated on the EMA shadow weights "
+            "— pass --ema to deploy the weights that threshold was "
+            "measured for", metrics["ema_decay"])

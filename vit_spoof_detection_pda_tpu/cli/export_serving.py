@@ -44,33 +44,33 @@ def main(argv=None):
                         "(halves the artifact's weight file and the B=1 "
                         "HBM weight traffic; opt-in quantized numerics; "
                         "--mode lowlat only)")
-    parser.add_argument("--threshold", default="0.5",
+    parser.add_argument("--threshold", default=None,
                         help="operating point baked into the program's "
                         "pred output: a float in (0,1), or 'optimal' to "
                         "deploy the checkpoint's validated "
                         "optimal_threshold metric (orbax checkpoints "
                         "saved by Trainer runs with threshold "
-                        "optimization on)")
+                        "optimization on); default 0.5")
+    parser.add_argument("--ema", action="store_true",
+                        help="freeze the Polyak/EMA shadow weights "
+                        "(optim.ema_decay training) — the weights "
+                        "validation and the persisted optimal_threshold "
+                        "were measured on (orbax checkpoints only)")
     args = parser.parse_args(argv)
     setup_logging()
     cfg = resolve_config(args)
 
     if args.checkpoint is not None and not os.path.exists(args.checkpoint):
         parser.error(f"checkpoint not found: {args.checkpoint}")
-    threshold = None
-    if args.threshold != "optimal":
-        try:
-            threshold = float(args.threshold)
-        except ValueError:
-            parser.error(f"--threshold must be a float or 'optimal', "
-                         f"got {args.threshold!r}")
-        if not 0.0 < threshold < 1.0:
-            parser.error(f"--threshold must be in (0, 1), got {threshold}")
-    elif args.model is not None or args.checkpoint is None \
-            or not os.path.isdir(args.checkpoint):
-        parser.error("--threshold optimal reads the optimal_threshold "
-                     "metric from an orbax checkpoint directory "
-                     "(Trainer output, without --model)")
+    from .common import (optimal_threshold_from_metrics, parse_threshold,
+                         warn_ema_threshold_mismatch)
+    threshold = parse_threshold(parser, args.threshold)
+    needs_bundle = threshold == "optimal" or args.ema
+    if needs_bundle and (args.model is not None or args.checkpoint is None
+                         or not os.path.isdir(args.checkpoint)):
+        parser.error("--threshold optimal / --ema read an orbax "
+                     "checkpoint directory (Trainer output, without "
+                     "--model)")
     if args.mode != "module" and args.batch_size is None:
         parser.error(f"--mode {args.mode} compiles static Mosaic "
                      "kernels; pass --batch-size")
@@ -116,15 +116,16 @@ def main(argv=None):
         if os.path.isdir(args.checkpoint):
             from ..utils.checkpoint import load_checkpoint_bundle
             variables, _step, _metrics = load_checkpoint_bundle(
-                args.checkpoint)
-            if threshold is None:
-                if "optimal_threshold" not in _metrics:
-                    parser.error(
-                        "--threshold optimal: this checkpoint carries no "
-                        "optimal_threshold metric (train with "
-                        "threshold.optimize on a Trainer new enough to "
-                        "persist it, or pass an explicit float)")
-                threshold = float(_metrics["optimal_threshold"])
+                args.checkpoint, ema=args.ema)
+            if threshold == "optimal":
+                try:
+                    threshold = optimal_threshold_from_metrics(
+                        _metrics, args.checkpoint)
+                except ValueError as e:
+                    parser.error(str(e))
+            warn_ema_threshold_mismatch(
+                _metrics, ema=args.ema,
+                optimal=args.threshold == "optimal")
         else:
             from ..models.registry import _load_state_dict
             variables = convert.antispoof_from_torch(

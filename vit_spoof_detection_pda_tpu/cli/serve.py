@@ -58,12 +58,17 @@ def main(argv=None):
     parser.add_argument("--interpret", action="store_true",
                         help="live mode off-TPU: run the Pallas regimes "
                         "in interpret mode (debugging only — slow)")
-    parser.add_argument("--threshold", default="0.5",
+    parser.add_argument("--threshold", default=None,
                         help="live mode: the operating point for pred — "
                         "a float in (0,1), or 'optimal' to deploy the "
                         "checkpoint's validated optimal_threshold "
                         "metric (frozen artifacts carry their own "
-                        "threshold from export-serving)")
+                        "threshold from export-serving); default 0.5")
+    parser.add_argument("--ema", action="store_true",
+                        help="live mode: serve the Polyak/EMA shadow "
+                        "weights (optim.ema_decay training) — the "
+                        "weights the persisted optimal_threshold was "
+                        "validated on")
     args = parser.parse_args(argv)
     setup_logging()
 
@@ -73,19 +78,13 @@ def main(argv=None):
         parser.error("--max-wait-ms must be >= 0")
     if bool(args.artifacts) == bool(args.checkpoint):
         parser.error("pass either artifact directories OR --checkpoint")
-    if args.artifacts and args.threshold != "0.5":
-        parser.error("--threshold applies to live mode only; frozen "
-                     "artifacts carry their operating point from "
-                     "export-serving --threshold")
-    threshold = None
-    if args.threshold != "optimal":
-        try:
-            threshold = float(args.threshold)
-        except ValueError:
-            parser.error(f"--threshold must be a float or 'optimal', "
-                         f"got {args.threshold!r}")
-        if not 0.0 < threshold < 1.0:
-            parser.error(f"--threshold must be in (0, 1), got {threshold}")
+    from .common import (optimal_threshold_from_metrics, parse_threshold,
+                         warn_ema_threshold_mismatch)
+    threshold = parse_threshold(parser, args.threshold)
+    if args.artifacts and (threshold is not None or args.ema):
+        parser.error("--threshold/--ema apply to live mode only; frozen "
+                     "artifacts carry their operating point (and weight "
+                     "choice) from export-serving")
 
     from ..serve import serve
     if args.artifacts:
@@ -117,18 +116,16 @@ def main(argv=None):
         the /admin/reload source (picks up the LATEST step, so a
         training run saving new bests hot-swaps into the service;
         --threshold optimal re-reads the new best's operating point
-        too)."""
+        too).  Raises plain exceptions only: /admin/reload's handler
+        converts them to a 500 (a SystemExit would escape its `except
+        Exception` and silently kill the handler thread)."""
         variables, got_step, _metrics = load_checkpoint_bundle(
-            args.checkpoint, step=step)
-        t = threshold
-        if t is None:
-            if "optimal_threshold" not in _metrics:
-                raise SystemExit(
-                    "--threshold optimal: this checkpoint carries no "
-                    "optimal_threshold metric (train with "
-                    "threshold.optimize on a Trainer new enough to "
-                    "persist it, or pass an explicit float)")
-            t = float(_metrics["optimal_threshold"])
+            args.checkpoint, step=step, ema=args.ema)
+        t = threshold if threshold is not None else 0.5
+        if threshold == "optimal":
+            t = optimal_threshold_from_metrics(_metrics, args.checkpoint)
+        warn_ema_threshold_mismatch(_metrics, ema=args.ema,
+                                    optimal=threshold == "optimal")
         programs, img_size, metas = build_programs_live(
             module, variables, shapes=shapes, img_size=cfg.data.img_size,
             interpret=args.interpret, threshold=t)
@@ -136,7 +133,12 @@ def main(argv=None):
                                   "step": got_step}
         return programs, img_size, metas
 
-    programs, img_size, metas = build()
+    try:
+        programs, img_size, metas = build()
+    except ValueError as e:
+        # startup context: fail fast with the CLI-shaped error (reload
+        # later re-raises through the 500 path instead)
+        parser.error(str(e))
     server = make_server_from_programs(
         programs, img_size, metas, host=args.host, port=args.port,
         max_wait_ms=args.max_wait_ms, rebuild=build)

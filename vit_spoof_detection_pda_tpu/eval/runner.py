@@ -26,7 +26,8 @@ log = logging.getLogger(__name__)
 
 
 def make_infer_fn(module, *, normalize: bool = True,
-                  input_dtype=jnp.float32, mesh=None):
+                  input_dtype=jnp.float32, mesh=None,
+                  threshold: float = 0.5):
     """One fused program: image batch -> ImageNet-normalize -> model ->
     softmax scores.
 
@@ -34,7 +35,14 @@ def make_infer_fn(module, *, normalize: bool = True,
     (already in [0,1]) take the classic to_float+normalize path — same
     numbers either way in `input_dtype` (f32 default keeps eval scores
     bit-comparable with the torch-parity validation; pass bf16 only for
-    throughput-oriented serving, see bench.py)."""
+    throughput-oriented serving, see bench.py).
+
+    ``threshold``: the ``pred`` operating point, P(live) > threshold.
+    The 0.5 default is the argmax rule bit-for-bit (argmax ties at
+    P=0.5 resolve to class 0 in both forms); non-default values bake a
+    validated operating point into the SAME jitted program — the mesh
+    in_shardings ride along, so fleet artifact exports keep their
+    sharded calling convention regardless of threshold."""
 
     def infer(variables, batch):
         if normalize:
@@ -46,7 +54,14 @@ def make_infer_fn(module, *, normalize: bool = True,
             x = I.to_float(batch)
         logits = module.apply(variables, x)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-        return {"prob1": probs[:, 1], "pred": jnp.argmax(logits, axis=-1)}
+        if threshold == 0.5:
+            # the reference's exact rule (test.py:213 argmax on logits)
+            # — a softmax rounding an l1>l0 pair to exactly 0.5 would
+            # flip a prob-cut pred, so the default stays argmax
+            pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        else:
+            pred = (probs[:, 1] > threshold).astype(jnp.int32)
+        return {"prob1": probs[:, 1], "pred": pred}
 
     if mesh is not None:
         from jax.sharding import NamedSharding

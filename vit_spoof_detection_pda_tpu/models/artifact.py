@@ -121,16 +121,6 @@ def _score_infer_fn(raw_fn, threshold: float = 0.5, **kwargs):
     return infer
 
 
-def _rethreshold(infer, threshold: float):
-    """Recompute ``pred`` from ``prob1`` at a non-default operating
-    point (module mode's argmax pred IS prob1 > 0.5 — same tie rule)."""
-    def fn(weights, batch):
-        out = infer(weights, batch)
-        return {"prob1": out["prob1"],
-                "pred": (out["prob1"] > threshold).astype(jnp.int32)}
-    return fn
-
-
 def export_serving(module, variables, *, mode: str = "module",
                    batch_size=None, img_size: int = 224,
                    input_dtype=jnp.float32, platforms=None, mesh=None,
@@ -196,9 +186,10 @@ def export_serving(module, variables, *, mode: str = "module",
         # the EXACT eval program (eval/runner.py) — reusing it keeps the
         # frozen-artifact contract from drifting off the live eval path
         from ..eval.runner import make_infer_fn
-        infer = make_infer_fn(module, input_dtype=input_dtype, mesh=mesh)
-        if threshold != 0.5:
-            infer = jax.jit(_rethreshold(infer, threshold))
+        # threshold rides INSIDE make_infer_fn's program so the mesh
+        # in_shardings (fleet exports) survive non-default values
+        infer = make_infer_fn(module, input_dtype=input_dtype, mesh=mesh,
+                              threshold=threshold)
         weights = variables
         if platforms is None:
             platforms = ("cpu", "tpu")

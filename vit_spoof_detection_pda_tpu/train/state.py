@@ -36,9 +36,16 @@ class TrainState(struct.PyTreeNode):
 
 
 class EmaState(NamedTuple):
-    """State of :func:`ema_of_params` — a shadow copy of the params."""
+    """State of :func:`ema_of_params` — a shadow copy of the params.
 
-    ema: Any
+    The field name is deliberately collision-proof: a template-free
+    orbax restore turns this NamedTuple into ``{"polyak_shadow": ...}``
+    and utils/checkpoint.py::_find_ema_subtree locates it by that
+    single-key signature — a generic name like ``ema`` would collide
+    with adamw's params-shaped ``mu``/``nu`` whenever a model's root
+    module happens to carry the same name."""
+
+    polyak_shadow: Any
 
 
 def ema_of_params(decay: float) -> optax.GradientTransformation:
@@ -58,15 +65,15 @@ def ema_of_params(decay: float) -> optax.GradientTransformation:
     def init_fn(params):
         # a REAL copy: jnp.asarray would alias the live param buffers
         # and the donated train step would then donate each twice
-        return EmaState(ema=jax.tree.map(jnp.copy, params))
+        return EmaState(polyak_shadow=jax.tree.map(jnp.copy, params))
 
     def update_fn(updates, state, params=None):
         if params is None:
             raise ValueError("ema_of_params needs params in update()")
         new_params = optax.apply_updates(params, updates)
         ema = jax.tree.map(lambda e, p: decay * e + (1.0 - decay) * p,
-                           state.ema, new_params)
-        return updates, EmaState(ema=ema)
+                           state.polyak_shadow, new_params)
+        return updates, EmaState(polyak_shadow=ema)
 
     return optax.GradientTransformation(init_fn, update_fn)
 
@@ -75,7 +82,7 @@ def find_ema_params(opt_state) -> Optional[Any]:
     """Locate the EMA shadow params inside a (possibly MultiSteps- or
     tuple-nested) optimizer state; None when EMA is not enabled."""
     if isinstance(opt_state, EmaState):
-        return opt_state.ema
+        return opt_state.polyak_shadow
     if isinstance(opt_state, optax.MultiStepsState):
         return find_ema_params(opt_state.inner_opt_state)
     if isinstance(opt_state, (tuple, list)):

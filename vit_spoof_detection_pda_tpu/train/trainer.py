@@ -308,14 +308,18 @@ class Trainer:
                     # ties the existing best checkpoints and a tie can
                     # lose the GC race, silently evicting the resume
                     # state
-                    metrics = {"val_f1": best["val_f1"],
-                               "epoch": best["epoch"],
-                               "preempted": True}
-                    if "optimal_threshold" in best:
-                        metrics["optimal_threshold"] = float(
-                            best["optimal_threshold"])
+                    # deliberately NO optimal_threshold here: the saved
+                    # weights are the mid-training preemption point, and
+                    # best's threshold was validated on a DIFFERENT
+                    # (best-epoch) model — deploying that pair would mix
+                    # weights and operating point.  `--threshold
+                    # optimal` on this checkpoint fails with the
+                    # train-and-persist message instead.
                     self.checkpoints.save(
-                        step, self.state, metrics=metrics,
+                        step, self.state,
+                        metrics={"val_f1": best["val_f1"],
+                                 "epoch": best["epoch"],
+                                 "preempted": True},
                         config=self.config.to_dict(), force=True,
                         pin=True)
                 self.checkpoints.wait_until_finished()
@@ -351,6 +355,11 @@ class Trainer:
             for k in ("optimal_threshold", "optimal_f1", "auc"):
                 if k in val_metrics:
                     ckpt_metrics[k] = float(val_metrics[k])
+            if getattr(cfg.optim, "ema_decay", None) is not None:
+                # deployment consumers (export-serving/serve) use this
+                # to warn when the raw iterate is deployed at a
+                # threshold that was validated on the EMA shadow
+                ckpt_metrics["ema_decay"] = float(cfg.optim.ema_decay)
             if val_f1 > best["val_f1"]:
                 best = {"val_f1": val_f1, "epoch": epoch,
                         **{k: float(v) for k, v in val_metrics.items()

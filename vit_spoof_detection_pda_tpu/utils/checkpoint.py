@@ -244,11 +244,13 @@ def _py(v) -> Any:
 def _find_ema_subtree(node):
     """The EMA shadow inside a RESTORED (template-free) opt_state:
     train/state.py::EmaState round-trips through orbax as a container
-    whose only child is ``ema`` (its single NamedTuple field)."""
+    whose only child is ``polyak_shadow`` (its single NamedTuple field
+    — named to be collision-proof against params-shaped optimizer
+    states like adamw's mu/nu, which mirror the model's module names)."""
     if isinstance(node, dict):
         keys = set(node)
-        if keys == {"ema"}:
-            return node["ema"]
+        if keys == {"polyak_shadow"}:
+            return node["polyak_shadow"]
         it = node.values()
     elif isinstance(node, (list, tuple)):
         it = node
