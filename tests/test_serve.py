@@ -644,6 +644,41 @@ def test_build_programs_live_regime_table(artifacts):
         b.close()
 
 
+def test_http_serves_fleet_artifact_data_parallel(artifacts, tmp_path):
+    """The daemon serves a FLEET artifact end-to-end: loading
+    auto-builds the 8-device mesh, incoming windows pad to the compiled
+    batch and shard over the data axis, scores match the single-device
+    module artifact."""
+    from vit_spoof_detection_pda_tpu.parallel.mesh import make_mesh
+
+    root, m, variables = artifacts
+    mesh = make_mesh(data=8, model=1)
+    A.save_serving_artifact(tmp_path / "fleet", m, variables,
+                            mode="module", batch_size=8, img_size=SIZE,
+                            platforms=("cpu",), mesh=mesh)
+    srv = make_server([str(tmp_path / "fleet")], port=0, max_wait_ms=2.0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        values = [20, 90, 160, 230]
+        with ThreadPoolExecutor(4) as pool:
+            results = list(pool.map(
+                lambda v: _post(port, "/score", _jpeg_bytes(v)), values))
+        want_art = A.load_serving_artifact(str(root / "sym"))
+        for v, (status, out) in zip(values, results):
+            assert status == 200
+            batch = np.full((1, SIZE, SIZE, 3), v, np.uint8)
+            want = float(np.asarray(want_art(jnp.asarray(batch))
+                                    ["prob1"])[0])
+            assert out["prob_live"] == pytest.approx(want, abs=1e-5)
+        _status, stats = _get(port, "/stats")
+        assert stats["requests"] >= 4
+    finally:
+        srv.shutdown_clean()
+        t.join(timeout=10)
+
+
 def test_build_programs_live_threshold(artifacts):
     """Live mode deploys a configured operating point: pred flips at
     prob > t, the meta records it, out-of-range values fail fast."""
