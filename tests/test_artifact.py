@@ -372,6 +372,42 @@ def test_threshold_operating_point(tmp_path):
                              platforms=("cpu",), threshold=bad)
 
 
+def test_temperature_calibrated_artifact(tmp_path):
+    """temperature bakes sigmoid(logit(p)/T) into prob1 (oracle:
+    analysis/calibration.py::apply_temperature on the uncalibrated
+    artifact's scores), pred thresholds the calibrated scale, rankings
+    are preserved, and the descriptor records T."""
+    from vit_spoof_detection_pda_tpu.analysis.calibration import (
+        apply_temperature)
+
+    m, variables = _tiny()
+    A.save_serving_artifact(tmp_path / "raw", m, variables,
+                            mode="module", batch_size=8, img_size=32,
+                            platforms=("cpu",))
+    meta = A.save_serving_artifact(tmp_path / "cal", m, variables,
+                                   mode="module", batch_size=8,
+                                   img_size=32, platforms=("cpu",),
+                                   temperature=2.0, threshold=0.6)
+    assert meta["temperature"] == 2.0
+    raw = A.load_serving_artifact(tmp_path / "raw")
+    cal = A.load_serving_artifact(tmp_path / "cal")
+    assert raw.temperature is None and cal.temperature == 2.0
+
+    batch = _u8(8)
+    p_raw = np.asarray(raw(batch)["prob1"], np.float64)
+    out = cal(batch)
+    p_cal = np.asarray(out["prob1"], np.float64)
+    np.testing.assert_allclose(p_cal, apply_temperature(p_raw, 2.0),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.argsort(p_cal), np.argsort(p_raw))
+    np.testing.assert_array_equal(np.asarray(out["pred"]),
+                                  (p_cal > 0.6).astype(np.int32))
+
+    with pytest.raises(ValueError, match="temperature"):
+        A.export_serving(m, variables, mode="module", batch_size=2,
+                         platforms=("cpu",), temperature=0.0)
+
+
 def test_export_serving_cli_threshold_flag(tmp_path):
     """--threshold validation on the CLI: floats in (0,1) pass through;
     'optimal' demands an orbax checkpoint dir without --model."""

@@ -696,6 +696,25 @@ def test_build_programs_live_threshold(artifacts):
         build_programs_live(m, variables, shapes=(2,), img_size=SIZE,
                             interpret=True, threshold=1.0)
 
+    # temperature calibrates the live scores the same way the frozen
+    # artifact does (models/artifact.py::temper_probs semantics)
+    from vit_spoof_detection_pda_tpu.analysis.calibration import (
+        apply_temperature)
+    progs_t, _sz, metas_t = build_programs_live(
+        m, variables, shapes=(2,), img_size=SIZE, interpret=True,
+        temperature=2.0)
+    assert metas_t[0]["temperature"] == 2.0
+    base = build_programs_live(m, variables, shapes=(2,),
+                               img_size=SIZE, interpret=True)[0]
+    batch = np.stack([_img(40), _img(200)])
+    got = progs_t[2](batch)["prob1"]
+    want = apply_temperature(
+        np.asarray(base[2](batch)["prob1"], np.float64), 2.0)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    with pytest.raises(ValueError, match="temperature"):
+        build_programs_live(m, variables, shapes=(2,), img_size=SIZE,
+                            interpret=True, temperature=-1.0)
+
 
 def test_serve_cli_validates_args():
     from vit_spoof_detection_pda_tpu.cli.serve import main

@@ -56,6 +56,12 @@ def main(argv=None):
                         "(optim.ema_decay training) — the weights "
                         "validation and the persisted optimal_threshold "
                         "were measured on (orbax checkpoints only)")
+    parser.add_argument("--temperature", type=float, default=None,
+                        help="bake probability calibration into prob1: "
+                        "sigmoid(logit(p)/T) with T fitted on validation "
+                        "scores (analyze --calibration reports it); "
+                        "monotone — AUC/EER untouched; --threshold then "
+                        "applies on the calibrated scale")
     args = parser.parse_args(argv)
     setup_logging()
     cfg = resolve_config(args)
@@ -65,6 +71,8 @@ def main(argv=None):
     from .common import (optimal_threshold_from_metrics, parse_threshold,
                          warn_ema_threshold_mismatch)
     threshold = parse_threshold(parser, args.threshold)
+    if args.temperature is not None and args.temperature <= 0:
+        parser.error(f"--temperature must be > 0, got {args.temperature}")
     needs_bundle = threshold == "optimal" or args.ema
     if needs_bundle and (args.model is not None or args.checkpoint is None
                          or not os.path.isdir(args.checkpoint)):
@@ -135,12 +143,15 @@ def main(argv=None):
         args.output, module, variables, mode=args.mode,
         batch_size=args.batch_size, img_size=cfg.data.img_size,
         int8_weights=args.lowlat_int8,
-        threshold=0.5 if threshold is None else threshold)
+        threshold=0.5 if threshold is None else threshold,
+        temperature=args.temperature)
     b = meta["batch_size"] if meta["batch_size"] is not None else "symbolic"
     quant = ", int8 weights" if meta.get("int8_weights") else ""
+    temper = (f", temperature={meta['temperature']}"
+              if meta.get("temperature") is not None else "")
     print(f"serving artifact ({meta['mode']}, batch={b}, "
           f"platforms={','.join(meta['platforms'])}{quant}, "
-          f"threshold={meta['threshold']}) -> "
+          f"threshold={meta['threshold']}{temper}) -> "
           f"{args.output}")
     return args.output
 

@@ -69,6 +69,11 @@ def main(argv=None):
                         "weights (optim.ema_decay training) — the "
                         "weights the persisted optimal_threshold was "
                         "validated on")
+    parser.add_argument("--temperature", type=float, default=None,
+                        help="live mode: calibrate prob1 through "
+                        "sigmoid(logit(p)/T) (fit T with analyze "
+                        "--calibration); --threshold applies on the "
+                        "calibrated scale")
     args = parser.parse_args(argv)
     setup_logging()
 
@@ -81,10 +86,14 @@ def main(argv=None):
     from .common import (optimal_threshold_from_metrics, parse_threshold,
                          warn_ema_threshold_mismatch)
     threshold = parse_threshold(parser, args.threshold)
-    if args.artifacts and (threshold is not None or args.ema):
-        parser.error("--threshold/--ema apply to live mode only; frozen "
-                     "artifacts carry their operating point (and weight "
-                     "choice) from export-serving")
+    if args.temperature is not None and args.temperature <= 0:
+        parser.error(f"--temperature must be > 0, got {args.temperature}")
+    if args.artifacts and (threshold is not None or args.ema
+                           or args.temperature is not None):
+        parser.error("--threshold/--ema/--temperature apply to live "
+                     "mode only; frozen artifacts carry their operating "
+                     "point, weight choice, and calibration from "
+                     "export-serving")
 
     from ..serve import serve
     if args.artifacts:
@@ -128,7 +137,8 @@ def main(argv=None):
                                     optimal=threshold == "optimal")
         programs, img_size, metas = build_programs_live(
             module, variables, shapes=shapes, img_size=cfg.data.img_size,
-            interpret=args.interpret, threshold=t)
+            interpret=args.interpret, threshold=t,
+            temperature=args.temperature)
         metas[0]["checkpoint"] = {"path": args.checkpoint,
                                   "step": got_step}
         return programs, img_size, metas

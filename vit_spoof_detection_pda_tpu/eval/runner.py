@@ -27,7 +27,7 @@ log = logging.getLogger(__name__)
 
 def make_infer_fn(module, *, normalize: bool = True,
                   input_dtype=jnp.float32, mesh=None,
-                  threshold: float = 0.5):
+                  threshold: float = 0.5, temperature=None):
     """One fused program: image batch -> ImageNet-normalize -> model ->
     softmax scores.
 
@@ -42,7 +42,13 @@ def make_infer_fn(module, *, normalize: bool = True,
     P=0.5 resolve to class 0 in both forms); non-default values bake a
     validated operating point into the SAME jitted program — the mesh
     in_shardings ride along, so fleet artifact exports keep their
-    sharded calling convention regardless of threshold."""
+    sharded calling convention regardless of threshold.
+
+    ``temperature``: optional calibration — prob1 becomes
+    ``sigmoid((l1 - l0) / T)`` (exactly temperature-scaled softmax for
+    the binary head); threshold/pred apply on the calibrated scale."""
+    if temperature is not None and float(temperature) <= 0.0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
 
     def infer(variables, batch):
         if normalize:
@@ -53,15 +59,20 @@ def make_infer_fn(module, *, normalize: bool = True,
         else:
             x = I.to_float(batch)
         logits = module.apply(variables, x)
-        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-        if threshold == 0.5:
+        if temperature is not None:
+            margin = (logits[:, 1] - logits[:, 0]).astype(jnp.float32)
+            prob1 = jax.nn.sigmoid(margin / jnp.float32(temperature))
+        else:
+            prob1 = jax.nn.softmax(logits.astype(jnp.float32),
+                                   axis=-1)[:, 1]
+        if threshold == 0.5 and temperature is None:
             # the reference's exact rule (test.py:213 argmax on logits)
             # — a softmax rounding an l1>l0 pair to exactly 0.5 would
             # flip a prob-cut pred, so the default stays argmax
             pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         else:
-            pred = (probs[:, 1] > threshold).astype(jnp.int32)
-        return {"prob1": probs[:, 1], "pred": pred}
+            pred = (prob1 > threshold).astype(jnp.int32)
+        return {"prob1": prob1, "pred": pred}
 
     if mesh is not None:
         from jax.sharding import NamedSharding

@@ -112,10 +112,25 @@ def _load_weights(path: Path, spec):
 # ---------------------------------------------------------------------------
 # export
 
-def _score_infer_fn(raw_fn, threshold: float = 0.5, **kwargs):
+def temper_probs(p, temperature):
+    """``sigmoid(logit(p) / T)`` in f32 — the deploy-side half of
+    analysis/calibration.py's temperature scaling (fit T on validation
+    scores there, bake it into the frozen program here).  Monotone:
+    rankings, AUC, and EER are invariant; only probability VALUES move,
+    so a threshold applies on the calibrated scale."""
+    eps = jnp.float32(1e-7)
+    p = jnp.clip(p.astype(jnp.float32), eps, 1.0 - eps)
+    z = (jnp.log(p) - jnp.log1p(-p)) / jnp.float32(temperature)
+    return jax.nn.sigmoid(z)
+
+
+def _score_infer_fn(raw_fn, threshold: float = 0.5, temperature=None,
+                    **kwargs):
     def infer(weights, batch_u8):
         out = raw_fn(weights, batch_u8, **kwargs)
         score = (out if out.ndim == 1 else out[:, 1]).astype(jnp.float32)
+        if temperature is not None:
+            score = temper_probs(score, temperature)
         return {"prob1": score,
                 "pred": (score > threshold).astype(jnp.int32)}
     return infer
@@ -124,7 +139,8 @@ def _score_infer_fn(raw_fn, threshold: float = 0.5, **kwargs):
 def export_serving(module, variables, *, mode: str = "module",
                    batch_size=None, img_size: int = 224,
                    input_dtype=jnp.float32, platforms=None, mesh=None,
-                   int8_weights: bool = False, threshold: float = 0.5):
+                   int8_weights: bool = False, threshold: float = 0.5,
+                   temperature=None):
     """Build (exported, weights, meta) for a serving program.
 
     ``batch_size=None`` exports a symbolic batch dimension (one program,
@@ -150,12 +166,22 @@ def export_serving(module, variables, *, mode: str = "module",
     only, losing the operating point; here the deployed program carries
     it (recorded in the descriptor).  Default 0.5 matches the
     reference's ``predicted_label_0.5`` artifact column.
+
+    ``temperature``: optional probability calibration baked into
+    ``prob1`` — ``sigmoid(logit(p) / T)`` with T fitted on validation
+    scores (analysis/calibration.py::fit_temperature).  Monotone, so
+    discrimination metrics are untouched; ``threshold`` then applies on
+    the calibrated scale.
     """
     from .vit import ViTAntiSpoof
 
     threshold = float(threshold)
     if not 0.0 < threshold < 1.0:
         raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if temperature is not None:
+        temperature = float(temperature)
+        if temperature <= 0.0:
+            raise ValueError(f"temperature must be > 0, got {temperature}")
 
     geom = {}
     if isinstance(module, ViTAntiSpoof):
@@ -189,7 +215,7 @@ def export_serving(module, variables, *, mode: str = "module",
         # threshold rides INSIDE make_infer_fn's program so the mesh
         # in_shardings (fleet exports) survive non-default values
         infer = make_infer_fn(module, input_dtype=input_dtype, mesh=mesh,
-                              threshold=threshold)
+                              threshold=threshold, temperature=temperature)
         weights = variables
         if platforms is None:
             platforms = ("cpu", "tpu")
@@ -207,7 +233,8 @@ def export_serving(module, variables, *, mode: str = "module",
         from .fastserve import serving_program
         weights, raw, kw = serving_program(module, variables, mode=mode,
                                            int8_weights=int8_weights)
-        infer = jax.jit(_score_infer_fn(raw, threshold=threshold, **kw))
+        infer = jax.jit(_score_infer_fn(raw, threshold=threshold,
+                                        temperature=temperature, **kw))
     else:
         raise ValueError(f"unknown serving mode {mode!r}")
 
@@ -235,6 +262,7 @@ def export_serving(module, variables, *, mode: str = "module",
         "output": {"prob1": "P(live); 1 = live (data/conventions.py)",
                    "pred": f"1 = live at P(live) > {threshold}"},
         "threshold": threshold,
+        "temperature": temperature,
         "compute_dtype": ("bfloat16" if mode in _PALLAS_MODES
                           else np.dtype(input_dtype).name),
         "int8_weights": bool(int8_weights),
@@ -305,6 +333,13 @@ class ServingArtifact:
         """The operating point baked into the program's ``pred``
         (pre-threshold artifacts carried the implicit 0.5)."""
         return float(self.meta.get("threshold", 0.5))
+
+    @property
+    def temperature(self):
+        """The calibration temperature baked into ``prob1``, or None
+        when the program ships raw model probabilities."""
+        t = self.meta.get("temperature")
+        return None if t is None else float(t)
 
 
 def load_serving_artifact(path, mesh=None) -> ServingArtifact:

@@ -354,7 +354,7 @@ class PADServer(ThreadingHTTPServer):
 def build_programs_live(module, variables, *,
                         shapes: Sequence[int] = (1, 2, 4, 8, 16),
                         img_size: int = 224, interpret: bool = False,
-                        threshold: float = 0.5):
+                        threshold: float = 0.5, temperature=None):
     """Program table from a LIVE model — no export step.  Each shape
     gets the measured regime winner (fastserve.auto_serving_mode);
     shapes sharing a regime share one jitted callable (jax retraces per
@@ -364,12 +364,17 @@ def build_programs_live(module, variables, *,
     spoof in both flavors, so a deployment can flip between artifact
     and live servers without changing boundary decisions).  The serve
     CLI's ``--threshold optimal`` deploys the checkpoint's validated
-    operating point here."""
+    operating point here.  ``temperature`` applies calibration
+    (sigmoid(logit(p)/T), models/artifact.py::temper_probs semantics)
+    before thresholding — host-side numpy on the score vector, so the
+    compiled programs are untouched."""
     from ..models.fastserve import auto_serving_mode, make_serving_fn
 
     threshold = float(threshold)
     if not 0.0 < threshold < 1.0:
         raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if temperature is not None and float(temperature) <= 0.0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
     sizes = sorted({int(s) for s in shapes})
     per_mode, programs, modes = {}, {}, {}
     for s in sizes:
@@ -382,6 +387,10 @@ def build_programs_live(module, variables, *,
 
         def call(batch, fn=fn):
             prob1 = np.asarray(fn(batch), np.float32)
+            if temperature is not None:
+                p = np.clip(prob1.astype(np.float64), 1e-7, 1 - 1e-7)
+                z = (np.log(p) - np.log1p(-p)) / float(temperature)
+                prob1 = (1.0 / (1.0 + np.exp(-z))).astype(np.float32)
             return {"prob1": prob1,
                     "pred": (prob1 > threshold).astype(np.int32)}
 
@@ -389,7 +398,7 @@ def build_programs_live(module, variables, *,
         modes[s] = mode
     metas = [{"source": "live", "model": type(module).__name__,
               "img_size": int(img_size), "shapes": modes,
-              "threshold": threshold}]
+              "threshold": threshold, "temperature": temperature}]
     return programs, int(img_size), metas
 
 
