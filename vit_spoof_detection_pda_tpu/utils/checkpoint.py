@@ -263,6 +263,31 @@ def _find_ema_subtree(node):
     return None
 
 
+def list_checkpoints(directory: str):
+    """[(step, metrics_dict)] ascending — a metrics-only read (no
+    arrays touch the device or host RAM), for inspection tooling
+    (`describe` CLI).  Steps saved without a metrics item report {}."""
+    directory = os.path.abspath(directory)
+    mgr = ocp.CheckpointManager(
+        directory,
+        options=ocp.CheckpointManagerOptions(
+            enable_async_checkpointing=False),
+        item_handlers={"metrics": ocp.JsonCheckpointHandler()})
+    try:
+        out = []
+        for step in sorted(mgr.all_steps()):
+            try:
+                restored = mgr.restore(step, args=ocp.args.Composite(
+                    metrics=ocp.args.JsonRestore()))
+                metrics = dict(restored["metrics"] or {})
+            except (KeyError, FileNotFoundError):
+                metrics = {}
+            out.append((int(step), metrics))
+        return out
+    finally:
+        mgr.close()
+
+
 def load_checkpoint_bundle(directory: str, step: Optional[int] = None,
                            ema: bool = False):
     """(variables, step, metrics) from an Orbax checkpoint directory in
