@@ -201,6 +201,18 @@ def shard_params_fsdp(params, mesh: Mesh, min_size: int = 2 ** 16):
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a host batch sharded over the data axis."""
+    """Device-put a host batch sharded over the data axis.
+
+    Single-process: ``batch`` is the full batch.  Multi-process:
+    ``batch`` is this host's LOCAL rows (the per-host pipelines built on
+    ``data.loader.shard_for_host`` yield exactly that) and the rows
+    assemble into one global array across the processes —
+    ``device_put`` would instead demand the GLOBAL batch on every host,
+    which per-host loading cannot provide (verified in a 2-process gloo
+    run, tests/test_multihost.py)."""
     sharding = NamedSharding(mesh, batch_spec())
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
