@@ -82,9 +82,25 @@ _WORKER = textwrap.dedent("""
                       val_batches=val_batches, steps_per_epoch=1,
                       mesh=mesh)
     val = trainer.validate()
+
+    # distributed checkpoint: every process participates in the save
+    # of the GLOBALLY-sharded state, then restores it (orbax uses the
+    # jax.distributed KV store for cross-process coordination)
+    from vit_spoof_detection_pda_tpu.utils.checkpoint import (
+        CheckpointManager)
+    ckpt_dir = sys.argv[3]
+    mgr = CheckpointManager(ckpt_dir)
+    assert mgr.save(1, state, metrics={"val_f1": float(val["f1"])})
+    mgr.wait_until_finished()
+    restored = mgr.restore(state, step=1)
+    mgr.close()
+    leaf0 = float(jax.tree.leaves(restored.params)[0].reshape(-1)[0])
+    want0 = float(jax.tree.leaves(state.params)[0].reshape(-1)[0])
+    assert leaf0 == want0, (leaf0, want0)
+
     print("RESULT " + json.dumps(
         {"pid": pid, "losses": losses_out, "val_f1": val["f1"],
-         "val_auc": val["auc"]}), flush=True)
+         "val_auc": val["auc"], "ckpt_leaf0": leaf0}), flush=True)
 """)
 
 
@@ -108,8 +124,9 @@ def test_two_process_train_step_and_validate(tmp_path):
         + [str(p) for p in sys.path if p])
     # the workers must NOT inherit this pytest process's 8-device flag
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    ckpt_dir = tmp_path / "mh_ckpt"
     procs = [subprocess.Popen(
-        [sys.executable, str(worker), str(i), str(port)],
+        [sys.executable, str(worker), str(i), str(port), str(ckpt_dir)],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True) for i in range(2)]
     outs = []
@@ -131,6 +148,8 @@ def test_two_process_train_step_and_validate(tmp_path):
     # validate()'s broadcast kept the metric decision in lockstep
     assert results[0]["val_f1"] == results[1]["val_f1"]
     assert results[0]["val_auc"] == results[1]["val_auc"]
+    # the distributed checkpoint round-tripped on both processes
+    assert results[0]["ckpt_leaf0"] == results[1]["ckpt_leaf0"]
 
     # and the 2-process run matches the single-process 8-device oracle
     import jax
