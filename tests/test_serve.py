@@ -716,6 +716,44 @@ def test_build_programs_live_threshold(artifacts):
                             interpret=True, temperature=-1.0)
 
 
+def test_loadgen_against_live_server(server):
+    """serve-bench's engine (serve/loadgen.py) drives a real server:
+    raw + jpeg /score and the /score-batch endpoint, zero errors, sane
+    stats, batch-fill computed from the /stats delta."""
+    from vit_spoof_detection_pda_tpu.serve import run_load
+    srv, _m, _v = server
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    for kwargs in ({"mode": "raw"}, {"mode": "jpeg"}, {"batch": 3}):
+        out = run_load(url, clients=4, requests=8, img_size=SIZE,
+                       warmup=2, **kwargs)
+        assert out["errors"] == 0, out
+        assert out["images"] == (24 if kwargs.get("batch") else 8)
+        assert out["img_per_s"] > 0
+        assert out["latency_ms"]["p50"] > 0
+        assert "server_stats" in out and "avg_batch_fill" in out
+
+    with pytest.raises(ValueError, match="mode"):
+        run_load(url, mode="bmp")
+    with pytest.raises(ValueError, match="clients"):
+        run_load(url, clients=0)
+
+
+def test_serve_bench_cli(server, capsys):
+    from vit_spoof_detection_pda_tpu.cli.serve_bench import main
+    srv, _m, _v = server
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    out = main([url, "--clients", "2", "--requests", "4", "--warmup",
+                "1", "--img-size", str(SIZE)])
+    assert out["errors"] == 0 and out["images"] == 4
+    json.loads(capsys.readouterr().out.strip())     # one JSON line
+
+    with pytest.raises(SystemExit):
+        main([url, "--clients", "0"])
+    with pytest.raises(SystemExit):
+        main([url, "--batch", "2", "--image", "/tmp/x.jpg"])
+
+
 def test_serve_cli_validates_args():
     from vit_spoof_detection_pda_tpu.cli.serve import main
     with pytest.raises(SystemExit):

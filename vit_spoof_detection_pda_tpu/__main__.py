@@ -13,6 +13,7 @@ COMMANDS = {
     "export-serving": "vit_spoof_detection_pda_tpu.cli.export_serving",
     "predict": "vit_spoof_detection_pda_tpu.cli.predict",
     "serve": "vit_spoof_detection_pda_tpu.cli.serve",
+    "serve-bench": "vit_spoof_detection_pda_tpu.cli.serve_bench",
     "describe": "vit_spoof_detection_pda_tpu.cli.describe",
 }
 

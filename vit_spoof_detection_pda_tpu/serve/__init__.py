@@ -12,10 +12,12 @@ caller sees single-request latency plus a bounded batching window.
 """
 
 from .batcher import MicroBatcher
+from .loadgen import run_load
 from .server import (build_programs_from_artifacts, build_programs_live,
                      make_server, make_server_from_programs, run_server,
                      serve)
 
 __all__ = ["MicroBatcher", "build_programs_from_artifacts",
            "build_programs_live", "make_server",
-           "make_server_from_programs", "run_server", "serve"]
+           "make_server_from_programs", "run_load", "run_server",
+           "serve"]
