@@ -56,3 +56,20 @@ def test_env_overrides(monkeypatch):
     c = Config().with_env_overrides()
     assert c.optim.num_epochs == 7
     assert c.data.data_root == "/tmp/x"
+
+
+def test_config_cli_prints_resolved_tree(capsys, monkeypatch):
+    """`config` command: full resolved JSON, and --diff shows exactly
+    the file/--set/env deviations from the bare preset."""
+    from vit_spoof_detection_pda_tpu.cli.config_cmd import main
+
+    cfg = main(["--preset", "simple-train"])
+    full = json.loads(capsys.readouterr().out)
+    assert full["optim"]["num_epochs"] == cfg.optim.num_epochs
+
+    monkeypatch.setenv("PAD_model__dropout", "0.3")
+    diff = main(["--preset", "simple-train", "--diff",
+                 "--set", "optim.learning_rate=1e-5"])
+    printed = json.loads(capsys.readouterr().out)
+    assert printed == diff
+    assert diff == {"optim.learning_rate": 1e-5, "model.dropout": 0.3}

@@ -15,6 +15,7 @@ COMMANDS = {
     "serve": "vit_spoof_detection_pda_tpu.cli.serve",
     "serve-bench": "vit_spoof_detection_pda_tpu.cli.serve_bench",
     "describe": "vit_spoof_detection_pda_tpu.cli.describe",
+    "config": "vit_spoof_detection_pda_tpu.cli.config_cmd",
 }
 
 
