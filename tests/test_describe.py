@@ -53,6 +53,13 @@ def test_describe_serving_artifact(tmp_path, capsys):
     with pytest.raises(SystemExit):
         main([str(tmp_path / "art"), "--verify"])
 
+    # a MISSING checksummed file (truncated copy) reports corrupt too,
+    # it does not crash
+    wf.unlink()
+    info = describe_path(str(tmp_path / "art"), verify=True)
+    assert info["checksums_ok"] is False
+    assert info["missing_files"] == ["weights.npz"]
+
 
 def test_describe_orbax_and_torch(tmp_path, capsys):
     torch = pytest.importorskip("torch")

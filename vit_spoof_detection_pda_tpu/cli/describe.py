@@ -28,22 +28,28 @@ _DTYPE_BYTES = {"float32": 4, "bfloat16": 2, "float16": 2, "int8": 1,
 
 
 def _weights_census(spec):
-    """(leaf_count, total_bytes) from an artifact's weights_spec."""
+    """(leaf_count, total_bytes) from an artifact's weights_spec;
+    tolerates a missing/malformed spec (hand-edited meta.json) by
+    counting what it can instead of crashing."""
     leaves, total = 0, 0
     stack = [spec]
     while stack:
         node = stack.pop()
+        if not isinstance(node, dict):
+            continue
         kind = node.get("kind")
         if kind == "leaf":
             leaves += 1
             n = 1
-            for s in node["shape"]:
+            for s in node.get("shape", []):
                 n *= int(s)
-            total += n * _DTYPE_BYTES.get(node["dtype"], 4)
+            total += n * _DTYPE_BYTES.get(node.get("dtype"), 4)
         elif kind == "dict":
-            stack.extend(node["items"].values())
+            stack.extend(node.get("items", {}).values())
         else:
-            stack.extend(node["items"])
+            items = node.get("items", [])
+            stack.extend(items.values() if isinstance(items, dict)
+                         else items)
     return leaves, total
 
 
@@ -70,12 +76,22 @@ def _describe_artifact(path: Path, verify: bool) -> dict:
     }
     if verify:
         import hashlib
-        ok = True
+        ok, missing = True, []
         for fname, want in meta.get("checksums", {}).items():
-            got = hashlib.sha256((path / fname).read_bytes()).hexdigest()
+            try:
+                got = hashlib.sha256(
+                    (path / fname).read_bytes()).hexdigest()
+            except FileNotFoundError:
+                # the truncated-copy scenario the checksums exist for:
+                # a missing file IS a corrupt artifact, not a crash
+                ok = False
+                missing.append(fname)
+                continue
             if got != want:
                 ok = False
         out["checksums_ok"] = ok
+        if missing:
+            out["missing_files"] = missing
     return out
 
 

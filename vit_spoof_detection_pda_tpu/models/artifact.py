@@ -117,7 +117,14 @@ def temper_probs(p, temperature):
     analysis/calibration.py's temperature scaling (fit T on validation
     scores there, bake it into the frozen program here).  Monotone:
     rankings, AUC, and EER are invariant; only probability VALUES move,
-    so a threshold applies on the calibrated scale."""
+    so a threshold applies on the calibrated scale.
+
+    The clip is 1e-7 (vs the f64 fit path's 1e-12) BY NECESSITY: this
+    runs in the frozen program's f32, where ``1 - 1e-12`` rounds to
+    exactly 1.0 and ``log1p(-p)`` would hit -inf — 1e-7 is the tightest
+    clip f32 can express on the upper side.  Saturated scores therefore
+    calibrate slightly differently than the f64 host path; everything
+    in (1e-7, 1-1e-7) agrees."""
     eps = jnp.float32(1e-7)
     p = jnp.clip(p.astype(jnp.float32), eps, 1.0 - eps)
     z = (jnp.log(p) - jnp.log1p(-p)) / jnp.float32(temperature)

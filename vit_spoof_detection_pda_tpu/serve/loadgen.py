@@ -68,6 +68,9 @@ def run_load(url: str, *, mode: str = "raw", clients: int = 8,
         raise ValueError(f"mode must be 'raw' or 'jpeg', got {mode!r}")
     if clients < 1 or requests < 1:
         raise ValueError("clients and requests must be >= 1")
+    if not url.startswith(("http://", "https://")):
+        raise ValueError(f"url needs a scheme (http://host:port), "
+                         f"got {url!r}")
     rng = np.random.default_rng(0)
     if batch is not None:
         if batch < 1:
@@ -89,35 +92,47 @@ def run_load(url: str, *, mode: str = "raw", clients: int = 8,
             out = _post(url, path, body, ctype, timeout)
             n = out.get("count", 1)
         except (urllib.error.URLError, urllib.error.HTTPError,
-                OSError, json.JSONDecodeError) as e:
+                OSError, ValueError) as e:
+            # ValueError covers malformed-URL urlopen failures AND
+            # json decode errors (JSONDecodeError subclasses it)
             errors.append(repr(e))
             return 0
         latencies.append((time.monotonic() - t0) * 1e3)
         return n
 
-    try:
-        stats_before = _get(url, "/stats", timeout)
-    except Exception:
-        stats_before = None
-
     with ThreadPoolExecutor(clients) as pool:
         list(pool.map(one, range(min(warmup, requests))))
     latencies.clear()
     errors.clear()
+    # sample /stats AFTER the warmup pool drains so the batch-fill
+    # delta covers only the measured run
+    try:
+        stats_before = _get(url, "/stats", timeout)
+    except Exception:
+        stats_before = None
     t0 = time.monotonic()
     with ThreadPoolExecutor(clients) as pool:
         counts = list(pool.map(one, range(requests)))
     wall = time.monotonic() - t0
     n_img = int(sum(counts))
 
-    lat = np.asarray(latencies) if latencies else np.asarray([0.0])
+    if batch:
+        eff_mode = f"batch{batch}"
+    elif image_path is not None:
+        # file bytes always take the server-side decode ingest path,
+        # whatever `mode` asked for — label what was measured
+        eff_mode = "file"
+    else:
+        eff_mode = mode
+    lat = np.asarray(latencies)
     out = {
         "url": url, "endpoint": path,
-        "mode": f"batch{batch}" if batch else mode,
+        "mode": eff_mode,
         "clients": clients, "requests": requests, "images": n_img,
         "wall_s": round(wall, 3),
         "img_per_s": round(n_img / wall, 1) if wall > 0 else None,
-        "latency_ms": {
+        # None, not 0.0: an all-errors run must not read as 0 ms latency
+        "latency_ms": None if not latencies else {
             "p50": round(float(np.percentile(lat, 50)), 1),
             "p95": round(float(np.percentile(lat, 95)), 1),
             "p99": round(float(np.percentile(lat, 99)), 1),

@@ -388,9 +388,11 @@ def build_programs_live(module, variables, *,
         def call(batch, fn=fn):
             prob1 = np.asarray(fn(batch), np.float32)
             if temperature is not None:
-                p = np.clip(prob1.astype(np.float64), 1e-7, 1 - 1e-7)
-                z = (np.log(p) - np.log1p(-p)) / float(temperature)
-                prob1 = (1.0 / (1.0 + np.exp(-z))).astype(np.float32)
+                # the EXACT transform fit_temperature optimized (f64,
+                # analysis/calibration.py) — not a reimplementation
+                from ..analysis.calibration import apply_temperature
+                prob1 = apply_temperature(prob1, temperature).astype(
+                    np.float32)
             return {"prob1": prob1,
                     "pred": (prob1 > threshold).astype(np.int32)}
 
