@@ -187,12 +187,19 @@ class DataPipeline:
         return epoch_order(len(self.records), epoch, self.seed,
                            self.shuffle)
 
-    def batches(self, epoch: int = 0) -> Iterator[dict]:
+    def batches(self, epoch: int = 0, *, skip: int = 0) -> Iterator[dict]:
         """Yield {"image": uint8 [B,S,S,3], "label": int32 [B],
-        "index": int64 [B]} with background decoding."""
+        "index": int64 [B]} with background decoding.
+
+        ``skip`` drops the first ``skip`` batches of the epoch BEFORE
+        decode (mid-epoch resume: the per-epoch order is seeded, so the
+        remaining batches are exactly the ones an uninterrupted epoch
+        would have served after that point)."""
+        if skip < 0:
+            raise ValueError(f"skip must be >= 0, got {skip}")
         order = self._epoch_order(epoch)
         limit = epoch_limit(len(order), self.batch_size, self.drop_last)
-        starts = list(range(0, limit, self.batch_size))
+        starts = list(range(0, limit, self.batch_size))[skip:]
         if not starts:
             return
 

@@ -282,14 +282,18 @@ class ShardStore:
 
     def batches(self, batch_size: int, *, epoch: int = 0,
                 shuffle: bool = True, seed: int = 42,
-                drop_last: bool = True) -> Iterator[dict]:
+                drop_last: bool = True, skip: int = 0) -> Iterator[dict]:
         """Yield {"image": uint8 [B,S,S,3], "label": int32 [B],
         "index": int64 [B]} — the DataPipeline batch contract, served
-        from the memmaps (same seeded per-epoch shuffle semantics)."""
+        from the memmaps (same seeded per-epoch shuffle semantics).
+        ``skip`` drops the first ``skip`` batches (mid-epoch resume,
+        same contract as DataPipeline.batches)."""
         from .loader import epoch_limit, epoch_order
+        if skip < 0:
+            raise ValueError(f"skip must be >= 0, got {skip}")
         order = epoch_order(len(self), epoch, seed, shuffle)
         limit = epoch_limit(len(order), batch_size, drop_last)
-        for i in range(0, limit, batch_size):
+        for i in range(skip * batch_size, limit, batch_size):
             idx = order[i:i + batch_size]
             yield {"image": self.gather(idx), "label": self.labels[idx],
                    "index": idx.astype(np.int64)}

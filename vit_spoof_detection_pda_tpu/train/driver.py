@@ -131,8 +131,8 @@ def _make_online_data(cfg: Config):
         chains[g] = CHAINS[g]() + orig_chain
     preps = {g: make_prep_fn(cfg, chain) for g, chain in chains.items()}
 
-    def train_batches(epoch):
-        for g, batch in data.batches(epoch):
+    def train_batches(epoch, skip=0):
+        for g, batch in data.batches(epoch, skip=skip):
             yield {"image": batch["image"], "label": batch["label"],
                    "group": g}
 
@@ -157,9 +157,10 @@ def _run_training(cfg: Config, train_batches, val_recs, steps, counts,
         steps = min(steps, max_steps_per_epoch)
         inner = train_batches
 
-        def train_batches(epoch):                     # noqa: F811
-            for i, item in enumerate(inner(epoch)):
-                if i >= max_steps_per_epoch:
+        def train_batches(epoch, skip=0):             # noqa: F811
+            budget = max(0, max_steps_per_epoch - skip)
+            for i, item in enumerate(inner(epoch, skip=skip)):
+                if i >= budget:
                     break
                 yield item
 
@@ -218,6 +219,7 @@ def _run_training(cfg: Config, train_batches, val_recs, steps, counts,
         variables=variables,
         mesh=mesh, checkpoints=ckpt, batch_prep=batch_prep)
     start_epoch = 0
+    start_batch = 0
     if getattr(cfg.checkpoint, "resume", False):
         latest = ckpt.latest_step()
         if latest is None:
@@ -225,16 +227,22 @@ def _run_training(cfg: Config, train_batches, val_recs, steps, counts,
                      cfg.checkpoint.save_dir)
         else:
             # full-state restore: params, optimizer moments, schedule
-            # position, PRNG key.  The epoch loop skips the epochs the
-            # step count says are complete (a mid-epoch preemption
-            # checkpoint re-runs its partial epoch — standard practice;
-            # the optimizer state stays exact).
+            # position, PRNG key.  The epoch loop resumes EXACTLY where
+            # the step count says: completed epochs are skipped, and a
+            # mid-epoch preemption checkpoint resumes at its batch
+            # position within the epoch (the per-epoch shuffle is
+            # seeded, so the remaining batches are exactly the ones the
+            # uninterrupted run would have trained — no sample is seen
+            # twice and the schedule horizon stays intact).
             trainer.state = ckpt.restore(trainer.state)
-            start_epoch = min(int(trainer.state.step) // max(steps, 1),
-                              cfg.optim.num_epochs)
-            log.info("resumed from step %d (%s) -> starting at epoch %d",
-                     latest, cfg.checkpoint.save_dir, start_epoch)
-    best = trainer.fit(start_epoch=start_epoch)
+            step = int(trainer.state.step)
+            start_epoch = min(step // max(steps, 1), cfg.optim.num_epochs)
+            if start_epoch < cfg.optim.num_epochs:
+                start_batch = step % max(steps, 1)
+            log.info("resumed from step %d (%s) -> starting at epoch %d"
+                     " batch %d", latest, cfg.checkpoint.save_dir,
+                     start_epoch, start_batch)
+    best = trainer.fit(start_epoch=start_epoch, start_batch=start_batch)
     log.info("training done: best %s", best)
     return best, trainer
 
@@ -281,10 +289,11 @@ def train_from_config(cfg: Config, *, mesh=None, records=None,
         steps = store.steps_per_epoch(cfg.data.batch_size,
                                       cfg.data.drop_last_train)
 
-        def train_batches(epoch):
+        def train_batches(epoch, skip=0):
             for b in store.batches(cfg.data.batch_size, epoch=epoch,
                                    shuffle=True, seed=cfg.seed,
-                                   drop_last=cfg.data.drop_last_train):
+                                   drop_last=cfg.data.drop_last_train,
+                                   skip=skip):
                 yield {"image": b["image"], "label": b["label"]}
     else:
         train_pipe = DataPipeline(
@@ -296,8 +305,8 @@ def train_from_config(cfg: Config, *, mesh=None, records=None,
             seed=cfg.seed)
         steps = train_pipe.steps_per_epoch
 
-        def train_batches(epoch):                         # noqa: F811
-            for b in train_pipe.batches(epoch):
+        def train_batches(epoch, skip=0):                 # noqa: F811
+            for b in train_pipe.batches(epoch, skip=skip):
                 yield {"image": b["image"], "label": b["label"]}
 
     chain = _train_chain(cfg) if aug_on else []

@@ -89,15 +89,25 @@ class OnlineAugmentedData:
     def steps_per_epoch(self) -> int:
         return sum(p.steps_per_epoch for p in self.pipes.values())
 
-    def batches(self, epoch: int) -> Iterator[tuple]:
+    def batches(self, epoch: int, *, skip: int = 0) -> Iterator[tuple]:
         """Yield (group, {"image": u8, "label": i32}) in a seeded
-        interleaved order."""
+        interleaved order.
+
+        ``skip`` drops the first ``skip`` interleaved batches (mid-epoch
+        resume): the group sequence is seeded per epoch, so the skipped
+        prefix splits into exact per-group batch counts that each pipe
+        skips pre-decode."""
+        if skip < 0:
+            raise ValueError(f"skip must be >= 0, got {skip}")
         order: List[str] = []
         for g, p in self.pipes.items():
             order.extend([g] * p.steps_per_epoch)
         np.random.default_rng(self.seed + 977 * epoch).shuffle(order)
-        iters = {g: p.batches(epoch) for g, p in self.pipes.items()}
-        for g in order:
+        skip = min(skip, len(order))
+        consumed = {g: order[:skip].count(g) for g in self.pipes}
+        iters = {g: p.batches(epoch, skip=consumed[g])
+                 for g, p in self.pipes.items()}
+        for g in order[skip:]:
             try:
                 yield g, next(iters[g])
             except StopIteration:  # pragma: no cover - drop_last guards

@@ -11,6 +11,9 @@ and logs.
 Data contract: ``train_batches(epoch) -> iterator of {"image": [B,H,W,3]
 float32 (normalized), "label": [B] int32}``; ``val_batches() ->`` same.
 The data layer provides these; synthetic iterators work for tests.
+Sources may additionally accept ``train_batches(epoch, skip=n)`` to
+reposition ``n`` batches into the epoch before decode (exact mid-epoch
+resume); without it the Trainer discards the prefix host-side.
 """
 
 from __future__ import annotations
@@ -244,11 +247,14 @@ class Trainer:
             np.asarray(local, np.bool_))
         return bool(np.any(flags))
 
-    def fit(self, start_epoch: int = 0):
+    def fit(self, start_epoch: int = 0, start_batch: int = 0):
         """Run the training lifecycle.  ``start_epoch`` > 0 resumes the
         epoch loop mid-horizon (the optimizer/schedule position lives
         in the restored opt_state; this only skips already-trained
-        epochs' data passes)."""
+        epochs' data passes).  ``start_batch`` > 0 additionally resumes
+        the FIRST epoch run at that batch position (exact mid-epoch
+        resume after preemption: per-epoch shuffles are seeded, so the
+        skipped prefix is exactly the set of batches already trained)."""
         cfg = self.config
         stopper = EarlyStopping(cfg.early_stop.patience,
                                 cfg.early_stop.min_delta,
@@ -279,16 +285,16 @@ class Trainer:
         try:
             with fit_ctx:
                 return self._fit_loop(cfg, stopper, best, profile_trace,
-                                      start_epoch)
+                                      start_epoch, start_batch)
         finally:
             if hook:
                 signal.signal(signal.SIGTERM, prev_handler)
 
     def _fit_loop(self, cfg, stopper, best, profile_trace,
-                  start_epoch=0):
+                  start_epoch=0, start_batch=0):
         try:
             return self._fit_epochs(cfg, stopper, best, profile_trace,
-                                    start_epoch)
+                                    start_epoch, start_batch)
         except _Preempted:
             if self.checkpoints:
                 step = int(self.state.step)
@@ -326,7 +332,7 @@ class Trainer:
             return {**best, "preempted": True}
 
     def _fit_epochs(self, cfg, stopper, best, profile_trace,
-                    start_epoch=0):
+                    start_epoch=0, start_batch=0):
         for epoch in range(start_epoch, cfg.optim.num_epochs):
             if self._preemption_agreed():
                 raise _Preempted
@@ -334,7 +340,10 @@ class Trainer:
             # capture a profiler trace of the first epoch when configured
             with profile_trace(cfg.telemetry.profile_dir
                                if epoch == start_epoch else None):
-                train_metrics = self.train_epoch(epoch)
+                train_metrics = self.train_epoch(
+                    epoch,
+                    skip_batches=start_batch if epoch == start_epoch
+                    else 0)
             val_metrics = self.validate(epoch=epoch)
             epoch_summary = {
                 "epoch": epoch,
@@ -361,9 +370,15 @@ class Trainer:
                 # threshold that was validated on the EMA shadow
                 ckpt_metrics["ema_decay"] = float(cfg.optim.ema_decay)
             if val_f1 > best["val_f1"]:
-                best = {"val_f1": val_f1, "epoch": epoch,
-                        **{k: float(v) for k, v in val_metrics.items()
-                           if np.isscalar(v) or getattr(v, "ndim", 1) == 0}}
+                # in-place: _fit_loop's preemption handler reads THIS
+                # dict — rebinding the local name would make a preempted
+                # return (and the preemption checkpoint's metrics)
+                # report the stale initial {-1, -1} forever
+                best.clear()
+                best.update({"val_f1": val_f1, "epoch": epoch,
+                             **{k: float(v) for k, v in val_metrics.items()
+                                if np.isscalar(v)
+                                or getattr(v, "ndim", 1) == 0}})
                 if self.checkpoints:
                     self.checkpoints.save(
                         int(self.state.step), self.state,
@@ -388,7 +403,30 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
-    def train_epoch(self, epoch: int):
+    def _epoch_batches(self, epoch: int, skip: int):
+        """The epoch's batch iterator, positioned ``skip`` batches in.
+
+        Data sources that accept ``skip=`` (DataPipeline / ShardStore /
+        OnlineAugmentedData and the driver's wrappers) reposition BEFORE
+        decode; anything else falls back to host-side discard of the
+        prefix — slower but identical batches, since per-epoch orders
+        are seeded."""
+        if not skip:
+            return self.train_batches(epoch)
+        try:
+            return self.train_batches(epoch, skip=skip)
+        except TypeError:
+            log.warning(
+                "train_batches has no skip= support — discarding %d "
+                "already-trained batches host-side (decode cost only)",
+                skip)
+            it = iter(self.train_batches(epoch))
+            for _ in range(skip):
+                if next(it, None) is None:
+                    break
+            return it
+
+    def train_epoch(self, epoch: int, skip_batches: int = 0):
         from ..utils.profiling import StepTimer
 
         meters = {"loss": 0.0, "accuracy": 0.0}
@@ -400,7 +438,8 @@ class Trainer:
         # loop exists to avoid); one fetch at epoch start is free (queue
         # empty) and micro-steps advance by exactly 1 per batch
         step0 = int(self.state.step)
-        for i, batch in enumerate(self.train_batches(epoch)):
+        for i, batch in enumerate(self._epoch_batches(epoch,
+                                                      skip_batches)):
             if self._preemption_agreed():
                 raise _Preempted     # safe point: between enqueued steps
             batch = dict(batch)
