@@ -73,7 +73,9 @@ def binary_metrics_from_counts(tp, tn, fp, fn):
     total = tp + tn + fp + fn
     precision = _safe_div(tp, tp + fp)
     recall = _safe_div(tp, tp + fn)
-    f1 = _safe_div(2 * precision * recall, precision + recall)
+    # sklearn's count form (2tp / (2tp+fp+fn)) — rounds like the oracle
+    # where 2PR/(P+R) can differ in the last ulp (metrics/parity.py)
+    f1 = _safe_div(2 * tp, 2 * tp + fp + fn)
     far = _safe_div(fp, fp + tn)
     frr = _safe_div(fn, fn + tp)
     return {

@@ -99,14 +99,20 @@ def _confusion_counts(y_true, y_pred):
 
 
 def _prf_binary(tp, fp, fn):
-    """precision/recall/f1 with sklearn zero_division=0 semantics."""
+    """precision/recall/f1 with sklearn zero_division=0 semantics.
+
+    f1 uses sklearn's count form ``2*tp / (2*tp + fp + fn)`` (its
+    precision_recall_fscore_support computes ``(1+b^2)*tp_sum /
+    (b^2*true_sum + pred_sum)``), NOT the algebraically-equal
+    ``2PR/(P+R)`` — the two round differently in the last float64 ulp
+    (e.g. tp=1, fp=4, fn=0: 0.33333333333333337 vs sklearn's
+    0.3333333333333333; found by hypothesis), and both reference call
+    sites go through sklearn (test.py:231, evaluate_all_models.py:89).
+    """
     precision = tp / (tp + fp) if (tp + fp) > 0 else 0.0
     recall = tp / (tp + fn) if (tp + fn) > 0 else 0.0
-    f1 = (
-        2 * precision * recall / (precision + recall)
-        if (precision + recall) > 0
-        else 0.0
-    )
+    denom = float(2 * tp + fp + fn)
+    f1 = 2.0 * tp / denom if denom > 0 else 0.0
     return precision, recall, f1
 
 
