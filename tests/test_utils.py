@@ -146,3 +146,20 @@ def test_restore_diagnoses_pipeline_layout_mismatch(tmp_path):
     with pytest.raises(ValueError, match="packed pipeline parameter "):
         mgr2.restore(state, step=1)
     mgr2.close()
+
+
+def test_device_memory_probe_graceful():
+    """device_memory_gb returns a float (backends with memory_stats) or
+    None — never raises — and latches unavailable backends so the log
+    path costs nothing afterwards (the trainer emits
+    train/device_mem_gb conditionally; reference gpu_mem postfix,
+    train_advanced.py:348-352)."""
+    from vit_spoof_detection_pda_tpu.utils import profiling
+
+    first = profiling.device_memory_gb()
+    assert first is None or (isinstance(first, float) and first >= 0.0)
+    second = profiling.device_memory_gb()
+    if first is None:
+        assert profiling._MEM_UNAVAILABLE and second is None
+    else:
+        assert isinstance(second, float)

@@ -214,6 +214,10 @@ def benchmark_train_step(module=None, *, batch_size: int = 128,
         # convention: dL/dx and dL/dW each re-run every GEMM)
         out["achieved_tflops"] = float(
             f"{3 * fl * out['images_per_second'] / 1e12:.3g}")
+    from ..utils.profiling import device_memory_gb
+    mem = device_memory_gb()
+    if mem is not None:
+        out["device_mem_gb"] = round(mem, 3)
     return out
 
 

@@ -427,7 +427,7 @@ class Trainer:
             return it
 
     def train_epoch(self, epoch: int, skip_batches: int = 0):
-        from ..utils.profiling import StepTimer
+        from ..utils.profiling import StepTimer, device_memory_gb
 
         meters = {"loss": 0.0, "accuracy": 0.0}
         count = 0
@@ -481,6 +481,12 @@ class Trainer:
                     record["train/grad_norm"] = float(prev["grad_norm"])
                 if rate:
                     record["train/steps_per_sec"] = rate
+                # reference parity: per-step gpu_mem tqdm postfix
+                # (train_advanced.py:348-352); sampled at log cadence
+                # only (may round-trip on relayed backends)
+                mem = device_memory_gb()
+                if mem is not None:
+                    record["train/device_mem_gb"] = mem
                 self.logger.log(record, step=step)
         if pending is not None:
             self._accumulate(meters, pending)

@@ -40,6 +40,37 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
+_MEM_UNAVAILABLE = False
+
+
+def device_memory_gb(device=None) -> Optional[float]:
+    """Current device HBM in use, in GB — the TPU equivalent of the
+    reference's per-step ``gpu_mem`` tqdm postfix
+    (train_advanced.py:348-352, ``torch.cuda.memory_allocated()``).
+
+    Returns None (and stops trying) where the backend exposes no
+    ``memory_stats`` (CPU; some relay transports) — callers can emit the
+    key conditionally.  The stats call is host-local on real TPUs but
+    may round-trip on relayed backends, so call it at log cadence, not
+    per step.
+    """
+    global _MEM_UNAVAILABLE
+    if _MEM_UNAVAILABLE:
+        return None
+    import jax
+
+    try:
+        dev = device or jax.local_devices()[0]
+        stats = dev.memory_stats()
+        if not stats or "bytes_in_use" not in stats:
+            raise AttributeError("no bytes_in_use")
+        return float(stats["bytes_in_use"]) / 1e9
+    except Exception:  # noqa: BLE001 - any backend gap disables the probe
+        _MEM_UNAVAILABLE = True
+        log.debug("device memory stats unavailable on this backend")
+        return None
+
+
 class StepTimer:
     """Rolling step timer: feeds steps/sec into the metric stream without
     device syncs (wall-clock between host-side step submissions)."""
