@@ -163,3 +163,26 @@ def test_device_memory_probe_graceful():
         assert profiling._MEM_UNAVAILABLE and second is None
     else:
         assert isinstance(second, float)
+
+
+def test_cli_logging_survives_absl_root_handler():
+    """Importing jax pulls in absl, whose root handler (WARNING) makes a
+    plain basicConfig a silent no-op — every CLI INFO line (epoch
+    summaries, resume position) vanished.  setup_logging(force=True)
+    must win even with the absl handler pre-installed.  Runs in a
+    subprocess: force=True rebinding the root handler to a pytest
+    capture buffer would poison later tests."""
+    import subprocess
+    import sys
+
+    code = (
+        "import logging, absl.logging as al;"
+        "logging.root.addHandler(al.get_absl_handler());"
+        "from vit_spoof_detection_pda_tpu.cli.common import setup_logging;"
+        "setup_logging();"
+        "logging.getLogger('pad.smoke').info('INFO-MARKER-42')"
+    )
+    out = subprocess.run([sys.executable, "-c", code],
+                         capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr
+    assert "INFO-MARKER-42" in out.stderr + out.stdout

@@ -62,9 +62,14 @@ def validate_fastserve(args):
 
 
 def setup_logging(level=logging.INFO):
+    # force=True: importing jax pulls in absl, which installs its own
+    # root handler at WARNING — without force, basicConfig is a no-op
+    # and every INFO line the CLIs rely on (epoch summaries, resume
+    # position, augmentation stats) is silently dropped
     logging.basicConfig(
         level=level,
-        format="%(asctime)s - %(name)s - %(levelname)s - %(message)s")
+        format="%(asctime)s - %(name)s - %(levelname)s - %(message)s",
+        force=True)
 
 
 def parse_threshold(parser: argparse.ArgumentParser, raw):
