@@ -16,6 +16,7 @@ COMMANDS = {
     "serve-bench": "vit_spoof_detection_pda_tpu.cli.serve_bench",
     "describe": "vit_spoof_detection_pda_tpu.cli.describe",
     "config": "vit_spoof_detection_pda_tpu.cli.config_cmd",
+    "doctor": "vit_spoof_detection_pda_tpu.cli.doctor",
 }
 
 
