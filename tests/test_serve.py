@@ -783,3 +783,43 @@ def test_serve_cli_passes_through(monkeypatch):
     assert seen == {"dirs": ["./a", "./b"], "host": "127.0.0.1",
                     "port": 0, "max_batch": 8, "max_wait_ms": 1.5,
                     "warmup": False}
+
+
+def test_prometheus_text_renders_stats():
+    from vit_spoof_detection_pda_tpu.serve.server import prometheus_text
+
+    stats = {"requests": 7, "batches": 3, "images": 8, "padded_rows": 1,
+             "errors": 0, "avg_batch": 8 / 3,
+             "latency_ms": {"p50": 1.5, "p95": 2.5, "p99": 3.0,
+                            "max": 3.25}}
+    text = prometheus_text(stats, uptime_s=12.34)
+    assert "pad_requests_total 7" in text
+    assert "pad_padded_rows_total 1" in text
+    assert "pad_batch_fill_avg 2.667" in text
+    assert 'pad_latency_milliseconds{quantile="0.95"} 2.5' in text
+    assert "pad_latency_milliseconds_max 3.25" in text
+    assert "# TYPE pad_requests_total counter" in text
+    # no latency block before any traffic
+    empty = prometheus_text({"requests": 0, "batches": 0, "images": 0,
+                             "padded_rows": 0, "errors": 0,
+                             "avg_batch": 0.0}, uptime_s=1.0)
+    assert "latency" not in empty
+    assert "pad_requests_total 0" in empty
+
+
+def test_http_metrics_endpoint(server):
+    """GET /metrics serves the Prometheus view of /stats after real
+    traffic, with the exposition content type."""
+    srv, m, variables = server
+    _post(srv.server_port, "/score", _jpeg_bytes(0.3))
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.server_port}/metrics")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/plain")
+        text = r.read().decode()
+    _, stats = _get(srv.server_port, "/stats")
+    assert f"pad_requests_total {stats['requests']}" in text
+    assert "pad_uptime_seconds" in text
+    if "latency_ms" in stats:
+        assert 'pad_latency_milliseconds{quantile="0.5"}' in text

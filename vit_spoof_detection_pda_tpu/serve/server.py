@@ -16,6 +16,8 @@ owns the device):
   overhead for bulk/video callers.
 - ``GET /healthz`` — liveness + artifact metadata.
 - ``GET /stats`` — batcher counters and latency percentiles.
+- ``GET /metrics`` — the same counters in Prometheus exposition format
+  (text/plain version 0.0.4) for standard scrapers/alerting.
 - ``POST /admin/reload`` — zero-downtime program-table swap from the
   server's source (re-read artifact dirs / reload the live checkpoint):
   the replacement warms before taking traffic, the old dispatcher
@@ -45,6 +47,45 @@ from .batcher import MicroBatcher
 log = logging.getLogger(__name__)
 
 _MAX_BODY = 32 * 1024 * 1024          # 32 MB: generous for one image
+
+
+def prometheus_text(stats: dict, *, uptime_s: float,
+                    prefix: str = "pad") -> str:
+    """Render the batcher's stats dict in Prometheus exposition format
+    (text version 0.0.4) — counters as *_total, the latency
+    percentiles as a quantile-labeled summary-style gauge.  Pure
+    function of the ``/stats`` payload so both endpoints always agree.
+    """
+    lines = []
+
+    def metric(name, mtype, help_, value, labels=""):
+        lines.append(f"# HELP {prefix}_{name} {help_}")
+        lines.append(f"# TYPE {prefix}_{name} {mtype}")
+        lines.append(f"{prefix}_{name}{labels} {value}")
+
+    metric("uptime_seconds", "gauge", "Seconds since server start.",
+           round(uptime_s, 1))
+    for key, help_ in (
+            ("requests", "Scored images accepted across endpoints."),
+            ("batches", "Device dispatches."),
+            ("images", "Image rows dispatched (incl. padding)."),
+            ("padded_rows", "Padding rows dispatched (wasted device "
+                            "work; 0 under the zero-pad planner)."),
+            ("errors", "Requests failed inside the dispatcher.")):
+        metric(f"{key}_total", "counter", help_, int(stats.get(key, 0)))
+    metric("batch_fill_avg", "gauge",
+           "Mean images per device dispatch.",
+           round(float(stats.get("avg_batch", 0.0)), 3))
+    lat = stats.get("latency_ms")
+    if lat:
+        name = f"{prefix}_latency_milliseconds"
+        lines.append(f"# HELP {name} Submit-to-result latency "
+                     "(dispatcher queue + device).")
+        lines.append(f"# TYPE {name} summary")
+        for q, key in (("0.5", "p50"), ("0.95", "p95"), ("0.99", "p99")):
+            lines.append(f'{name}{{quantile="{q}"}} {lat[key]}')
+        lines.append(f"{name}_max {lat['max']}")
+    return "\n".join(lines) + "\n"
 _MAX_BATCH_FRAMES = 1024              # /score-batch cap (~154 MB at 224²)
 
 
@@ -135,6 +176,16 @@ class _Handler(BaseHTTPRequestHandler):
                 "artifacts": srv.metas})
         elif self.path == "/stats":
             self._send_json(200, srv.batcher.stats())
+        elif self.path == "/metrics":
+            body = prometheus_text(
+                srv.batcher.stats(),
+                uptime_s=time.monotonic() - srv.started).encode()
+            self.send_response(200)
+            self.send_header("Content-Type",
+                             "text/plain; version=0.0.4; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
         else:
             self._send_json(404, {"error": f"unknown path {self.path}"})
 
