@@ -342,3 +342,48 @@ def test_registry_drops_mismatched_checkpoint_tensors(tmp_path, caplog):
         R.MODEL_REGISTRY["Base_ViT_Pretrained"] = old
     assert variables["params"]["classifier"]["kernel"].shape == (768, 2)
     assert any("mismatched shapes" in r.message for r in caplog.records)
+
+
+def test_variables_from_orbax_strict_roundtrip(tmp_path):
+    """Every eval surface accepts a Trainer save_dir directly:
+    variables_from_orbax restores the exact params and hard-rejects
+    wrong architectures (our own format -> strict, never the
+    reference's strict=False tolerance)."""
+    import flax.linen as nn
+    import numpy as np
+    import pytest
+
+    from vit_spoof_detection_pda_tpu.models.registry import (
+        variables_from_orbax)
+    from vit_spoof_detection_pda_tpu.train.state import (
+        create_train_state, make_optimizer)
+    from vit_spoof_detection_pda_tpu.utils.checkpoint import (
+        CheckpointManager)
+
+    class Tiny(nn.Module):
+        width: int = 8
+
+        @nn.compact
+        def __call__(self, x, *, train: bool = False):
+            x = nn.Conv(self.width, (3, 3), strides=(2, 2))(x)
+            return nn.Dense(2)(jnp.mean(x, axis=(1, 2)))
+
+    module = Tiny()
+    state = create_train_state(module, make_optimizer(1e-3),
+                               jax.random.PRNGKey(0),
+                               input_shape=(1, 16, 16, 3))
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mgr.save(3, state, force=True)
+    mgr.close()
+
+    variables, step = variables_from_orbax(module, str(tmp_path / "ck"),
+                                           img_size=16)
+    assert step == 3
+    for a, b in zip(jax.tree.leaves(variables["params"]),
+                    jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # wrong width -> shape mismatch must raise, not partially load
+    with pytest.raises(ValueError, match="wrong architecture"):
+        variables_from_orbax(Tiny(width=16), str(tmp_path / "ck"),
+                             img_size=16)

@@ -119,6 +119,17 @@ def build_model(name: str, *, checkpoint_path: Optional[str] = None,
     module = entry.build(dropout=dropout, dtype=dtype)
 
     path = checkpoint_path if entry.weights == "checkpoint" else pretrained_path
+    if path and os.path.isdir(path):
+        # Orbax checkpoint directory written by our own Trainer: native
+        # format, no torch conversion — so every eval/export surface
+        # (test, evaluate-all --checkpoint, benchmark) accepts a
+        # training run's save_dir directly.  Strict: our own format for
+        # this entry must match exactly; a mismatch is a wrong
+        # architecture, never a silent partial load.
+        variables, step = variables_from_orbax(module, path)
+        log.info("loaded %s orbax checkpoint step %d from %s",
+                 name, step, path)
+        return module, variables
     if path and os.path.exists(path) and entry.weight_converter:
         sd = _load_state_dict(path)
         try:
@@ -167,6 +178,43 @@ def build_model(name: str, *, checkpoint_path: Optional[str] = None,
         dummy = jnp.zeros((1, 224, 224, 3), jnp.float32)
         variables = module.init(rng, dummy)
     return module, variables
+
+
+def variables_from_orbax(module, directory: str, *, step=None,
+                         ema: bool = False, img_size: int = 224):
+    """Load an Orbax checkpoint directory as ``module``'s variables,
+    validating tree structure AND every leaf shape against the module
+    (jax.eval_shape — no real init).  Raises ValueError on any
+    disagreement: this is the framework's own format for a known
+    module, so a mismatch means the wrong architecture/entry, and the
+    reference's strict=False tolerance must NOT apply."""
+    from ..utils.checkpoint import load_checkpoint_bundle
+
+    variables, step, _metrics = load_checkpoint_bundle(
+        directory, step, ema=ema)
+    want = jax.eval_shape(lambda: module.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, img_size, img_size, 3),
+                                         jnp.float32)))
+    mismatched = []
+
+    def _chk(kp, got, w):
+        if tuple(got.shape) != tuple(w.shape):
+            mismatched.append("/".join(
+                str(getattr(k, "key", k)) for k in kp)
+                + f": {tuple(got.shape)} vs {tuple(w.shape)}")
+    try:
+        jax.tree_util.tree_map_with_path(_chk, variables, dict(want))
+    except ValueError as e:
+        raise ValueError(
+            f"orbax checkpoint at {directory} does not have this "
+            f"module's parameter tree structure — wrong architecture "
+            f"or registry entry ({e})") from None
+    if mismatched:
+        raise ValueError(
+            f"orbax checkpoint at {directory} mismatches the module's "
+            f"shapes ({len(mismatched)} tensors, e.g. "
+            f"{mismatched[:3]}) — wrong architecture for this entry")
+    return jax.tree.map(jnp.asarray, variables), int(step)
 
 
 def _drop_mismatched(variables, module, seed):
