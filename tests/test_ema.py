@@ -227,3 +227,41 @@ def test_validate_uses_ema_weights(tmp_path):
     after = trainer.validate()
     assert after["auc"] == pytest.approx(before["auc"])
     assert after["loss"] == pytest.approx(before["loss"], rel=1e-5)
+
+
+def test_variables_from_orbax_ema(tmp_path):
+    """The eval surfaces' orbax loader hands back the shadow with
+    ema=True (and the raw iterate without), so test/evaluate-all --ema
+    score the weights that would deploy."""
+    from vit_spoof_detection_pda_tpu.models.registry import (
+        variables_from_orbax)
+    from vit_spoof_detection_pda_tpu.utils.checkpoint import (
+        CheckpointManager)
+
+    tx = make_optimizer(5e-2, ema_decay=0.9)
+    state = create_train_state(_Tiny(), tx, jax.random.PRNGKey(0),
+                               input_shape=(1, 16, 16, 3))
+    batch = {"image": jnp.ones((4, 16, 16, 3), jnp.float32),
+             "label": jnp.array([0, 1, 0, 1], jnp.int32)}
+    from vit_spoof_detection_pda_tpu.ops import losses
+    from vit_spoof_detection_pda_tpu.train.step import make_train_step
+    step_fn = make_train_step(losses.make_loss_fn("ce"),
+                              has_batch_stats=False)
+    for _ in range(3):
+        state, _ = step_fn(state, batch)
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    assert mgr.save(3, state, metrics={})
+    mgr.close()
+
+    module = _Tiny()
+    raw, step = variables_from_orbax(module, str(tmp_path / "ck"),
+                                     img_size=16)
+    shadow, _ = variables_from_orbax(module, str(tmp_path / "ck"),
+                                     ema=True, img_size=16)
+    assert step == 3
+    k_raw = np.asarray(jax.tree.leaves(raw["params"])[0])
+    k_ema = np.asarray(jax.tree.leaves(shadow["params"])[0])
+    assert not np.array_equal(k_raw, k_ema)
+    live = find_ema_params(state.opt_state)
+    np.testing.assert_allclose(
+        k_ema, np.asarray(jax.tree.leaves(live)[0]), rtol=1e-6)

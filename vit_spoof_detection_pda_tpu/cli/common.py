@@ -62,14 +62,25 @@ def validate_fastserve(args):
 
 
 def setup_logging(level=logging.INFO):
-    # force=True: importing jax pulls in absl, which installs its own
-    # root handler at WARNING — without force, basicConfig is a no-op
-    # and every INFO line the CLIs rely on (epoch summaries, resume
-    # position, augmentation stats) is silently dropped
+    # Importing jax pulls in absl, which installs its own root handler
+    # and leaves the root level at WARNING — a plain basicConfig is then
+    # a silent no-op and every INFO line the CLIs rely on (epoch
+    # summaries, resume position, augmentation stats) is dropped.
+    # Remove ONLY absl's handler (its loggers still propagate to ours),
+    # keeping any other pre-installed handlers (pytest's caplog, user
+    # sinks) — force=True would wipe those too.
+    root = logging.getLogger()
+    try:
+        import absl.logging as _absl_logging
+        for h in list(root.handlers):
+            if isinstance(h, _absl_logging.ABSLHandler):
+                root.removeHandler(h)
+    except ImportError:                        # pragma: no cover
+        pass
     logging.basicConfig(
         level=level,
-        format="%(asctime)s - %(name)s - %(levelname)s - %(message)s",
-        force=True)
+        format="%(asctime)s - %(name)s - %(levelname)s - %(message)s")
+    root.setLevel(level)
 
 
 def parse_threshold(parser: argparse.ArgumentParser, raw):

@@ -25,6 +25,10 @@ def main(argv=None):
                         "entries, e.g. Base_ViT_Pretrained=vit.safetensors "
                         "ResNet50_Pretrained=resnet50.pth (without these "
                         "the pretrained entries run RANDOM-init, loudly)")
+    parser.add_argument("--ema", action="store_true",
+                        help="score the Polyak/EMA shadow weights "
+                        "(orbax checkpoint dirs from optim.ema_decay "
+                        "runs; checkpoint-loading entries only)")
     add_fastserve_args(parser)
     args = parser.parse_args(argv)
     setup_logging()
@@ -45,7 +49,7 @@ def main(argv=None):
         pretrained_paths=pretrained or None,
         model_names=args.models, batch_size=cfg.eval.batch_size,
         img_size=cfg.data.img_size, fastserve=args.fastserve,
-        interpret=args.interpret,
+        interpret=args.interpret, ema=args.ema,
         thresholds=cfg.eval.thresholds,
         cm_thresholds=cfg.eval.extra_cm_thresholds)
     for name, s in results.items():

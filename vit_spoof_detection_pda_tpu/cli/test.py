@@ -20,6 +20,10 @@ def main(argv=None):
     add_config_args(parser)
     parser.add_argument("--checkpoint", default=None,
                         help="torch .pth / safetensors / orbax checkpoint")
+    parser.add_argument("--ema", action="store_true",
+                        help="score the Polyak/EMA shadow weights "
+                        "(orbax checkpoint dirs from optim.ema_decay "
+                        "runs)")
     parser.add_argument("--no-plots", action="store_true")
     add_fastserve_args(parser)
     args = parser.parse_args(argv)
@@ -31,14 +35,21 @@ def main(argv=None):
 
     ckpt = args.checkpoint or cfg.eval.checkpoint_path
     if ckpt and os.path.isdir(ckpt):
-        # Orbax checkpoint directory written by our own Trainer
-        from ..models.registry import build_vit_from_config
-        from ..utils.checkpoint import load_params_from_dir
+        # Orbax checkpoint directory written by our own Trainer —
+        # respects the config tree's geometry (unlike the fixed
+        # ViT-B/16 registry entry) and can score the EMA shadow
+        from ..models.registry import (build_vit_from_config,
+                                       variables_from_orbax)
 
         module = build_vit_from_config(cfg.model, jnp.bfloat16)
-        variables, step = load_params_from_dir(ckpt)
-        print(f"loaded orbax checkpoint step {step} from {ckpt}")
+        variables, step = variables_from_orbax(
+            module, str(ckpt), ema=args.ema, img_size=cfg.data.img_size)
+        print(f"loaded orbax checkpoint step {step} from {ckpt}"
+              + (" (EMA shadow)" if args.ema else ""))
     else:
+        if args.ema:
+            parser.error("--ema needs an orbax checkpoint directory "
+                         "(the shadow lives in the optimizer state)")
         module, variables = build_model(
             "Custom_ViT_FineTuned", checkpoint_path=ckpt,
             dropout=cfg.model.dropout, dtype=jnp.bfloat16)

@@ -71,9 +71,15 @@ def run_cross_model_eval(records: Sequence[Record], *, output_dir: str,
                          fastserve: bool = False,
                          thresholds: Optional[Sequence[float]] = None,
                          cm_thresholds: Optional[Sequence[float]] = None,
+                         ema: bool = False,
                          ) -> Dict[str, dict]:
     """Evaluate every registry model on `records`; returns
     {model_name: summary_dict}.
+
+    ``ema=True`` scores the Polyak shadow weights of checkpoint-loading
+    entries (``checkpoint_path`` must be an Orbax directory from an
+    ``optim.ema_decay`` run); pretrained/placeholder entries are
+    unaffected — they have no shadow.
 
     ``fastserve=True`` scores the ViT-family models (anti-spoof head
     AND the Base-ViT linear head) through the fused-kernel serving path
@@ -90,7 +96,8 @@ def run_cross_model_eval(records: Sequence[Record], *, output_dir: str,
             module, variables = build_model(
                 name,
                 checkpoint_path=checkpoint_path,
-                pretrained_path=pretrained_paths.get(name))
+                pretrained_path=pretrained_paths.get(name),
+                ema=ema and MODEL_REGISTRY[name].weights == "checkpoint")
             from ..models.vit import ViTAntiSpoof, ViTLinearHead
             fs = fastserve and isinstance(module,
                                           (ViTAntiSpoof, ViTLinearHead))

@@ -107,18 +107,27 @@ MODEL_REGISTRY = {
 
 def build_model(name: str, *, checkpoint_path: Optional[str] = None,
                 pretrained_path: Optional[str] = None, seed: int = 0,
-                dtype=jnp.float32, dropout: float = 0.1):
+                dtype=jnp.float32, dropout: float = 0.1,
+                ema: bool = False):
     """Build (module, variables) for a registry entry.
 
     Weight resolution: explicit checkpoint/pretrained path if provided and
     present, else random init (with a warning for non-placeholder models —
     mirrors the harness's strict=False tolerance,
-    evaluate_all_models.py:300).
+    evaluate_all_models.py:300).  ``ema=True`` loads the Polyak shadow
+    weights instead of the last iterate — Orbax checkpoint directories
+    only (the shadow lives in the optimizer state; torch exports carry
+    one weight set).
     """
     entry = MODEL_REGISTRY[name]
     module = entry.build(dropout=dropout, dtype=dtype)
 
     path = checkpoint_path if entry.weights == "checkpoint" else pretrained_path
+    if ema and not (path and os.path.isdir(path)):
+        raise ValueError(
+            f"{name}: ema=True needs an Orbax checkpoint directory "
+            f"(got {path!r}) — the EMA shadow lives in the optimizer "
+            "state, which file-format checkpoints do not carry")
     if path and os.path.isdir(path):
         # Orbax checkpoint directory written by our own Trainer: native
         # format, no torch conversion — so every eval/export surface
@@ -126,9 +135,9 @@ def build_model(name: str, *, checkpoint_path: Optional[str] = None,
         # training run's save_dir directly.  Strict: our own format for
         # this entry must match exactly; a mismatch is a wrong
         # architecture, never a silent partial load.
-        variables, step = variables_from_orbax(module, path)
-        log.info("loaded %s orbax checkpoint step %d from %s",
-                 name, step, path)
+        variables, step = variables_from_orbax(module, path, ema=ema)
+        log.info("loaded %s orbax checkpoint step %d from %s%s",
+                 name, step, path, " (EMA shadow)" if ema else "")
         return module, variables
     if path and os.path.exists(path) and entry.weight_converter:
         sd = _load_state_dict(path)
