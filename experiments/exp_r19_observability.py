@@ -8,7 +8,9 @@
    captured through the relay at all?  (Never probed; BENCH_NOTES gets
    the verdict either way.)
 
-Usage: python experiments/exp_r19_observability.py
+Usage: PYTHONPATH=/root/.axon_site:/root/repo \
+    python experiments/exp_r19_observability.py
+(the script also self-repairs sys.path so a bare invocation works)
 """
 
 import json
@@ -16,6 +18,12 @@ import os
 import subprocess
 import sys
 import time
+
+# CLAUDE.md platform gotcha: scripts importing the package need both the
+# repo AND the axon plugin's sitecustomize dir importable
+for p in ("/root/repo", "/root/.axon_site"):
+    if p not in sys.path:
+        sys.path.insert(0, p)
 
 OUT = {}
 

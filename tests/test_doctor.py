@@ -44,3 +44,17 @@ def test_doctor_probe_exception_reports_fail(monkeypatch):
     assert results[0]["status"] == FAIL
     assert "probe exploded" in results[0]["error"]
     assert results[1]["status"] == OK
+
+
+def test_doctor_unknown_check_name_errors():
+    """A typo in --only must error, not filter every check out and
+    report 'doctor: ok' having validated nothing."""
+    import pytest
+
+    from vit_spoof_detection_pda_tpu.cli.doctor import main
+
+    with pytest.raises(ValueError, match="unknown check name"):
+        run_doctor(["backends"])
+    with pytest.raises(SystemExit) as e:
+        main(["--only", "backends"])
+    assert e.value.code == 2

@@ -287,3 +287,21 @@ def test_train_cli_resume(workspace):
 
     with pytest.raises(SystemExit):             # sweep + resume conflict
         main(overrides + ["--resume", "--sweep"])
+
+
+def test_evaluate_all_ema_requires_orbax_dir(workspace, capsys):
+    """--ema without an orbax checkpoint dir must fail fast at the CLI:
+    inside the harness the per-model error isolation would swallow the
+    ValueError and the run would exit 0 having scored nothing."""
+    import pytest
+
+    from vit_spoof_detection_pda_tpu.cli.evaluate_all import main
+    with pytest.raises(SystemExit) as e:
+        main([
+            "--set", f'data.test_root="{workspace / "test"}"',
+            "--set", f'eval.output_dir="{workspace / "results_ema"}"',
+            "--models", "Custom_ViT_FineTuned",
+            "--ema",
+        ])
+    assert e.value.code == 2
+    assert "orbax checkpoint directory" in capsys.readouterr().err

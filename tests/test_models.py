@@ -387,3 +387,56 @@ def test_variables_from_orbax_strict_roundtrip(tmp_path):
     with pytest.raises(ValueError, match="wrong architecture"):
         variables_from_orbax(Tiny(width=16), str(tmp_path / "ck"),
                              img_size=16)
+
+
+def test_build_model_orbax_img_size_threading(tmp_path):
+    """build_model(img_size=...) must validate an orbax checkpoint
+    against the module at the RUN's resolution, not the hardcoded 224
+    default — a img_size!=224 training run's save_dir has a different
+    pos-embed geometry and used to be rejected as 'wrong architecture'
+    by evaluate-all/benchmark while cli/test accepted it."""
+    import flax.linen as nn
+
+    from vit_spoof_detection_pda_tpu.models import registry as R
+    from vit_spoof_detection_pda_tpu.train.state import (
+        create_train_state, make_optimizer)
+    from vit_spoof_detection_pda_tpu.utils.checkpoint import (
+        CheckpointManager)
+
+    class TinyPos(nn.Module):
+        """Param geometry depends on input size (pos-embed-like)."""
+
+        @nn.compact
+        def __call__(self, x, *, train: bool = False):
+            b, h, w, c = x.shape
+            pos = self.param("pos", nn.initializers.zeros, (h * w, 4))
+            x = nn.Dense(4)(x.reshape(b, h * w, c)) + pos
+            return nn.Dense(2)(x.mean(axis=1))
+
+    module = TinyPos()
+    state = create_train_state(module, make_optimizer(1e-3),
+                               jax.random.PRNGKey(0),
+                               input_shape=(1, 16, 16, 3))
+    mgr = CheckpointManager(str(tmp_path / "ck"))
+    mgr.save(1, state, force=True)
+    mgr.close()
+
+    fake = R.ModelEntry(name="Custom_ViT_FineTuned",
+                        build=lambda **kw: TinyPos(),
+                        weights="checkpoint")
+    old = R.MODEL_REGISTRY["Custom_ViT_FineTuned"]
+    R.MODEL_REGISTRY["Custom_ViT_FineTuned"] = fake
+    try:
+        # at the run's img_size: loads
+        _, variables = R.build_model("Custom_ViT_FineTuned",
+                                     checkpoint_path=str(tmp_path / "ck"),
+                                     img_size=16)
+        assert variables["params"]["pos"].shape == (256, 4)
+        # at the wrong img_size: strict rejection (not a silent load)
+        import pytest
+        with pytest.raises(ValueError, match="wrong architecture"):
+            R.build_model("Custom_ViT_FineTuned",
+                          checkpoint_path=str(tmp_path / "ck"),
+                          img_size=24)
+    finally:
+        R.MODEL_REGISTRY["Custom_ViT_FineTuned"] = old

@@ -67,7 +67,7 @@ def main(argv=None):
         builders = {
             name: (lambda n=name: build_model(
                 n, checkpoint_path=cfg.eval.checkpoint_path,
-                dtype=jnp.bfloat16))
+                dtype=jnp.bfloat16, img_size=cfg.data.img_size))
             for name in MODEL_REGISTRY}
         out["latency"] = benchmark_models(
             builders, records, output_dir=results_dir)
@@ -88,7 +88,8 @@ def main(argv=None):
             parser.error(f"--attention-overlays: no images under {src}")
         module, variables = build_model(
             "Custom_ViT_FineTuned",
-            checkpoint_path=cfg.eval.checkpoint_path, dtype=jnp.bfloat16)
+            checkpoint_path=cfg.eval.checkpoint_path, dtype=jnp.bfloat16,
+            img_size=cfg.data.img_size)
         out["attention_overlays"] = generate_attention_overlays(
             module, variables, paths,
             f"{results_dir}/attention_maps",

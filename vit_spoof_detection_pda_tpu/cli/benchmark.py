@@ -184,7 +184,7 @@ def main(argv=None):
         for name, ref_ms in REF_B1_MS.items():
             module, variables = build_model(
                 name, checkpoint_path=cfg.eval.checkpoint_path,
-                dtype=jnp.bfloat16)
+                dtype=jnp.bfloat16, img_size=cfg.data.img_size)
             infer = jax.jit(make_infer_fn(module))
             r = benchmark_device_latency(infer, variables,
                                          batch_size=args.batch_size,
@@ -199,7 +199,7 @@ def main(argv=None):
 
     module, variables = build_model(
         args.model, checkpoint_path=cfg.eval.checkpoint_path,
-        dtype=jnp.bfloat16)
+        dtype=jnp.bfloat16, img_size=cfg.data.img_size)
     if args.device_latency:
         if args.iters is not None:
             parser.error("--iters applies to throughput mode only; "

@@ -198,6 +198,13 @@ CHECKS = [check_versions, check_backend, check_device_exec,
 
 
 def run_doctor(names=None) -> list:
+    if names:
+        known = {fn._check_name for fn in CHECKS}
+        unknown = sorted(set(names) - known)
+        if unknown:
+            # a typo must not filter every check out and report "ok"
+            raise ValueError(
+                f"unknown check name(s) {unknown}; known: {sorted(known)}")
     results = []
     for fn in CHECKS:
         name = fn._check_name
@@ -221,7 +228,10 @@ def main(argv=None):
                         help="subset of checks to run")
     args = parser.parse_args(argv)
 
-    results = run_doctor(args.only)
+    try:
+        results = run_doctor(args.only)
+    except ValueError as e:
+        parser.error(str(e))
     worst = OK
     for r in results:
         if args.json:

@@ -42,10 +42,21 @@ def main(argv=None):
             parser.error(f"--pretrained expects NAME=PATH, got {item!r}")
         pretrained[name] = path
 
+    ckpt = args.checkpoint or cfg.eval.checkpoint_path
+    if args.ema:
+        # fail fast like cli/test.py: inside the harness the per-model
+        # error isolation would swallow build_model's ValueError and
+        # the run would "succeed" having scored nothing
+        import os
+        if not (ckpt and os.path.isdir(ckpt)):
+            parser.error("--ema needs an orbax checkpoint directory "
+                         "(the shadow lives in the optimizer state); "
+                         f"got {ckpt!r}")
+
     records = scan_test(cfg.data.test_root)
     results = run_cross_model_eval(
         records, output_dir=cfg.eval.output_dir,
-        checkpoint_path=args.checkpoint or cfg.eval.checkpoint_path,
+        checkpoint_path=ckpt,
         pretrained_paths=pretrained or None,
         model_names=args.models, batch_size=cfg.eval.batch_size,
         img_size=cfg.data.img_size, fastserve=args.fastserve,

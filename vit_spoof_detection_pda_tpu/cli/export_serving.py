@@ -112,7 +112,7 @@ def main(argv=None):
                    else "pretrained_path")
             kw[key] = args.checkpoint
         module, variables = build_model(args.model, dtype=jnp.float32,
-                                        **kw)
+                                        img_size=cfg.data.img_size, **kw)
     else:
         if args.checkpoint is None:
             parser.error("a checkpoint is required without --model")

@@ -97,7 +97,8 @@ def run_cross_model_eval(records: Sequence[Record], *, output_dir: str,
                 name,
                 checkpoint_path=checkpoint_path,
                 pretrained_path=pretrained_paths.get(name),
-                ema=ema and MODEL_REGISTRY[name].weights == "checkpoint")
+                ema=ema and MODEL_REGISTRY[name].weights == "checkpoint",
+                img_size=img_size)
             from ..models.vit import ViTAntiSpoof, ViTLinearHead
             fs = fastserve and isinstance(module,
                                           (ViTAntiSpoof, ViTLinearHead))

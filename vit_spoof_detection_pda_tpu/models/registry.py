@@ -108,7 +108,7 @@ MODEL_REGISTRY = {
 def build_model(name: str, *, checkpoint_path: Optional[str] = None,
                 pretrained_path: Optional[str] = None, seed: int = 0,
                 dtype=jnp.float32, dropout: float = 0.1,
-                ema: bool = False):
+                ema: bool = False, img_size: int = 224):
     """Build (module, variables) for a registry entry.
 
     Weight resolution: explicit checkpoint/pretrained path if provided and
@@ -135,7 +135,8 @@ def build_model(name: str, *, checkpoint_path: Optional[str] = None,
         # training run's save_dir directly.  Strict: our own format for
         # this entry must match exactly; a mismatch is a wrong
         # architecture, never a silent partial load.
-        variables, step = variables_from_orbax(module, path, ema=ema)
+        variables, step = variables_from_orbax(module, path, ema=ema,
+                                               img_size=img_size)
         log.info("loaded %s orbax checkpoint step %d from %s%s",
                  name, step, path, " (EMA shadow)" if ema else "")
         return module, variables
@@ -149,7 +150,8 @@ def build_model(name: str, *, checkpoint_path: Optional[str] = None,
             # (evaluate_all_models.py:300): convert what is present, keep
             # init values for the rest, warn.
             init = module.init(jax.random.PRNGKey(seed),
-                               jnp.zeros((1, 224, 224, 3), jnp.float32))
+                               jnp.zeros((1, img_size, img_size, 3),
+                                         jnp.float32))
             variables, missing = convert.convert_partial(
                 entry.weight_converter, sd, init)
             log.warning("%s: state dict at %s was incomplete; %d tensors "
@@ -161,7 +163,8 @@ def build_model(name: str, *, checkpoint_path: Optional[str] = None,
         # 307-318, 327-331) — a 1000-way classifier tensor must fall
         # back to the module's random head, NOT flow through and score
         # P(ImageNet class 1) as P(live)
-        variables, dropped = _drop_mismatched(variables, module, seed)
+        variables, dropped = _drop_mismatched(variables, module, seed,
+                                              img_size=img_size)
         if dropped:
             log.warning(
                 "%s: %d tensors in %s have mismatched shapes %s — kept "
@@ -184,7 +187,7 @@ def build_model(name: str, *, checkpoint_path: Optional[str] = None,
                 "checkpoint_path/pretrained_path to load real weights)",
                 name, entry.weights)
         rng = jax.random.PRNGKey(seed)
-        dummy = jnp.zeros((1, 224, 224, 3), jnp.float32)
+        dummy = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
         variables = module.init(rng, dummy)
     return module, variables
 
@@ -204,20 +207,12 @@ def variables_from_orbax(module, directory: str, *, step=None,
     want = jax.eval_shape(lambda: module.init(
         jax.random.PRNGKey(0), jnp.zeros((1, img_size, img_size, 3),
                                          jnp.float32)))
-    mismatched = []
-
-    def _chk(kp, got, w):
-        if tuple(got.shape) != tuple(w.shape):
-            mismatched.append("/".join(
-                str(getattr(k, "key", k)) for k in kp)
-                + f": {tuple(got.shape)} vs {tuple(w.shape)}")
-    try:
-        jax.tree_util.tree_map_with_path(_chk, variables, dict(want))
-    except ValueError as e:
+    structure_err, mismatched = geometry_mismatches(dict(want), variables)
+    if structure_err:
         raise ValueError(
             f"orbax checkpoint at {directory} does not have this "
             f"module's parameter tree structure — wrong architecture "
-            f"or registry entry ({e})") from None
+            f"or registry entry ({structure_err})")
     if mismatched:
         raise ValueError(
             f"orbax checkpoint at {directory} mismatches the module's "
@@ -226,14 +221,37 @@ def variables_from_orbax(module, directory: str, *, step=None,
     return jax.tree.map(jnp.asarray, variables), int(step)
 
 
-def _drop_mismatched(variables, module, seed):
+def geometry_mismatches(want, got):
+    """Compare two variable trees' geometry (structure + leaf shapes).
+
+    Returns ``(structure_error, mismatched)``: ``structure_error`` is a
+    string when the tree structures disagree (else None), ``mismatched``
+    lists ``path: got_shape vs want_shape`` for shape disagreements.
+    Shared by the orbax strict-load validation above and the train
+    driver's pretrained-geometry check (one comparison, one behavior)."""
+    mismatched = []
+
+    def _chk(kp, g, w):
+        if tuple(g.shape) != tuple(w.shape):
+            mismatched.append("/".join(
+                str(getattr(k, "key", k)) for k in kp)
+                + f": {tuple(g.shape)} vs {tuple(w.shape)}")
+    try:
+        jax.tree_util.tree_map_with_path(_chk, got, want)
+    except ValueError as e:
+        return str(e), []
+    return None, mismatched
+
+
+def _drop_mismatched(variables, module, seed, img_size: int = 224):
     """Replace converted leaves whose shape disagrees with the module's
     tree by a freshly-initialized leaf.  Shape checking costs nothing
     (jax.eval_shape); the real init only runs when something actually
     mismatched.  Returns (variables, dropped_paths)."""
     def init_fn():
         return module.init(jax.random.PRNGKey(seed),
-                           jnp.zeros((1, 224, 224, 3), jnp.float32))
+                           jnp.zeros((1, img_size, img_size, 3),
+                                     jnp.float32))
 
     want = jax.eval_shape(init_fn)
     dropped = []

@@ -180,15 +180,14 @@ def _run_training(cfg: Config, train_batches, val_recs, steps, counts,
         # different geometry would otherwise die at the first train
         # step with a cryptic flax scope error (or silently train the
         # wrong architecture on subtly compatible trees)
+        from ..models.registry import geometry_mismatches
         want = jax.eval_shape(
             module.init, jax.random.PRNGKey(0),
             jnp.zeros((1, cfg.data.img_size, cfg.data.img_size, 3),
                       jnp.float32))["params"]
-        got = variables["params"]
-        same = (jax.tree.structure(want) == jax.tree.structure(got)
-                and all(w.shape == g.shape for w, g in
-                        zip(jax.tree.leaves(want), jax.tree.leaves(got))))
-        if not same:
+        structure_err, mismatched = geometry_mismatches(
+            want, variables["params"])
+        if structure_err or mismatched:
             raise ValueError(
                 "model.pretrained_path loads the flagship "
                 "Custom_ViT_FineTuned architecture, but cfg.model "

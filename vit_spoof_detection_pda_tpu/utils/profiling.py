@@ -65,9 +65,16 @@ def device_memory_gb(device=None) -> Optional[float]:
         if not stats or "bytes_in_use" not in stats:
             raise AttributeError("no bytes_in_use")
         return float(stats["bytes_in_use"]) / 1e9
-    except Exception:  # noqa: BLE001 - any backend gap disables the probe
+    except (AttributeError, KeyError, NotImplementedError, TypeError):
+        # genuine capability gap: the backend will never expose the
+        # stats — stop asking
         _MEM_UNAVAILABLE = True
         log.debug("device memory stats unavailable on this backend")
+        return None
+    except Exception as e:  # noqa: BLE001 - transient (relay hiccup etc.)
+        # do NOT latch: a single timeout at one log boundary must not
+        # disable HBM telemetry for the rest of a long-running job
+        log.debug("device memory stats probe failed transiently: %s", e)
         return None
 
 
