@@ -308,3 +308,17 @@ def test_reference_quirk_figures_and_publication_style(results_tree,
     # exclusion defaults come from the reference's publication list
     assert "FP_score0.8125_513034.png" in F.EXCLUDED_IMAGES[
         "Custom_ViT_FineTuned"]["false_positives"]
+
+
+def test_benchmark_cli_profile_trace(tmp_path):
+    """--profile captures a TensorBoard trace of exactly the timed
+    program (works in every mode; hardware-verified through the relay,
+    exp_r19)."""
+    from vit_spoof_detection_pda_tpu.cli.benchmark import main
+    trace_dir = tmp_path / "trace"
+    out = main(["--model", "SigNet_F", "--batch-size", "2", "--iters", "2",
+                "--set", "data.img_size=64",
+                "--profile", str(trace_dir)])
+    assert out["images_per_second"] > 0
+    files = [p for p in trace_dir.rglob("*") if p.is_file()]
+    assert files, "profiler trace produced no files"

@@ -80,6 +80,11 @@ def main(argv=None):
                         help="with --train-step: force the plain module "
                              "forward instead of the fused-block Pallas "
                              "training forward (A/B)")
+    parser.add_argument("--profile", default=None, metavar="DIR",
+                        help="capture a jax.profiler (TensorBoard/XProf) "
+                             "trace of the benchmarked program into DIR "
+                             "— works in every mode, incl. through the "
+                             "relay backend")
     parser.add_argument("--all-models", action="store_true",
                         help="with --device-latency: measure EVERY row of "
                              "the reference's per-model benchmark "
@@ -151,6 +156,14 @@ def main(argv=None):
     setup_logging()
     cfg = resolve_config(args)
 
+    from ..utils.profiling import profile_trace
+    with profile_trace(args.profile):
+        return _dispatch(args, cfg, parser)
+
+
+def _dispatch(args, cfg, parser):
+    """Run the selected benchmark mode (split out so --profile wraps
+    exactly the compiled+timed program, whatever the mode)."""
     if args.train_step:
         import jax.numpy as jnp2
 
