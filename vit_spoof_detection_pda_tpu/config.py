@@ -353,9 +353,15 @@ def _advanced_train() -> Config:
 
 
 def _simple_train() -> Config:
-    """simple/train.py defaults: CE + label smoothing, stronger jitter."""
+    """simple/train.py defaults (Config, simple/train.py:27-75): CE +
+    label smoothing, stronger jitter, 30 epochs, RAW celeba_spoof root
+    (the simple flavor trains without the augmented store),
+    ./checkpoints save dir."""
     return Config(
+        data=DataConfig(data_root="./celeba_spoof"),
         loss=LossConfig(loss_type="ce", label_smoothing=0.1),
+        optim=OptimConfig(num_epochs=30),
+        checkpoint=CheckpointConfig(save_dir="./checkpoints"),
         train_aug=TrainAugConfig(
             color_jitter=(0.3, 0.3, 0.3, 0.1), rotation_deg=15.0
         ),
