@@ -186,3 +186,30 @@ def test_fast_apply_available_gating():
     if mesh.devices.size > 1:
         with attention_sharding(mesh=mesh, interpret=True):
             assert not FT.fast_apply_available(m, mesh=mesh)
+
+
+def test_gelu_lean_matches_plain_gelu():
+    """gelu_lean (VJP stores only the pre-activation) must match
+    jax.nn.gelu exactly in f32 forward AND gradient for both erf and
+    tanh flavors — only the residual set differs (round-20 trace: the
+    plain flavor saved 3 [B,T,4D] tensors per layer)."""
+    import numpy as np
+
+    from vit_spoof_detection_pda_tpu.models.fasttrain import gelu_lean
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((64, 33)),
+                    jnp.float32)
+    for approx in (False, True):
+        ref = lambda t: jnp.sum(jax.nn.gelu(t, approximate=approx) ** 2)
+        new = lambda t: jnp.sum(gelu_lean(t, approx) ** 2)
+        np.testing.assert_allclose(np.asarray(new(x)), np.asarray(ref(x)),
+                                   rtol=1e-7)
+        np.testing.assert_array_equal(np.asarray(jax.grad(new)(x)),
+                                      np.asarray(jax.grad(ref)(x)))
+    # the lean backward recomputes the gate: the fwd+bwd jaxpr carries a
+    # second erf while the plain one reuses the saved gate
+    lean_jaxpr = str(jax.make_jaxpr(jax.grad(
+        lambda t: jnp.sum(gelu_lean(t, False))))(x))
+    plain_jaxpr = str(jax.make_jaxpr(jax.grad(
+        lambda t: jnp.sum(jax.nn.gelu(t, approximate=False))))(x))
+    assert lean_jaxpr.count("erf") == plain_jaxpr.count("erf") + 1
