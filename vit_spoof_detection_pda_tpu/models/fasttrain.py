@@ -357,33 +357,7 @@ mlp_block_train.defvjp(_mbt_fwd, _mbt_bwd)
 # --------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def gelu_lean(x, approximate: bool = False):
-    """GELU whose VJP stores ONLY the pre-activation.
-
-    ``jax.nn.gelu``'s autodiff saves both the input and the erf/tanh
-    gate over the [B, T, 4D] hidden — the round-19 XProf trace showed
-    the fc1 forward fusion writing THREE bf16[128,197,3072] tensors
-    (444 MB/layer) and running HBM-bound at 40% roofline efficiency
-    (BENCH_NOTES round 20).  This variant saves one tensor and
-    recomputes the elementwise gate in the backward (VPU work that
-    fuses into the cotangent chain; recompute stays in the compute
-    dtype per the round-4 lesson).  Same forward values, same gradient
-    formula — only the residual set changes.
-    """
-    return jax.nn.gelu(x, approximate=approximate)
-
-
-def _gelu_lean_fwd(x, approximate):
-    return jax.nn.gelu(x, approximate=approximate), x
-
-
-def _gelu_lean_bwd(approximate, x, g):
-    _, vjp = jax.vjp(lambda t: jax.nn.gelu(t, approximate=approximate), x)
-    return (vjp(g)[0],)
-
-
-gelu_lean.defvjp(_gelu_lean_fwd, _gelu_lean_bwd)
+from ..ops.gelu import gelu_lean  # noqa: E402 - re-export (tests, callers)
 
 
 def _xla_attn_block(x, lns, lnb, wqkv, bqkv, wproj, bproj, num_heads,

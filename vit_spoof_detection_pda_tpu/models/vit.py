@@ -125,7 +125,11 @@ class MlpBlock(nn.Module):
         # at activation magnitudes), but erf costs ~1 ms of VPU
         # transcendentals per [128,197,3072] pass on v5e — 12 ms/batch
         # across the ViT, 2574 -> 3193 img/s (BENCH_NOTES.md round 2).
-        x = nn.gelu(x, approximate=(self.gelu == "tanh"))
+        # gelu_lean: same values/gradients, but the VJP stores only the
+        # pre-activation (~148 MB/layer less residual at B=128; BENCH_
+        # NOTES round 20) — matters under autodiff on multi-chip meshes.
+        from ..ops.gelu import gelu_lean
+        x = gelu_lean(x, self.gelu == "tanh")
         x = nn.Dense(d, dtype=self.dtype, name="fc2")(x)
         return x
 
