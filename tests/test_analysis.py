@@ -322,3 +322,33 @@ def test_benchmark_cli_profile_trace(tmp_path):
     assert out["images_per_second"] > 0
     files = [p for p in trace_dir.rglob("*") if p.is_file()]
     assert files, "profiler trace produced no files"
+
+
+def test_analyze_xprof_cli(tmp_path):
+    """analyze --xprof summarizes a jax.profiler trace (CPU captures
+    carry no TPU device plane, so the table is empty but the plumbing —
+    xplane discovery, plugin conversion, gviz parsing, CLI — runs end
+    to end; the round-20 train-step anatomy used this exact path on a
+    hardware trace)."""
+    import pytest
+
+    pytest.importorskip("tensorflow")
+    import jax
+    import jax.numpy as jnp
+
+    trace = tmp_path / "trace"
+    jax.profiler.start_trace(str(trace))
+    x = jnp.ones((64, 64))
+    float(jax.jit(lambda a: (a @ a).sum())(x))
+    jax.profiler.stop_trace()
+
+    from vit_spoof_detection_pda_tpu.cli.analyze import main
+    out = main(["--xprof", str(trace), "--xprof-steps", "1"])
+    s = out["xprof"]
+    assert s["xplane_files"] and s["per_step"]
+    assert isinstance(s["by_category"], list)
+    assert isinstance(s["top_ops"], list)
+
+    from vit_spoof_detection_pda_tpu.analysis.xprof import summarize_trace
+    with pytest.raises(FileNotFoundError):
+        summarize_trace(str(tmp_path / "nope"))

@@ -34,10 +34,26 @@ def main(argv=None):
                         "mined failed_cases_analysis/<model>/"
                         "false_positives dir); needs "
                         "eval.checkpoint_path")
+    parser.add_argument("--xprof", default=None, metavar="TRACE_DIR",
+                        help="per-op device-time breakdown of a "
+                        "jax.profiler trace (telemetry.profile_dir / "
+                        "benchmark --profile); standalone mode — no "
+                        "results dir needed")
+    parser.add_argument("--xprof-steps", type=int, default=None,
+                        help="with --xprof: divide totals into per-step "
+                        "time (the traced execution count)")
     args = parser.parse_args(argv)
     setup_logging()
     cfg = resolve_config(args)
     results_dir = args.results_dir or cfg.eval.output_dir
+
+    if args.xprof:
+        from ..analysis.xprof import print_summary, summarize_trace
+        summary = summarize_trace(args.xprof, steps=args.xprof_steps)
+        print_summary(summary,
+                      repo_root=__file__.rsplit(
+                          "/vit_spoof_detection_pda_tpu/", 1)[0])
+        return {"xprof": summary}
 
     out = {
         "distributions": analyze_score_distributions(results_dir),
