@@ -84,6 +84,24 @@ def test_fused_attention_qkv_grad_matches_dense():
                                atol=1e-4, rtol=1e-4)
 
 
+def test_fused_attention_qkv_grad_bf16_dots():
+    """bf16 inputs route the backward's dots through the input dtype
+    (the MXU-rate path); gradients must track a float32 dense oracle to
+    bf16 rounding tolerance."""
+    from vit_spoof_detection_pda_tpu.ops.attention import (
+        _qkv_dense_reference, fused_attention_qkv)
+    rng = np.random.default_rng(9)
+    x32 = rng.standard_normal((2, 33, 3 * 32)).astype(np.float32)
+    qkv16 = jnp.asarray(x32, jnp.bfloat16)
+    qkv32 = jnp.asarray(np.asarray(qkv16, np.float32))
+    gf = jax.grad(
+        lambda x: jnp.sum(fused_attention_qkv(x, 2, True)
+                          .astype(jnp.float32) ** 2))(qkv16)
+    gd = jax.grad(lambda x: jnp.sum(_qkv_dense_reference(x, 2) ** 2))(qkv32)
+    np.testing.assert_allclose(np.asarray(gf, np.float32), np.asarray(gd),
+                               atol=0.02, rtol=0.02)
+
+
 def test_sharded_attention_context_on_mesh():
     """Under a multi-device data mesh the Trainer enables the shard_map-
     wrapped Pallas path; outputs must match single-device dense."""

@@ -204,11 +204,22 @@ def _attn_qkv_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, scale: float,
     dk = dl^T q * s.  Padded-query rows carry zero cotangent (g is
     zero-padded) so they contribute nothing; masked key columns have
     w == 0 hence dl == 0 — no extra masking needed beyond the forward's.
+
+    Every dot runs in the INPUT dtype with f32 accumulation, mirroring
+    the forward (which rounds w to v.dtype before w @ v), so the bf16
+    training path backpropagates through the forward's ACTUAL rounded
+    weights; f32 inputs (the parity tests' oracle dtype) keep exact f32
+    dots.  Measured SPEED-NEUTRAL on the full train step (124.0 ms erf
+    vs the 123.1-125.9 baseline band, exp_r22) — the kernel's 34 TF/s
+    is small-dot structure (head_dim 64 = half-lane operands), not
+    f32-multi-pass MXU cost, so the dtype rule ships for numerics
+    consistency, not speed (BENCH_NOTES round 22).
     """
     tp = qkv_ref.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
     mask = col < valid_len
     d = num_heads * head_dim
+    cdt = qkv_ref.dtype
     for bi in range(block_b):
         for h in range(num_heads):
             sl_q = slice(h * head_dim, (h + 1) * head_dim)
@@ -217,25 +228,27 @@ def _attn_qkv_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, scale: float,
             q = qkv_ref[bi, :, sl_q]
             k = qkv_ref[bi, :, sl_k]
             v = qkv_ref[bi, :, sl_v]
-            g = g_ref[bi, :, sl_q].astype(jnp.float32)
+            g = g_ref[bi, :, sl_q].astype(cdt)
 
             logits = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
             logits = jnp.where(mask, logits, -1e30)
             w = jax.nn.softmax(logits, axis=-1)              # [Tp, Tp] f32
+            wc = w.astype(cdt)
 
             dv = jax.lax.dot_general(                        # w^T @ g
-                w, g, (((0,), (0,)), ((), ())),
+                wc, g, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             dw = jax.lax.dot_general(                        # g @ v^T
-                g, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                g, v, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
             dl = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
-            dq = jnp.dot(dl, k.astype(jnp.float32),
+            dlc = dl.astype(cdt)
+            dq = jnp.dot(dlc, k,
                          preferred_element_type=jnp.float32) * scale
             dk = jax.lax.dot_general(                        # dl^T @ q
-                dl, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+                dlc, q, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
 
             dqkv_ref[bi, :, sl_q] = dq.astype(dqkv_ref.dtype)
@@ -754,11 +767,13 @@ def _attn_cp_bwd_kernel(q_ref, kv_ref, g_ref, dq_ref, dkv_ref, *,
     dv = w^T g, dw = g v^T, dl = w*(dw - rowsum(dw*w)), dq = dl k * s,
     dk = dl^T q * s.  Padded query rows carry zero cotangent; masked key
     columns have w == 0 hence dl == 0 (the square-kernel argument,
-    :func:`_attn_qkv_bwd_kernel`, carries over unchanged)."""
+    :func:`_attn_qkv_bwd_kernel`, carries over unchanged — as does its
+    input-dtype dot rule: bf16 streams keep the MXU's native rate)."""
     tq, tk = q_ref.shape[1], kv_ref.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1)
     mask = col < valid_len
     d = num_heads * head_dim
+    cdt = q_ref.dtype
     for bi in range(block_b):
         for h in range(num_heads):
             sl_h = slice(h * head_dim, (h + 1) * head_dim)
@@ -766,25 +781,27 @@ def _attn_cp_bwd_kernel(q_ref, kv_ref, g_ref, dq_ref, dkv_ref, *,
             q = q_ref[bi, :, sl_h]
             k = kv_ref[bi, :, sl_h]
             v = kv_ref[bi, :, sl_v]
-            g = g_ref[bi, :, sl_h].astype(jnp.float32)
+            g = g_ref[bi, :, sl_h].astype(cdt)
 
             logits = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
             logits = jnp.where(mask, logits, -1e30)
             w = jax.nn.softmax(logits, axis=-1)               # [Tq, Tk]
+            wc = w.astype(cdt)
 
             dv = jax.lax.dot_general(                          # w^T @ g
-                w, g, (((0,), (0,)), ((), ())),
+                wc, g, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             dw = jax.lax.dot_general(                          # g @ v^T
-                g, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                g, v, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
             dl = w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True))
-            dq = jnp.dot(dl, k.astype(jnp.float32),
+            dlc = dl.astype(cdt)
+            dq = jnp.dot(dlc, k,
                          preferred_element_type=jnp.float32) * scale
             dk = jax.lax.dot_general(                          # dl^T @ q
-                dl, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+                dlc, q, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
 
             dq_ref[bi, :, sl_h] = dq.astype(dq_ref.dtype)
