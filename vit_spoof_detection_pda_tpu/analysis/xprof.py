@@ -119,6 +119,7 @@ def summarize_trace(trace_dir: str, *, top: int = 25,
     except Exception:  # noqa: BLE001 - roofline schema varies by version
         pass
 
+    bound_total = sum(bound.values())
     return {
         "xplane_files": files,
         "n_ops": len(hlo),
@@ -131,7 +132,7 @@ def summarize_trace(trace_dir: str, *, top: int = 25,
         "top_ops": top_ops,
         "bound_by": [
             {"bound_by": k, "ms": t / 1e3 / div,
-             "percent": 100.0 * t / sum(bound.values())}
+             "percent": (100.0 * t / bound_total) if bound_total else 0.0}
             for k, t in bound.most_common()],
     }
 
