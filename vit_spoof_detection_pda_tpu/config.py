@@ -216,6 +216,12 @@ class AugmentConfig(_Base):
     # of materializing JPEGs (the TPU-native default; offline reproduces
     # the reference's disk pipeline).
     online: bool = False
+    # With online mode: stage the unique original images in device HBM
+    # once and feed the epoch as [B] int32 index streams (train/pool.py)
+    # — removes the ~19 MB/step host->device image upload; the pool
+    # (~4 GB uint8 at the reference's ~27k-original scale) must fit
+    # per-chip HBM alongside model+optimizer state.
+    device_pool: bool = False
 
 
 @dataclass(frozen=True)

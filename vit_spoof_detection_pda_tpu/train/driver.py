@@ -139,6 +139,73 @@ def _make_online_data(cfg: Config):
     return train_batches, val_recs, data.steps_per_epoch, counts, preps
 
 
+def _make_pool_data(cfg: Config, mesh=None):
+    """Online differential augmentation with the original pool staged in
+    device HBM (train/pool.py): decode the unique originals ONCE (via
+    the shard cache when configured), device_put them, and feed the
+    epoch as per-severity index streams — no per-step image upload.
+
+    Same expansion/class-weight/chain semantics as ``_make_online_data``;
+    the reference's 115k-image epoch (README.md:92-94) is this pool's
+    live×9/spoof×3 index fan-out."""
+    import numpy as np
+
+    from ..augment.policy import CHAINS
+    from ..data.manifest import scan_raw
+    from .pool import DevicePoolData
+
+    records = scan_raw(cfg.augment.input_dir)
+    if not records:
+        raise FileNotFoundError(
+            f"online augmentation: no images under {cfg.augment.input_dir}")
+    records = shard_for_host(records)
+    train_recs, val_recs = stratified_split(
+        records, cfg.data.train_split, cfg.data.split_seed)
+
+    size = cfg.data.img_size
+    if cfg.data.shard_cache:
+        from ..data.shards import ShardStore
+        cache_dir = f"{cfg.data.shard_cache}/pool"
+        if jax.process_count() > 1:
+            cache_dir = f"{cache_dir}/host{jax.process_index()}"
+        store = ShardStore.build(train_recs, cache_dir, img_size=size,
+                                 resize="exact",
+                                 num_workers=cfg.data.num_workers)
+        images = store.gather(np.arange(len(store)))
+        labels = store.labels
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..data.loader import decode_image
+        with ThreadPoolExecutor(max(1, cfg.data.num_workers)) as pool:
+            imgs = list(pool.map(
+                lambda r: decode_image(r.path, size, "exact"), train_recs))
+        images = np.stack(imgs)
+        labels = np.asarray([r.label for r in train_recs], np.int32)
+
+    lm, sm = (cfg.augment.live_augmentations,
+              cfg.augment.spoof_augmentations)
+    data = DevicePoolData(images, labels, live_mult=lm, spoof_mult=sm,
+                          batch_size=cfg.data.batch_size, seed=cfg.seed,
+                          mesh=mesh)
+    # class weights over the EXPANDED stream, like _make_online_data
+    n_live = int(np.sum(labels == 1))
+    n_spoof = len(labels) - n_live
+    counts = (n_spoof * (1 + sm), n_live * (1 + lm))
+
+    ta = cfg.train_aug
+    orig_chain = _train_chain(cfg, crop=False) if ta.enabled else []
+    chains = {"orig": orig_chain}
+    for g in ("heavy", "medium", "light"):
+        chains[g] = CHAINS[g]() + orig_chain
+    preps = {g: make_prep_fn(cfg, chain) for g, chain in chains.items()}
+
+    def train_batches(epoch, skip=0):
+        return data.batches(epoch, skip=skip)
+
+    return train_batches, val_recs, data.steps_per_epoch, counts, preps
+
+
 def _run_training(cfg: Config, train_batches, val_recs, steps, counts,
                   mesh, max_steps_per_epoch, batch_prep=None):
     """Shared tail: val pipeline, model build, checkpoints, Trainer."""
@@ -250,8 +317,12 @@ def train_from_config(cfg: Config, *, mesh=None, records=None,
                       max_steps_per_epoch: Optional[int] = None):
     """Run the full training lifecycle; returns the best-metrics dict."""
     if cfg.augment.online:
-        (train_batches, val_recs, steps, counts,
-         preps) = _make_online_data(cfg)
+        if cfg.augment.device_pool:
+            (train_batches, val_recs, steps, counts,
+             preps) = _make_pool_data(cfg, mesh=mesh)
+        else:
+            (train_batches, val_recs, steps, counts,
+             preps) = _make_online_data(cfg)
         return _run_training(cfg, train_batches, val_recs, steps, counts,
                              mesh, max_steps_per_epoch, batch_prep=preps)
     if records is None:

@@ -18,7 +18,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from ..parallel.mesh import batch_spec
 
@@ -38,10 +38,19 @@ def make_train_step(loss_fn: Callable, *, has_batch_stats: bool = False,
     HBM between them — the final ~10 img/s of the online-training
     target, BENCH_NOTES.md round 2).  Its rng is decorrelated from the
     dropout stream but equally deterministic/resumable.
+
+    Pool mode (train/pool.py): a batch may carry ``index`` [B] int32, in
+    which case ``image`` is the HBM-resident pool [N, S, S, 3] and the
+    batch's rows are gathered ON DEVICE before batch_prep — the host
+    ships ~512 bytes/step instead of ~19 MB.  Under a mesh the pool is
+    replicated and index/label shard over ``data``, so the gather is
+    local to each device (no collectives).
     """
 
     def step(state, batch):
         images, labels = batch["image"], batch["label"]
+        if "index" in batch:
+            images = jnp.take(images, batch["index"], axis=0)
         rng = jax.random.fold_in(state.rng, state.step)
         if batch_prep is not None:
             images = batch_prep(jax.random.fold_in(rng, 104729), images)
@@ -75,13 +84,29 @@ def make_train_step(loss_fn: Callable, *, has_batch_stats: bool = False,
         return new_state, metrics
 
     if mesh is not None:
-        dspec = {"image": batch_spec(), "label": batch_spec()}
-        return jax.jit(
-            step,
-            in_shardings=(None, jax.tree.map(
-                lambda s: NamedSharding(mesh, s), dspec)),
-            donate_argnums=(0,) if donate else (),
-        )
+        def _in_shardings(batch):
+            # the pool batch replicates its image operand; everything
+            # else (and the plain-batch image) shards over ``data``
+            pool = "index" in batch
+            spec = {
+                k: PartitionSpec() if (k == "image" and pool)
+                else batch_spec() for k in batch}
+            return (None, jax.tree.map(
+                lambda s: NamedSharding(mesh, s), spec))
+
+        # in_shardings must be static: build one jit per batch layout,
+        # dispatched on the presence of "index"
+        jits = {}
+
+        def dispatch(state, batch):
+            key = "index" in batch
+            if key not in jits:
+                jits[key] = jax.jit(
+                    step, in_shardings=_in_shardings(batch),
+                    donate_argnums=(0,) if donate else ())
+            return jits[key](state, batch)
+
+        return dispatch
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 

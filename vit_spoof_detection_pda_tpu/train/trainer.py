@@ -619,4 +619,12 @@ class Trainer:
         lbl = batch["label"]
         if not isinstance(lbl, jax.Array):
             lbl = np.asarray(lbl, np.int32)
+        if "index" in batch:
+            # pool mode (train/pool.py): image is the HBM-resident pool,
+            # already replicated on device — only the tiny index/label
+            # vectors cross host->device each step
+            small = shard_batch(
+                {"index": np.asarray(batch["index"], np.int32),
+                 "label": lbl}, self.mesh)
+            return {"image": img, **small}
         return shard_batch({"image": img, "label": lbl}, self.mesh)
