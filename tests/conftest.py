@@ -54,3 +54,50 @@ def reference_root():
     if not REFERENCE.exists():
         pytest.skip("reference repo not mounted")
     return REFERENCE
+
+
+# ---------------------------------------------------------------------------
+# "core" tier: a <5-minute pre-commit slice on this 1-core host
+# (`pytest -m core`) — at least one oracle/contract test per component;
+# the full suite stays the round gate.  File -> None (every non-slow
+# test) or a tuple of name substrings selecting the core subset.
+# ---------------------------------------------------------------------------
+
+CORE_TIER = {
+    # config / data / metrics / losses oracles
+    "test_config.py": None,
+    "test_data.py": None,
+    "test_shards.py": ("content_parity", "pipeline_contract"),
+    "test_metrics_parity.py": None,
+    "test_metrics_device.py": ("matches", "optimal_threshold", "eer"),
+    "test_losses.py": None,
+    # augmentation + warp kernels
+    "test_augment.py": None,
+    "test_warp_pallas.py": None,
+    # models + weight interop
+    "test_models.py": ("matches", "registry_builds", "roundtrip"),
+    # training engine (incl. pool mode) + reference-executed parity
+    "test_train.py": None,
+    "test_pool.py": ("equivalence", "contract"),
+    "test_reference_train_exec.py": ("focal", "threshold_sweep",
+                                     "early_stopping"),
+    # eval + analysis golden replays
+    "test_eval.py": ("alignment", "golden_replay", "artifacts"),
+    "test_analysis.py": ("golden",),
+    "test_fastserve_metric_bound.py": None,
+    # serving kernels + daemon + parallelism
+    "test_attention.py": ("matches_dense",),
+    "test_fastserve.py": ("matches_module", "routing"),
+    "test_lowlat.py": ("matches_serving_forward_f32",),
+    "test_parallel.py": ("train_step_matches_single",),
+    "test_serve.py": ("score_matches", "plan_minimizes"),
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        sel = CORE_TIER.get(item.fspath.basename, False)
+        if sel is False or "slow" in item.keywords:
+            continue
+        if sel is None or any(pat in item.name for pat in sel):
+            item.add_marker(pytest.mark.core)
