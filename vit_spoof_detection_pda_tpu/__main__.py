@@ -17,6 +17,7 @@ COMMANDS = {
     "describe": "vit_spoof_detection_pda_tpu.cli.describe",
     "config": "vit_spoof_detection_pda_tpu.cli.config_cmd",
     "doctor": "vit_spoof_detection_pda_tpu.cli.doctor",
+    "demo": "vit_spoof_detection_pda_tpu.cli.demo",
 }
 
 
