@@ -214,3 +214,25 @@ def test_indivisible_geometry_fails_loudly():
                         jnp.zeros(64), jnp.zeros((64, 250)),
                         jnp.zeros(250), jnp.zeros((250, 64)),
                         jnp.zeros(64), n_chunks=4, interpret=True)
+
+
+def test_backward_phased_variant_bit_identical():
+    """The phase-split backward (BWD_PHASED probe kernel) must stay
+    bit-identical to the baseline chain kernel in both dtypes — same
+    dots, same dtypes, same per-element op order, different schedule."""
+    from vit_spoof_detection_pda_tpu.ops import attention as A
+
+    rng = np.random.default_rng(11)
+    try:
+        for dtype in (jnp.float32, jnp.bfloat16):
+            qkv = jnp.asarray(rng.normal(0, 1, (4, 197, 3 * 192)), dtype)
+            g = jnp.asarray(rng.normal(0, 1, (4, 197, 192)), dtype)
+            A.BWD_PHASED = False
+            base = np.asarray(A._backward_qkv(qkv, g, 4, interpret=True),
+                              np.float32)
+            A.BWD_PHASED = True
+            got = np.asarray(A._backward_qkv(qkv, g, 4, interpret=True),
+                             np.float32)
+            np.testing.assert_array_equal(base, got)
+    finally:
+        A.BWD_PHASED = False

@@ -256,6 +256,86 @@ def _attn_qkv_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, scale: float,
             dqkv_ref[bi, :, sl_v] = dv.astype(dqkv_ref.dtype)
 
 
+def _attn_qkv_bwd_kernel_phased(qkv_ref, g_ref, dqkv_ref, w_ref, *,
+                                scale: float, valid_len: int,
+                                num_heads: int, head_dim: int,
+                                block_b: int):
+    """Phase-split variant of :func:`_attn_qkv_bwd_kernel` (VERDICT r3
+    item 4 probe): the baseline interleaves each head's full serial
+    chain (logits -> softmax -> dv/dw -> dl -> dq/dk), so the MXU waits
+    on the VPU (softmax, dl elementwise) 24 times per program.  Here
+    every (batch, head) pair's softmax weights are materialized into a
+    VMEM scratch first (phase A), then all 24 independent dots of each
+    TYPE issue back-to-back (phases B-D), giving Mosaic same-shape MXU
+    work to pipeline and batching the VPU passes; the scratch slot is
+    reused in place for dl after w's last read.  Extra VMEM:
+    block_b*H*[Tp,Tp] f32 = 3.84 MB at ViT-B shapes (block_b=2).
+    Numerics identical to the baseline (same dots, same dtypes, same
+    order of operations per element)."""
+    tp = qkv_ref.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
+    mask = col < valid_len
+    d = num_heads * head_dim
+    cdt = qkv_ref.dtype
+
+    def sl(h, part):
+        return slice(part * d + h * head_dim,
+                     part * d + (h + 1) * head_dim)
+
+    # A: all softmax weights into scratch
+    for bi in range(block_b):
+        for h in range(num_heads):
+            q = qkv_ref[bi, :, sl(h, 0)]
+            k = qkv_ref[bi, :, sl(h, 1)]
+            logits = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            logits = jnp.where(mask, logits, -1e30)
+            w_ref[bi * num_heads + h] = jax.nn.softmax(logits, axis=-1)
+
+    # B: all dv = w^T g dots
+    for bi in range(block_b):
+        for h in range(num_heads):
+            wc = w_ref[bi * num_heads + h].astype(cdt)
+            g = g_ref[bi, :, sl(h, 0)].astype(cdt)
+            dv = jax.lax.dot_general(
+                wc, g, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dqkv_ref[bi, :, sl(h, 2)] = dv.astype(dqkv_ref.dtype)
+
+    # C: all dw = g v^T dots + softmax-VJP elementwise; dl overwrites
+    # the w slot (w's last read is here)
+    for bi in range(block_b):
+        for h in range(num_heads):
+            g = g_ref[bi, :, sl(h, 0)].astype(cdt)
+            v = qkv_ref[bi, :, sl(h, 2)]
+            dw = jax.lax.dot_general(
+                g, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            w = w_ref[bi * num_heads + h]
+            w_ref[bi * num_heads + h] = w * (
+                dw - jnp.sum(dw * w, axis=-1, keepdims=True))
+
+    # D: all dq = dl k, dk = dl^T q dots
+    for bi in range(block_b):
+        for h in range(num_heads):
+            dlc = w_ref[bi * num_heads + h].astype(cdt)
+            q = qkv_ref[bi, :, sl(h, 0)]
+            k = qkv_ref[bi, :, sl(h, 1)]
+            dq = jnp.dot(dlc, k,
+                         preferred_element_type=jnp.float32) * scale
+            dk = jax.lax.dot_general(
+                dlc, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            dqkv_ref[bi, :, sl(h, 0)] = dq.astype(dqkv_ref.dtype)
+            dqkv_ref[bi, :, sl(h, 1)] = dk.astype(dqkv_ref.dtype)
+
+
+# probe switch for the phased backward (exp_r25): module-level so the
+# experiment can A/B without threading a flag through the custom VJP
+BWD_PHASED = False
+
+
 def _backward_qkv(qkv, g, num_heads: int, *, interpret: bool = False,
                   valid_len: int | None = None):
     """dqkv for the fused attention.  ``valid_len`` marks ``qkv``/``g``
@@ -275,9 +355,17 @@ def _backward_qkv(qkv, g, num_heads: int, *, interpret: bool = False,
         g_p = jnp.pad(g, ((0, 0), (0, tp - t), (0, 0)))
     scale = float(head_dim) ** -0.5
     block_b = _block_b_for(b)
-    kernel = functools.partial(_attn_qkv_bwd_kernel, scale=scale,
-                               valid_len=t, num_heads=num_heads,
-                               head_dim=head_dim, block_b=block_b)
+    if BWD_PHASED:
+        kernel = functools.partial(
+            _attn_qkv_bwd_kernel_phased, scale=scale, valid_len=t,
+            num_heads=num_heads, head_dim=head_dim, block_b=block_b)
+        scratch = [pltpu.VMEM((block_b * num_heads, tp, tp),
+                              jnp.float32)]
+    else:
+        kernel = functools.partial(
+            _attn_qkv_bwd_kernel, scale=scale, valid_len=t,
+            num_heads=num_heads, head_dim=head_dim, block_b=block_b)
+        scratch = []
     out = pl.pallas_call(
         kernel,
         grid=(b // block_b,),
@@ -288,6 +376,7 @@ def _backward_qkv(qkv, g, num_heads: int, *, interpret: bool = False,
         out_specs=pl.BlockSpec((block_b, tp, d3), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, tp, d3), qkv.dtype),
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=12 * b * num_heads * tp * tp * head_dim,
             bytes_accessed=8 * b * tp * d * qkv.dtype.itemsize,
