@@ -79,7 +79,17 @@ orig_chain = _train_chain(cfg, crop=False)
 chains = {"orig": orig_chain}
 for g in ("heavy", "medium", "light"):
     chains[g] = CHAINS[g]() + orig_chain
-steps = {g: make_train_step(loss_fn, batch_prep=make_prep_fn(cfg, c))
+def _wrap(prep):
+    # driver contract: the pool stages lane-packed [N, row//128, 128]
+    # (exp_r24c); gathered rows unpack to NHWC inside the step
+    if not data.packed:
+        return prep
+    return lambda key, x: prep(key, x.reshape((x.shape[0],)
+                                              + data.row_shape))
+
+
+steps = {g: make_train_step(loss_fn,
+                            batch_prep=_wrap(make_prep_fn(cfg, c)))
          for g, c in chains.items()}
 
 

@@ -48,7 +48,8 @@ def test_pool_batches_contract():
     assert len(batches) == data.steps_per_epoch
     for b in batches:
         assert b["index"].shape == (4,)
-        assert b["image"].shape == images.shape       # the pool itself
+        assert b["image"] is data.pool                # the pool itself
+        assert b["image"].shape[0] == images.shape[0]
         np.testing.assert_array_equal(b["label"], labels[b["index"]])
         assert b["group"] in ("orig", "heavy", "medium", "light")
     # the orig group covers every pool index exactly once per epoch
@@ -90,6 +91,68 @@ def test_pool_wrap_pads_small_groups():
     for b in batches:
         assert b["index"].shape == (4,)
         assert set(b["index"].tolist()) <= {0, 1}
+
+
+def test_pool_packed_staging_contract():
+    """Divisible rows stage lane-packed [N, row//128, 128]; batches
+    carry the packed pool; non-divisible rows stay NHWC (exp_r24c:
+    packed gathers cost +0.7 ms/step vs +21/+73 on the NHWC layout)."""
+    import numpy as np
+
+    from vit_spoof_detection_pda_tpu.train.pool import DevicePoolData
+
+    images, labels = _pool(n=10, size=16)        # row 16*16*3=768 = 6*128
+    data = DevicePoolData(images, labels, live_mult=1, spoof_mult=1,
+                          batch_size=4, seed=0)
+    assert data.packed and data.row_shape == (16, 16, 3)
+    assert data.pool.shape == (10, 6, 128)
+    b = next(data.batches(0))
+    assert b["image"] is data.pool
+    # packed rows re-expand to the exact source images
+    got = np.asarray(b["image"])[b["index"]].reshape(
+        (-1,) + data.row_shape)
+    np.testing.assert_array_equal(got, images[b["index"]])
+
+    # 11*11*3 = 363 not divisible by 128 -> NHWC staging
+    rng = np.random.default_rng(0)
+    odd = rng.integers(0, 256, (6, 11, 11, 3), dtype=np.uint8)
+    data2 = DevicePoolData(odd, labels[:6], live_mult=1, spoof_mult=1,
+                           batch_size=2, seed=0)
+    assert not data2.packed
+    assert data2.pool.shape == (6, 11, 11, 3)
+
+
+def test_pool_gather_kernel_equivalence():
+    """ops.gather_pallas.pool_gather == jnp.take (interpret mode).
+
+    The TPU train step routes pool gathers through this kernel (XLA's
+    row-gather measured ~21 ms/batch at ViT pool shapes, exp_r24b);
+    covers lane-divisible rows at several batch/group splits, the
+    non-divisible fallback, and a non-u8 dtype.
+    """
+    import jax.numpy as jnp
+
+    from vit_spoof_detection_pda_tpu.ops.gather_pallas import pool_gather
+
+    rng = np.random.default_rng(0)
+    pool = rng.integers(0, 256, (37, 8, 16, 3), dtype=np.uint8)  # row=384
+    for b in (8, 12, 5, 1):
+        idx = rng.integers(0, 37, b).astype(np.int32)
+        out = pool_gather(jnp.asarray(pool), jnp.asarray(idx),
+                          interpret=True)
+        np.testing.assert_array_equal(np.asarray(out), pool[idx])
+    # row % 128 != 0 -> jnp.take fallback
+    pool2 = rng.integers(0, 256, (10, 5, 7), dtype=np.uint8)
+    idx = np.asarray([9, 0, 3], np.int32)
+    np.testing.assert_array_equal(
+        np.asarray(pool_gather(jnp.asarray(pool2), jnp.asarray(idx))),
+        pool2[idx])
+    # non-u8 rows ride the same kernel
+    pool3 = rng.normal(0, 1, (11, 2, 128)).astype(np.float32)
+    idx = np.asarray([10, 4], np.int32)
+    out = pool_gather(jnp.asarray(pool3), jnp.asarray(idx),
+                      interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), pool3[idx])
 
 
 def test_train_step_pool_gather_equivalence():
@@ -159,8 +222,11 @@ def test_train_step_pool_mesh_replicated():
 
     mesh = make_mesh()
     data = DevicePoolData(images, labels, batch_size=8, mesh=mesh)
+    assert data.packed        # 32*32*3 = 3072 divides 128
+    # driver contract: packed pools unpack to NHWC inside batch_prep
+    unpack = lambda key, x: x.reshape((x.shape[0],) + data.row_shape)
     step_m = make_train_step(losses.make_loss_fn("ce"), donate=False,
-                             mesh=mesh)
+                             mesh=mesh, batch_prep=unpack)
     s0 = create_train_state(module, tx, rng, input_shape=(1, 32, 32, 3))
     _, mm = step_m(s0, {"image": data.pool, "index": idx,
                         "label": labels[idx]})
