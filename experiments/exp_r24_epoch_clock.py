@@ -79,17 +79,8 @@ orig_chain = _train_chain(cfg, crop=False)
 chains = {"orig": orig_chain}
 for g in ("heavy", "medium", "light"):
     chains[g] = CHAINS[g]() + orig_chain
-def _wrap(prep):
-    # driver contract: the pool stages lane-packed [N, row//128, 128]
-    # (exp_r24c); gathered rows unpack to NHWC inside the step
-    if not data.packed:
-        return prep
-    return lambda key, x: prep(key, x.reshape((x.shape[0],)
-                                              + data.row_shape))
-
-
-steps = {g: make_train_step(loss_fn,
-                            batch_prep=_wrap(make_prep_fn(cfg, c)))
+steps = {g: make_train_step(
+            loss_fn, batch_prep=data.wrap_prep(make_prep_fn(cfg, c)))
          for g, c in chains.items()}
 
 
@@ -108,16 +99,14 @@ def run_epoch(state, epoch):
     loss = float(pending["loss"])
     wall = time.perf_counter() - t0
     n_steps = i + 1
-    # sustained mid-epoch rate from the 100-step marks (excludes the
-    # first-100 window that carries the compiles in epoch 1)
-    if len(marks) >= 2:
-        mid = 100 * (len(marks) - 1) * B / (marks[-1] - marks[0])
-    else:
-        mid = n_steps * B / wall
+    # NOTE: the 100-step marks are ENQUEUE times (no device sync) —
+    # they measure Python dispatch rate only, never quote them as
+    # throughput.  The honest number is the wall clock, whose final
+    # scalar fetch drains the device queue.
+    del marks
     print(f"epoch {epoch}: {n_steps} steps, wall {wall:.1f} s, "
-          f"{n_steps*B/wall:.0f} img/s end-to-end "
-          f"(mid-epoch sustained {mid:.0f} img/s), final loss {loss:.4f}",
-          flush=True)
+          f"{n_steps*B/wall:.0f} img/s end-to-end, "
+          f"final loss {loss:.4f}", flush=True)
     return state
 
 

@@ -14,6 +14,13 @@ Arms (full train step, orig chain, relay-differenced):
   c. pool4d + pallas            (exp_r24b: +72 ms, the relayout tax)
   d. pool3d + pallas + reshape  (the proposed fix)
   e. pool3d + jnp.take + reshape (is XLA's take also layout-bound?)
+
+ARCHIVED RESULT — arms b/c are no longer reproducible as written:
+after this experiment, train/step.py gained a guard that routes 4D
+NHWC pools to jnp.take unconditionally (pool_gather only engages on
+lane-packed [N, sub, 128] pools), so GP.DISABLE no longer
+distinguishes b from c.  The measured table lives in BENCH_NOTES
+round 24 (a 133.8 / b 155.2 / c 206.9 / d 134.5 / e 134.8 ms).
 """
 import time
 

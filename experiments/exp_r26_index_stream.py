@@ -50,13 +50,8 @@ for g in ("heavy", "medium", "light"):
     chains[g] = CHAINS[g]() + orig_chain
 
 
-def _wrap(prep):
-    return lambda key, x: prep(key, x.reshape((x.shape[0],)
-                                              + data.row_shape))
-
-
-steps = {g: make_train_step(loss_fn,
-                            batch_prep=_wrap(make_prep_fn(cfg, c)))
+steps = {g: make_train_step(
+            loss_fn, batch_prep=data.wrap_prep(make_prep_fn(cfg, c)))
          for g, c in chains.items()}
 
 order = ["orig", "heavy", "medium", "light"]

@@ -25,7 +25,7 @@ def test_demo_full_lifecycle(tmp_path):
     assert report["test_auc"] > 0.9
 
     # stage artifacts on disk
-    assert (ws / "aug" / "live").glob("*.jpg")
+    assert any((ws / "aug" / "live").glob("*.jpg"))
     assert any(p.name.isdigit() for p in (ws / "ckpts").iterdir())
     assert (ws / "results_test").is_dir()
     assert (ws / "results" / "model_comparison.json").exists()

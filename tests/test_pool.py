@@ -122,6 +122,25 @@ def test_pool_packed_staging_contract():
     assert data2.pool.shape == (6, 11, 11, 3)
 
 
+def test_pool_packed_staging_device_array_mesh_replicated():
+    """An already-staged jax.Array input under a mesh must come out
+    packed AND replicated (the packed branch once skipped the
+    NamedSharding the device_put path applied)."""
+    import jax.numpy as jnp
+
+    from vit_spoof_detection_pda_tpu.parallel.mesh import make_mesh
+    from vit_spoof_detection_pda_tpu.train.pool import DevicePoolData
+
+    images, labels = _pool(n=8, size=16)
+    mesh = make_mesh()
+    data = DevicePoolData(jnp.asarray(images), labels, live_mult=1,
+                          spoof_mult=1, batch_size=4, seed=0, mesh=mesh)
+    assert data.packed
+    assert data.pool.sharding.is_fully_replicated
+    got = np.asarray(data.pool).reshape((8,) + data.row_shape)
+    np.testing.assert_array_equal(got, images)
+
+
 def test_pool_gather_kernel_equivalence():
     """ops.gather_pallas.pool_gather == jnp.take (interpret mode).
 

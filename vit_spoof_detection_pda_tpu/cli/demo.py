@@ -90,6 +90,27 @@ def main(argv=None):
     ws = Path(args.out) if args.out else \
         Path(tempfile.mkdtemp(prefix="pad_demo_"))
     ws.mkdir(parents=True, exist_ok=True)
+    print(f"demo workspace: {ws}")
+    try:
+        report = _lifecycle(ws, args)
+    except BaseException:
+        # a mid-stage failure must not leak an unnamed tmpdir, and a
+        # named workspace should be pointed at for debugging
+        if not args.out and not args.keep:
+            shutil.rmtree(ws, ignore_errors=True)
+            print("(demo failed; tmp workspace removed — rerun with "
+                  "--out or --keep to retain partial artifacts)")
+        else:
+            print(f"(demo failed; partial artifacts under {ws})")
+        raise
+
+    if not args.out and not args.keep:
+        shutil.rmtree(ws, ignore_errors=True)
+        print("(workspace removed; pass --out/--keep to retain)")
+    return report
+
+
+def _lifecycle(ws, args):
     t_all = time.perf_counter()
     report = {}
 
@@ -230,10 +251,6 @@ def main(argv=None):
             print(f"  {k[:-2]:>16s}: {v:6.1f} s")
     print(f"  val_f1={report['val_f1']:.4f} test_auc={report['test_auc']:.4f}")
     report["wall_s"] = wall
-
-    if not args.out and not args.keep:
-        shutil.rmtree(ws, ignore_errors=True)
-        print("(workspace removed; pass --out/--keep to retain)")
     return report
 
 

@@ -198,15 +198,8 @@ def _make_pool_data(cfg: Config, mesh=None):
     chains = {"orig": orig_chain}
     for g in ("heavy", "medium", "light"):
         chains[g] = CHAINS[g]() + orig_chain
-    preps = {g: make_prep_fn(cfg, chain) for g, chain in chains.items()}
-    if data.packed:
-        # the staged pool is lane-packed [N, row//128, 128]; gathered
-        # rows arrive packed and reshape to NHWC before the aug chain
-        # (free: a [B]-sized view, unlike relayouting the whole pool
-        # in-step — exp_r24c)
-        def _unpack(p, shape):
-            return lambda key, x: p(key, x.reshape((x.shape[0],) + shape))
-        preps = {g: _unpack(p, data.row_shape) for g, p in preps.items()}
+    preps = {g: data.wrap_prep(make_prep_fn(cfg, chain))
+             for g, chain in chains.items()}
 
     def train_batches(epoch, skip=0):
         return data.batches(epoch, skip=skip)

@@ -131,15 +131,25 @@ class DevicePoolData:
                     lambda p, c, i: lax.dynamic_update_slice(
                         p, c.reshape((c.shape[0], sub, 128)), (i, 0, 0)),
                     donate_argnums=(0,))
-                pool = _put(np.zeros((n, sub, 128), images.dtype))
+                # destination created ON DEVICE (a host zeros pool would
+                # spike ~4 GB host RAM and upload zero bytes through
+                # the relay; every row is overwritten by the chunks)
+                dtype = jnp.dtype(images.dtype)
+                pool = jax.jit(
+                    lambda: jnp.zeros((n, sub, 128), dtype),
+                    **({"out_shardings": sharding}
+                       if sharding is not None else {}))()
                 chunk = max(1, min(n, (256 * 2**20) // max(1, row)))
                 for i in range(0, n, chunk):
                     pool = upd(pool, _put(images[i:i + chunk]),
                                jnp.int32(i))
             else:
-                # already on device: one reshape (transient 2x pool)
+                # already on device: one reshape (transient 2x pool),
+                # replicated over the mesh like the device_put path
                 pool = jax.jit(
-                    lambda p: jnp.reshape(p, (n, sub, 128)))(images)
+                    lambda p: jnp.reshape(p, (n, sub, 128)),
+                    **({"out_shardings": sharding}
+                       if sharding is not None else {}))(images)
             pool.block_until_ready()
             self.pool = pool
         else:
@@ -149,6 +159,22 @@ class DevicePoolData:
                  len(labels), gb,
                  " (packed [N,%d,128])" % (row // 128)
                  if self.packed else "")
+
+    def wrap_prep(self, prep):
+        """Adapt a ``batch_prep(key, images_nhwc)`` to the staged
+        layout: packed pools deliver gathered rows as [B, row//128, 128]
+        and must reshape back to ``row_shape`` before the chain (a
+        [B]-sized view — unlike relayouting the whole pool in-step,
+        exp_r24c).  The single owner of the unpack contract; NHWC pools
+        return ``prep`` unchanged."""
+        if not self.packed:
+            return prep
+        shape = self.row_shape
+
+        def unpacked(key, x):
+            return prep(key, x.reshape((x.shape[0],) + shape))
+
+        return unpacked
 
     @property
     def steps_per_epoch(self) -> int:
