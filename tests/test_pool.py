@@ -265,6 +265,43 @@ def test_train_step_pool_mesh_replicated():
 
 
 @pytest.mark.slow
+def test_pool_training_with_config_sharding(tmp_path):
+    """device_pool + config-driven FSDP: train_from_config must stage
+    the pool replicated over the SAME mesh the Trainer compiles on
+    (staging meshless while the Trainer builds a config mesh would
+    leave the pool committed to one device) and apply the FSDP layout."""
+    import jax
+
+    from vit_spoof_detection_pda_tpu.config import Config
+    from vit_spoof_detection_pda_tpu.train.driver import train_from_config
+
+    make_subject_tree(tmp_path / "raw", subjects=2, per_class=4, size=32)
+    cfg = Config().with_overrides({
+        "augment.online": True,
+        "augment.device_pool": True,
+        "augment.input_dir": str(tmp_path / "raw"),
+        "augment.live_augmentations": 2,
+        "augment.spoof_augmentations": 1,
+        "data.batch_size": 8,
+        "data.eval_batch_size": 8,
+        "data.img_size": 32,
+        "data.num_workers": 2,
+        "model.embed_dim": 64, "model.depth": 1, "model.num_heads": 2,
+        "model.head_hidden": 16, "model.patch_size": 16,
+        "optim.num_epochs": 1,
+        "sharding.fsdp": True, "sharding.fsdp_min_size": 1024,
+        "checkpoint.save_dir": str(tmp_path / "ckpt"),
+        "telemetry.log_interval": 100,
+    })
+    best, trainer = train_from_config(cfg)
+    assert trainer.mesh.devices.size == len(jax.devices())
+    fc1 = trainer.state.params["vit"]["block0"]["mlp"]["fc1"]["kernel"]
+    assert not fc1.sharding.is_fully_replicated      # FSDP layout engaged
+    assert np.isfinite(best["val_f1"])
+    assert int(trainer.state.step) > 0
+
+
+@pytest.mark.slow
 def test_pool_training_end_to_end(tmp_path):
     """Config-driven device-pool run: augment.online + device_pool."""
     from vit_spoof_detection_pda_tpu.config import Config

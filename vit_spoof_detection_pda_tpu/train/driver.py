@@ -319,6 +319,14 @@ def train_from_config(cfg: Config, *, mesh=None, records=None,
     """Run the full training lifecycle; returns the best-metrics dict."""
     if cfg.augment.online:
         if cfg.augment.device_pool:
+            if mesh is None:
+                # the pool must stage REPLICATED over the same mesh the
+                # Trainer will compile the step on — resolving the
+                # config mesh only inside the Trainer would leave the
+                # pool committed to one device and the mesh step
+                # re-transferring (or rejecting) it every call
+                from ..parallel import mesh_from_config
+                mesh = mesh_from_config(cfg.sharding)
             (train_batches, val_recs, steps, counts,
              preps) = _make_pool_data(cfg, mesh=mesh)
         else:

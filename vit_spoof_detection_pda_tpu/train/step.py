@@ -51,16 +51,19 @@ def make_train_step(loss_fn: Callable, *, has_batch_stats: bool = False,
         images, labels = batch["image"], batch["label"]
         if "index" in batch:
             packed = images.ndim == 3 and images.shape[-1] == 128
-            if packed and mesh is None and jax.default_backend() == "tpu":
+            one_device = mesh is None or mesh.size == 1
+            if packed and one_device and jax.default_backend() == "tpu":
                 # Lane-packed pool (train/pool.py stages [N,row//128,128]):
                 # the Pallas scalar-prefetch gather reads rows at HBM
                 # rate (+0.7 ms/step vs +21 XLA take on the NHWC pool,
                 # exp_r24c).  Unpacked pools keep jnp.take — routing
                 # them through the kernel forces a whole-pool relayout
-                # every step (+73 ms, exp_r24b).  Mesh path keeps
-                # jnp.take too (GSPMD cannot partition pallas_call; the
-                # pool is replicated there, so the gather is local and
-                # pays ~+1 ms on the packed layout).
+                # every step (+73 ms, exp_r24b).  Multi-device meshes
+                # keep jnp.take too (GSPMD cannot partition pallas_call;
+                # the pool is replicated there, so the gather is local
+                # and pays ~+1 ms on the packed layout) — a 1-device
+                # mesh (the Trainer always builds one) has nothing to
+                # partition and takes the kernel.
                 from ..ops.gather_pallas import pool_gather
                 images = pool_gather(images, batch["index"])
             else:
