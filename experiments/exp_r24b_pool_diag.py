@@ -5,6 +5,12 @@ rates pool-fed vs direct-batch, (c) the 4-group alternation pattern.
 
 v2: states are THREADED through every timed call (the steps donate
 their input state; reusing a donated buffer is a TPU InvalidArgument).
+
+ARCHIVED RESULT — the "pool-fed" rows measured the pallas gather on
+the NHWC pool (+72 ms: the in-step reshape relayouted the whole pool),
+which train/step.py no longer does: 4D pools now always jnp.take and
+only lane-packed pools take the kernel.  Re-running measures the take
+path; the original table lives in BENCH_NOTES round 24.
 """
 import time
 
