@@ -252,3 +252,75 @@ def test_reference_simple_validate_parity(ref_simple, tmp_path):
     np.testing.assert_allclose(block["val/npv"],
                                tn / (tn + fn) if tn + fn else 0,
                                atol=1e-9)
+
+
+@pytest.fixture
+def ref_simple_test(tmp_path, monkeypatch):
+    """Import /root/reference/simple/test.py with the same shims; cwd
+    moved so its timestamped log file lands in tmp."""
+    monkeypatch.chdir(tmp_path)
+    tv, tf = _torchvision_stub()
+    monkeypatch.setitem(sys.modules, "timm", _timm_shim())
+    monkeypatch.setitem(sys.modules, "torchvision", tv)
+    monkeypatch.setitem(sys.modules, "torchvision.transforms", tf)
+    spec = importlib.util.spec_from_file_location(
+        "reference_simple_test", "/root/reference/simple/test.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+    return ref
+
+
+def test_reference_simple_test_stack_scores_our_export(ref_simple_test,
+                                                       tmp_path):
+    """simple/test.py's load_checkpoint (:167-189) + test_model
+    (:192-222) + calculate_metrics (:223-280) run on OUR exported
+    ``.pth``: per-image score parity with our eval step, every metric
+    equal to our float64 replica on the identical vectors."""
+    import jax
+    import jax.numpy as jnp
+
+    from vit_spoof_detection_pda_tpu.metrics import parity
+    from vit_spoof_detection_pda_tpu.models import convert
+    from vit_spoof_detection_pda_tpu.models.vit import ViTAntiSpoof
+    from vit_spoof_detection_pda_tpu.train.step import make_eval_step
+
+    module = ViTAntiSpoof(dropout=0.0, **GEOM)
+    variables = module.init(jax.random.PRNGKey(31),
+                            jnp.zeros((1, 224, 224, 3), jnp.float32))
+    pth = tmp_path / "export.pth"
+    convert.save_torch_checkpoint(str(pth), variables, epoch=3)
+
+    cfg = ref_simple_test.TestConfig()
+    cfg.device = "cpu"
+    cfg.mixed_precision = False
+    cfg.dropout = 0.0
+    model = ref_simple_test.ViTFaceAntiSpoofing(cfg).to("cpu")
+    model, ckpt = ref_simple_test.load_checkpoint(str(pth), model, "cpu")
+    assert ckpt["epoch"] == 3
+
+    batches = _make_batches(3, 8, seed=41)
+    loader = [(torch.from_numpy(x.transpose(0, 3, 1, 2).copy()),
+               torch.from_numpy(y),
+               torch.arange(i * 8, i * 8 + 8))
+              for i, (x, y) in enumerate(batches)]
+    preds, labels, probs, indices = ref_simple_test.test_model(
+        model, loader, cfg)
+    np.testing.assert_array_equal(indices, np.arange(24))
+
+    eval_fn = make_eval_step(module.apply)
+    ours = np.concatenate([np.asarray(
+        eval_fn(variables["params"], None, jnp.asarray(x))["score"],
+        np.float64) for x, _ in batches])
+    np.testing.assert_allclose(ours, probs, rtol=0, atol=1e-5)
+
+    ref_metrics, ref_cm = ref_simple_test.calculate_metrics(
+        labels, preds, probs)
+    want, want_cm = parity.calculate_metrics(
+        labels.astype(np.int64), (ours >= 0.5).astype(np.int64), ours)
+    np.testing.assert_array_equal(want_cm, ref_cm)
+    for key in ("accuracy", "precision", "recall", "f1_score", "auc",
+                "specificity", "npv", "ppv", "far", "frr", "eer",
+                "tp", "tn", "fp", "fn", "total_samples", "live_samples",
+                "spoof_samples"):
+        np.testing.assert_allclose(want[key], ref_metrics[key],
+                                   rtol=0, atol=1e-6, err_msg=key)
