@@ -81,6 +81,7 @@ CORE_TIER = {
     "test_pool.py": ("equivalence", "contract"),
     "test_reference_train_exec.py": ("focal", "threshold_sweep",
                                      "early_stopping"),
+    "test_reference_simple_exec.py": ("split_parity",),
     # eval + analysis golden replays
     "test_eval.py": ("alignment", "golden_replay", "artifacts"),
     "test_analysis.py": ("golden",),
