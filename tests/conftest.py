@@ -82,6 +82,7 @@ CORE_TIER = {
     "test_reference_train_exec.py": ("focal", "threshold_sweep",
                                      "early_stopping"),
     "test_reference_simple_exec.py": ("split_parity",),
+    "test_reference_harness_exec.py": ("golden_vectors",),
     # eval + analysis golden replays
     "test_eval.py": ("alignment", "golden_replay", "artifacts"),
     "test_analysis.py": ("golden",),

@@ -39,7 +39,8 @@ from vit_spoof_detection_pda_tpu.eval.harness import (
 REF_ANALYSIS = "/root/reference/testing_set_analysis_src/additional_analysis.py"
 REF_FIGURES = "/root/reference/data_vis/generate_figures.py"
 
-MODELS = ("Custom_ViT_FineTuned", "ResNet50_Pretrained")
+MODELS = ("Custom_ViT_FineTuned", "ResNet50_Pretrained",
+          "Base_ViT_Pretrained")   # violin_plot.py:49-53 needs all three
 
 
 def _import_file(path, name):
@@ -190,3 +191,80 @@ def test_reference_figures_render_from_our_tree(our_results_tree, tmp_path,
                  "confusion_matrix_vit", "confusion_matrix_resnet",
                  "misclassified_vit", "misclassified_resnet"):
         assert f"{stem}.png" in made, (stem, made)
+
+
+def test_reference_small_figure_scripts_from_our_outputs(our_results_tree,
+                                                         tmp_path,
+                                                         monkeypatch):
+    """The four small data_vis scripts run UNMODIFIED on outputs OUR
+    code produced: violin_plot.py on our analyzers' distribution files,
+    make_misclassified_2x2.py on our failed-case crops, and the two
+    data-augmentation figures on images OUR augmentation engine
+    generated (the consuming direction for every remaining offline
+    figure script)."""
+    ours, img_dir = our_results_tree
+
+    from vit_spoof_detection_pda_tpu.analysis.distributions import (
+        analyze_score_distributions)
+    from vit_spoof_detection_pda_tpu.analysis.failed_cases import (
+        extract_failed_cases)
+    analyze_score_distributions(str(ours))
+    extract_failed_cases(str(ours), str(img_dir), top_n=20)
+
+    sandbox = tmp_path / "smallfigs"
+    sandbox.mkdir()
+    (sandbox / "results").symlink_to(ours)
+
+    # sample_augmented_images/<s>/{spoof_original/original.jpg,
+    # augmented/augmented.jpg} — the augmented half comes from OUR
+    # augmentation chain (make_data_augmentation_figure.py:44-52)
+    import jax
+    import numpy as np
+    from vit_spoof_detection_pda_tpu.augment.policy import (
+        make_batch_augmenter)
+    aug = make_batch_augmenter("heavy", jit=False)
+    rng = np.random.default_rng(17)
+    for s in range(4):
+        d = sandbox / "sample_augmented_images" / f"sample{s}"
+        (d / "spoof_original").mkdir(parents=True)
+        (d / "augmented").mkdir()
+        orig = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+        Image.fromarray(orig).save(d / "spoof_original" / "original.jpg")
+        out = aug(jax.random.PRNGKey(s),
+                  (orig[None].astype(np.float32) / 255.0))
+        out_u8 = np.clip(np.asarray(out)[0] * 255.0, 0, 255).astype(
+            np.uint8)
+        Image.fromarray(out_u8).save(d / "augmented" / "augmented.jpg")
+
+    monkeypatch.chdir(sandbox)
+    violin = _import_file("/root/reference/data_vis/violin_plot.py",
+                          "reference_violin")
+    violin.generate_score_distribution_comparison()
+
+    mis = _import_file(
+        "/root/reference/data_vis/make_misclassified_2x2.py",
+        "reference_mis2x2")
+    mis.generate_misclassified_2x2(
+        "Custom_ViT_FineTuned", "misclassified_vit",
+        "Misclassified Samples – Custom ViT (Fine-tuned)")
+    mis.generate_misclassified_2x2(
+        "ResNet50_Pretrained", "misclassified_resnet",
+        "Misclassified Samples – ResNet-50 (Pretrained)")
+
+    augfig = _import_file(
+        "/root/reference/data_vis/make_data_augmentation_figure.py",
+        "reference_augfig")
+    augfig.generate_data_augmentation_figure()
+    aug2x2 = _import_file(
+        "/root/reference/data_vis/make_data_augmentation_2x2.py",
+        "reference_aug2x2")
+    next(getattr(aug2x2, f) for f in dir(aug2x2)
+         if f.startswith("generate"))()
+
+    made = {p.name for p in (sandbox / "figures").glob("*.png")}
+    for stem in ("misclassified_vit", "misclassified_resnet",
+                 "data_augmentation"):
+        assert f"{stem}.png" in made, (stem, made)
+    # violin_plot.py saves under its own figures_more/ (violin_plot.py:26)
+    assert (sandbox / "figures_more"
+            / "score_distribution_comparison.png").exists()
