@@ -261,6 +261,16 @@ def test_reference_small_figure_scripts_from_our_outputs(our_results_tree,
     next(getattr(aug2x2, f) for f in dir(aug2x2)
          if f.startswith("generate"))()
 
+    # generate_additional_figures.py (FigA-D) reads model_comparison.json
+    # (our create_comparison_reports) + the distribution files
+    addfigs = _import_file(
+        "/root/reference/data_vis/generate_additional_figures.py",
+        "reference_additional_figures")
+    addfigs.generate_finetuning_impact()
+    addfigs.generate_threshold_comparison_table()
+    addfigs.generate_score_distribution_comparison()
+    addfigs.generate_overlaid_histograms()
+
     made = {p.name for p in (sandbox / "figures").glob("*.png")}
     for stem in ("misclassified_vit", "misclassified_resnet",
                  "data_augmentation"):
