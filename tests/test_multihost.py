@@ -67,6 +67,41 @@ _WORKER = textwrap.dedent("""
         state, m = step(state, batch)
         losses_out.append(float(m["loss"]))
 
+    # device-pool mode across processes: the IDENTICAL pool stages
+    # REPLICATED on every host (train/pool.py packed staging over the
+    # global mesh) and each host slices its rows from the identical
+    # global index stream (the Trainer._device_batch contract) — the
+    # pool-fed loss must equal the direct-rows loss
+    from vit_spoof_detection_pda_tpu.train.pool import DevicePoolData
+    pool_imgs = np.random.default_rng(7).integers(
+        0, 256, (10, 16, 16, 3), dtype=np.uint8)
+    pool_lbls = (np.arange(10) % 2).astype(np.int32)
+    pdata = DevicePoolData(pool_imgs, pool_lbls, live_mult=1,
+                           spoof_mult=1, batch_size=8, seed=0, mesh=mesh)
+    assert pdata.packed and pdata.pool.sharding.is_fully_replicated
+    gidx = np.asarray([9, 1, 4, 7, 5, 0, 2, 6], np.int32)
+    unpack = pdata.wrap_prep(lambda k, x: x.astype(jnp.float32) / 255.0)
+    step_p = make_train_step(losses.make_loss_fn("focal"), donate=False,
+                             mesh=mesh, batch_prep=unpack)
+    per = len(gidx) // 2
+    lo = pid * per
+    small = shard_batch({"index": gidx[lo:lo + per],
+                         "label": pool_lbls[gidx][lo:lo + per]}, mesh)
+    s_p = create_train_state(Tiny(), make_optimizer(1e-2),
+                             jax.random.PRNGKey(3),
+                             input_shape=(1, 16, 16, 3))
+    _, m_pool = step_p(s_p, {"image": pdata.pool, **small})
+    loss_pool = float(m_pool["loss"])
+    step_r = make_train_step(
+        losses.make_loss_fn("focal"), donate=False, mesh=mesh,
+        batch_prep=lambda k, x: x.astype(jnp.float32) / 255.0)
+    rows = pool_imgs[gidx]
+    _, m_rows = step_r(s_p, shard_batch(
+        {"image": rows[lo:lo + per],
+         "label": pool_lbls[gidx][lo:lo + per]}, mesh))
+    loss_rows = float(m_rows["loss"])
+    assert abs(loss_pool - loss_rows) < 1e-6, (loss_pool, loss_rows)
+
     # Trainer.validate: per-host val shards -> broadcast_one_to_all
     from vit_spoof_detection_pda_tpu.train.trainer import Trainer
     cfg = Config().with_overrides({

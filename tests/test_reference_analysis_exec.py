@@ -258,8 +258,7 @@ def test_reference_small_figure_scripts_from_our_outputs(our_results_tree,
     aug2x2 = _import_file(
         "/root/reference/data_vis/make_data_augmentation_2x2.py",
         "reference_aug2x2")
-    next(getattr(aug2x2, f) for f in dir(aug2x2)
-         if f.startswith("generate"))()
+    aug2x2.generate_data_augmentation_2x2()
 
     # generate_additional_figures.py (FigA-D) reads model_comparison.json
     # (our create_comparison_reports) + the distribution files

@@ -158,15 +158,26 @@ def _make_pool_data(cfg: Config, mesh=None):
     if not records:
         raise FileNotFoundError(
             f"online augmentation: no images under {cfg.augment.input_dir}")
-    records = shard_for_host(records)
+    # Pool mode must NOT host-shard the records: the pool is staged
+    # REPLICATED over the (global) mesh, so every process needs the
+    # IDENTICAL image set in the identical order — per-host record
+    # shards would stage differently-shaped "replicated" arrays and
+    # diverge/deadlock the collective staging programs.  The per-host
+    # data split happens on the INDEX streams instead
+    # (Trainer._device_batch -> shard_batch assembles each host's rows).
+    # Validation still STREAMS images host->device, so the val half
+    # keeps the usual per-host shard.
     train_recs, val_recs = stratified_split(
         records, cfg.data.train_split, cfg.data.split_seed)
+    val_recs = shard_for_host(val_recs)
 
     size = cfg.data.img_size
     if cfg.data.shard_cache:
         from ..data.shards import ShardStore
         cache_dir = f"{cfg.data.shard_cache}/pool"
         if jax.process_count() > 1:
+            # same content per host, but per-host dirs avoid lock
+            # contention when the cache path is on a shared filesystem
             cache_dir = f"{cache_dir}/host{jax.process_index()}"
         store = ShardStore.build(train_recs, cache_dir, img_size=size,
                                  resize="exact",

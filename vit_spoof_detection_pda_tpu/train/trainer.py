@@ -622,9 +622,20 @@ class Trainer:
         if "index" in batch:
             # pool mode (train/pool.py): image is the HBM-resident pool,
             # already replicated on device — only the tiny index/label
-            # vectors cross host->device each step
-            small = shard_batch(
-                {"index": np.asarray(batch["index"], np.int32),
-                 "label": lbl}, self.mesh)
+            # vectors cross host->device each step.  Every process
+            # generates the IDENTICAL global index batch (same seeds on
+            # the unsharded record set), so in a multi-process run each
+            # host contributes its row slice (shard_batch expects LOCAL
+            # rows there).
+            idx = np.asarray(batch["index"], np.int32)
+            lbl_np = np.asarray(lbl, np.int32)
+            n_proc = jax.process_count()
+            if n_proc > 1:
+                per = len(idx) // n_proc
+                lo = jax.process_index() * per
+                idx = idx[lo:lo + per]
+                lbl_np = lbl_np[lo:lo + per]
+            small = shard_batch({"index": idx, "label": lbl_np},
+                                self.mesh)
             return {"image": img, **small}
         return shard_batch({"image": img, "label": lbl}, self.mesh)
