@@ -231,7 +231,8 @@ def _lifecycle(ws, args):
     predict_main([str(ws / "artifact"), str(ws / "test"),
                   "--output", str(ws / "predictions.csv"),
                   "--num-workers", "2"])
-    n_pred = sum(1 for _ in open(ws / "predictions.csv")) - 1
+    with open(ws / "predictions.csv") as fh:
+        n_pred = sum(1 for _ in fh) - 1
     print(f"predictions.csv: {n_pred} rows")
     report["predict_s"] = time.perf_counter() - t
 

@@ -332,7 +332,12 @@ def _attn_qkv_bwd_kernel_phased(qkv_ref, g_ref, dqkv_ref, w_ref, *,
 
 
 # probe switch for the phased backward (exp_r25): module-level so the
-# experiment can A/B without threading a flag through the custom VJP
+# experiment can A/B without threading a flag through the custom VJP.
+# CAVEAT: read at TRACE time — set it BEFORE the first step compiles in
+# the process; flipping it afterwards keeps serving the previously
+# traced kernel out of the jit cache (same for gather_pallas.DISABLE),
+# so a mid-process toggle measures the wrong variant.  Experiments must
+# A/B across fresh jit scopes (new step fns), as exp_r25 does.
 BWD_PHASED = False
 
 

@@ -111,12 +111,14 @@ def make_train_step(loss_fn: Callable, *, has_batch_stats: bool = False,
             return (None, jax.tree.map(
                 lambda s: NamedSharding(mesh, s), spec))
 
-        # in_shardings must be static: build one jit per batch layout,
-        # dispatched on the presence of "index"
+        # in_shardings must be static: build one jit per batch LAYOUT —
+        # keyed on the sorted key set, not just the presence of "index",
+        # so a batch with extra/missing keys gets its own jit instead of
+        # a pytree-structure error inside a cached one
         jits = {}
 
         def dispatch(state, batch):
-            key = "index" in batch
+            key = tuple(sorted(batch))
             if key not in jits:
                 jits[key] = jax.jit(
                     step, in_shardings=_in_shardings(batch),

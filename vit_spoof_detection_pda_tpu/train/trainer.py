@@ -631,6 +631,13 @@ class Trainer:
             lbl_np = np.asarray(lbl, np.int32)
             n_proc = jax.process_count()
             if n_proc > 1:
+                if len(idx) % n_proc:
+                    # fail loudly: silent truncation would shrink the
+                    # global batch to per*n_proc and bias training
+                    raise ValueError(
+                        f"pool-mode batch of {len(idx)} rows does not "
+                        f"divide over {n_proc} processes; choose a "
+                        "batch_size divisible by process_count")
                 per = len(idx) // n_proc
                 lo = jax.process_index() * per
                 idx = idx[lo:lo + per]
