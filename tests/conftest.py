@@ -87,6 +87,8 @@ CORE_TIER = {
     "test_eval.py": ("alignment", "golden_replay", "artifacts"),
     "test_analysis.py": ("golden",),
     "test_fastserve_metric_bound.py": None,
+    # training kernels (fused block fwd/bwd + LN-tail Pallas pass)
+    "test_fasttrain.py": ("grads_match", "ln_residual"),
     # serving kernels + daemon + parallelism
     "test_attention.py": ("matches_dense",),
     "test_fastserve.py": ("matches_module", "routing"),

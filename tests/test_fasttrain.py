@@ -79,10 +79,11 @@ def test_train_forward_matches_module_f32():
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
 
 
-@pytest.mark.parametrize("xhat_mlp", [False, True])
-def test_train_forward_param_grads_match_module_f32(xhat_mlp):
-    """Both MLP VJPs (autodiff default, store-only-xhat opt-in) must
-    produce module-path gradients."""
+@pytest.mark.parametrize("mlp_mode", ["autodiff", "xhat", "hidden"])
+def test_train_forward_param_grads_match_module_f32(mlp_mode):
+    """All three MLP VJPs (autodiff default, store-only-xhat, stored-
+    hidden with the Pallas LN tail) must produce module-path
+    gradients."""
     m, v = small_model()
     x = batch()
     labels = jnp.asarray([0, 1], jnp.int32)
@@ -93,7 +94,7 @@ def test_train_forward_param_grads_match_module_f32(xhat_mlp):
             jnp.arange(2), labels]) * -1.0
 
     with attention_sharding(interpret=True):
-        fast = FT.make_apply(m, xhat_mlp=xhat_mlp)
+        fast = FT.make_apply(m, mlp_mode=mlp_mode)
 
         def loss_fast(params):
             logits = fast({"params": params}, x)
@@ -213,3 +214,75 @@ def test_gelu_lean_matches_plain_gelu():
     plain_jaxpr = str(jax.make_jaxpr(jax.grad(
         lambda t: jnp.sum(jax.nn.gelu(t, approximate=False))))(x))
     assert lean_jaxpr.count("erf") == plain_jaxpr.count("erf") + 1
+
+
+def test_ln_residual_bwd_kernel_matches_reference():
+    """The fused LN/residual backward Pallas pass (ops/ln_bwd.py) must
+    reproduce the pure-XLA chain it replaces: dx, dscale, dbias — and
+    honor the padding contract (pad rows with dxn = g = 0 give dx = 0
+    and no spurious parameter-grad contribution)."""
+    from vit_spoof_detection_pda_tpu.ops.ln_bwd import (
+        ln_residual_bwd, ln_residual_bwd_reference)
+
+    rng = np.random.default_rng(3)
+    b, t, tp, d = 4, 13, 16, 64
+    x = rng.standard_normal((b, tp, d)).astype(np.float32)
+    x32 = jnp.asarray(x)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean((x32 - mu) ** 2, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + 1e-6)
+    xh = (x32 - mu) * inv
+    # pad rows: dxn and g zero beyond t (the fasttrain contract)
+    row_mask = (np.arange(tp) < t)[None, :, None]
+    dxn = jnp.asarray(rng.standard_normal((b, tp, d)) * row_mask,
+                      jnp.float32)
+    g = jnp.asarray(rng.standard_normal((b, tp, d)) * row_mask,
+                    jnp.float32)
+    lns = jnp.asarray(rng.standard_normal(d) * 0.1 + 1, jnp.float32)
+
+    dx, dlns, dlnb = ln_residual_bwd(xh, inv, dxn, g, lns,
+                                     interpret=True)
+    rdx, rdlns, rdlnb = ln_residual_bwd_reference(xh, inv, dxn, g, lns)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(rdx),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(dlns), np.asarray(rdlns),
+                               atol=1e-4, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(dlnb), np.asarray(rdlnb),
+                               atol=1e-4, rtol=1e-5)
+    # padding contract: pad rows come out exactly zero
+    np.testing.assert_array_equal(np.asarray(dx[:, t:]), 0.0)
+
+
+def test_ln_residual_bwd_equals_autodiff_of_ln_residual():
+    """End-to-end check against jax.grad of y = x + LN(x)*s + b (the
+    exact sub-layer tail the kernel serves)."""
+    from vit_spoof_detection_pda_tpu.ops.ln_bwd import ln_residual_bwd
+
+    rng = np.random.default_rng(4)
+    b, t, d = 2, 8, 64
+    eps = 1e-6
+    x = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+    lns = jnp.asarray(rng.standard_normal(d) * 0.1 + 1, jnp.float32)
+    lnb = jnp.asarray(rng.standard_normal(d) * 0.1, jnp.float32)
+    w = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+
+    def f(x, lns, lnb):
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+        xh = (x - mu) * jax.lax.rsqrt(var + eps)
+        return jnp.sum((x + xh * lns + lnb) * w)
+
+    gx, gs, gb = jax.grad(f, argnums=(0, 1, 2))(x, lns, lnb)
+
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xh = (x - mu) * inv
+    # dxn = w (cotangent into the affine LN output); g = w (residual)
+    dx, dlns, dlnb = ln_residual_bwd(xh, inv, w, w, lns, interpret=True)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(gx),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(dlns), np.asarray(gs),
+                               atol=1e-4, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(dlnb), np.asarray(gb),
+                               atol=1e-4, rtol=1e-5)

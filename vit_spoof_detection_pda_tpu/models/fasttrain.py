@@ -30,6 +30,16 @@ zero-row weight-grad GEMMs returned the entire win (129.4 ms) — the
 row padding of the residual tensors, not the backward math, was the
 whole game.  Default ON (`model.fused_train_forward`).
 
+Round-26 backward wave (BENCH_NOTES.md round 26, exp_r27/r27b): the
+f32 LN/residual backward chains now run as ONE Pallas pass per site
+(ops/ln_bwd.py; the forward kernel emits inv for free), the MLP default
+moved to the stored-hidden custom VJP so its LN tail uses the kernel
+too, and dxn is emitted in the compute dtype (the attention-backward
+input-dtype rule).  Full-step interleaved A/B: **125.6 -> 120.0
+ms/step erf (+4.5%)** — the remaining round-20 LN attribution was
+overlapped behind MXU work, re-confirming that per-op roofline tables
+do not compose into program time.
+
 Dispatch: the fused path engages on a single-device TPU backend or
 under ``ops.attention.attention_sharding(interpret=True)`` (CPU tests);
 anywhere else ``make_apply`` returns ``module.apply`` unchanged, so
@@ -59,17 +69,17 @@ from ..ops.attention import _backward_qkv, _block_b_for, _round_up
 
 def _attn_block_train_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
                              wproj_ref, bproj_ref, o_ref, qkv_ref,
-                             attn_ref, xh_ref, *, scale: float,
+                             attn_ref, xh_ref, inv_ref, *, scale: float,
                              valid_len: int, num_heads: int,
                              head_dim: int, block_b: int, eps: float,
                              out_rows: int):
     """Serving attention-block kernel (ops/attention.py
-    ``_attn_block_kernel``) with three extra outputs: the [Tp, 3D] QKV
-    projection, the [Tp, D] pre-proj attention output, and the LN
-    pre-affine normalization xhat — the autodiff residuals.  Emitting
-    them costs the HBM writes the unfused path's op outputs cost anyway,
-    so the fusion win is kept; they stay PADDED so the backward never
-    re-pads."""
+    ``_attn_block_kernel``) with four extra outputs: the [Tp, 3D] QKV
+    projection, the [Tp, D] pre-proj attention output, the LN
+    pre-affine normalization xhat, and the per-row rsqrt(var+eps) — the
+    autodiff residuals.  Emitting them costs the HBM writes the unfused
+    path's op outputs cost anyway, so the fusion win is kept; they stay
+    PADDED so the backward never re-pads."""
     tp = x_ref.shape[1]
     d = num_heads * head_dim
     col = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
@@ -78,7 +88,9 @@ def _attn_block_train_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref,
         x = x_ref[bi].astype(jnp.float32)                    # [Tp, D]
         mu = jnp.mean(x, axis=-1, keepdims=True)
         var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
-        xh = (x - mu) * jax.lax.rsqrt(var + eps)
+        inv = jax.lax.rsqrt(var + eps)                       # [Tp, 1]
+        inv_ref[bi] = inv[:out_rows]
+        xh = (x - mu) * inv
         xh_ref[bi] = xh[:out_rows].astype(xh_ref.dtype)
         xn = (xh * lns_ref[0].astype(jnp.float32)
               + lnb_ref[0].astype(jnp.float32)).astype(x_ref.dtype)
@@ -133,7 +145,7 @@ def _attn_block_fwd_pallas(x, lns, lnb, wqkv, bqkv, wproj, bproj,
         out_rows=to)
     blk = lambda r, w: pl.BlockSpec((block_b, r, w), lambda i: (i, 0, 0),  # noqa: E731
                                     memory_space=pltpu.VMEM)
-    o, qkv, attn, xh = pl.pallas_call(
+    o, qkv, attn, xh, inv = pl.pallas_call(
         kernel,
         grid=(b // block_b,),
         in_specs=[
@@ -145,11 +157,13 @@ def _attn_block_fwd_pallas(x, lns, lnb, wqkv, bqkv, wproj, bproj,
             pl.BlockSpec((d, d), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
         ],
-        out_specs=(blk(to, d), blk(to, 3 * d), blk(to, d), blk(to, d)),
+        out_specs=(blk(to, d), blk(to, 3 * d), blk(to, d), blk(to, d),
+                   blk(to, 1)),
         out_shape=(jax.ShapeDtypeStruct((b, to, d), x.dtype),
                    jax.ShapeDtypeStruct((b, to, 3 * d), x.dtype),
                    jax.ShapeDtypeStruct((b, to, d), x.dtype),
-                   jax.ShapeDtypeStruct((b, to, d), x.dtype)),
+                   jax.ShapeDtypeStruct((b, to, d), x.dtype),
+                   jax.ShapeDtypeStruct((b, to, 1), jnp.float32)),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * tp * d * 4 * d
             + 4 * b * num_heads * tp * tp * head_dim,
@@ -157,7 +171,7 @@ def _attn_block_fwd_pallas(x, lns, lnb, wqkv, bqkv, wproj, bproj,
             transcendentals=b * num_heads * tp * tp),
         interpret=interpret,
     )(xp, row(lns), row(lnb), wqkv, row(bqkv), wproj, row(bproj))
-    return o[:, :t], qkv, attn, xh
+    return o[:, :t], qkv, attn, xh, inv
 
 
 def _ln_forward(x, scale, bias, eps):
@@ -183,11 +197,25 @@ def attn_block_train(x, lns, lnb, wqkv, bqkv, wproj, bproj,
                                  num_heads, eps=eps, interpret=interpret)
 
 
+# Fold the LN/residual backward tail into ONE Pallas pass
+# (ops/ln_bwd.py) instead of XLA's elementwise+reduce chains.  Module
+# flag read at TRACE time (same caveat as ops.attention.BWD_PHASED):
+# set before the first step compiles; A/B across fresh jit scopes.
+LN_BWD_PALLAS = True
+
+# Emit the dxn cotangent (the LN kernel's largest operand) in the
+# COMPUTE dtype instead of f32 — the input-dtype rule the attention
+# backward already ships (BENCH_NOTES round 22); halves the [B,T,D]
+# write+read between the dxn GEMM and the LN tail on the bf16 path.
+# Trace-time flag (A/B in exp_r27b).
+DXN_COMPACT = True
+
+
 def _abt_fwd(x, lns, lnb, wqkv, bqkv, wproj, bproj, num_heads, eps,
              interpret):
-    o, qkv, attn, xh = _attn_block_fwd_pallas(
+    o, qkv, attn, xh, inv = _attn_block_fwd_pallas(
         x, lns, lnb, wqkv, bqkv, wproj, bproj, num_heads, eps, interpret)
-    return o, (x, qkv, attn, xh, lns, lnb, wqkv, wproj)
+    return o, (x, qkv, attn, xh, inv, lns, lnb, wqkv, wproj)
 
 
 def _abt_bwd(num_heads, eps, interpret, res, g):
@@ -197,7 +225,7 @@ def _abt_bwd(num_heads, eps, interpret, res, g):
     (the Pallas attention backward gives dqkv = 0 on zero-g rows), so
     all padded-operand GEMMs contribute nothing spurious; only dxn/xh
     are sliced back for the row-local LayerNorm backward."""
-    x, qkv, attn, xh, lns, lnb, wqkv, wproj = res
+    x, qkv, attn, xh, inv, lns, lnb, wqkv, wproj = res
     b, t, d = x.shape
     tp = qkv.shape[1]
     g32 = g.astype(jnp.float32)
@@ -234,20 +262,30 @@ def _abt_bwd(num_heads, eps, interpret, res, g):
     dxn = jax.lax.dot_general(
         dqkv, wqkv, (((2,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)                  # [B,Tp,D] f32
+    if DXN_COMPACT and LN_BWD_PALLAS:
+        dxn = dxn.astype(x.dtype)    # GEMM epilogue cast; bf16 buffer
 
-    # LayerNorm backward (row-local, unpadded; inv_std recomputed from x
-    # in one fused reduction pass — no stored f32 tensor needed)
-    dxn = dxn[:, :t]
-    xh32 = xh32_p[:, :t]
-    x32 = x.astype(jnp.float32)
-    var = jnp.var(x32, axis=-1, keepdims=True)
-    inv = jax.lax.rsqrt(var + eps)
-    dlns = jnp.sum((dxn * xh32).reshape(-1, d), axis=0)
-    dlnb = jnp.sum(dxn.reshape(-1, d), axis=0)
-    dxh = dxn * lns.astype(jnp.float32)
-    dx_ln = inv * (dxh - jnp.mean(dxh, axis=-1, keepdims=True)
-                   - xh32 * jnp.mean(dxh * xh32, axis=-1, keepdims=True))
-    dx = (g32 + dx_ln).astype(x.dtype)
+    # LayerNorm backward (row-local): one fused Pallas pass over the
+    # PADDED residuals (pad rows have dxn = g = 0, so they contribute
+    # exactly zero — ops/ln_bwd.py padding contract), replacing XLA's
+    # ~1.5 ms/layer f32 elementwise+reduce chains on the serial dx
+    # critical path (BENCH_NOTES round 20)
+    if LN_BWD_PALLAS:
+        from ..ops.ln_bwd import ln_residual_bwd
+        dx_p, dlns, dlnb = ln_residual_bwd(xh, inv, dxn, g_p, lns,
+                                           interpret=interpret)
+        dx = dx_p[:, :t]
+    else:
+        dxn = dxn[:, :t]
+        xh32 = xh32_p[:, :t]
+        dlns = jnp.sum((dxn * xh32).reshape(-1, d), axis=0)
+        dlnb = jnp.sum(dxn.reshape(-1, d), axis=0)
+        dxh = dxn * lns.astype(jnp.float32)
+        inv_t = inv[:, :t]
+        dx_ln = inv_t * (
+            dxh - jnp.mean(dxh, axis=-1, keepdims=True)
+            - xh32 * jnp.mean(dxh * xh32, axis=-1, keepdims=True))
+        dx = (g32 + dx_ln).astype(x.dtype)
     return (dx, dlns.astype(lns.dtype), dlnb.astype(lnb.dtype), dwqkv,
             dbqkv.astype(jnp.float32), dwproj, dbproj.astype(jnp.float32))
 
@@ -353,6 +391,88 @@ mlp_block_train.defvjp(_mbt_fwd, _mbt_bwd)
 
 
 # --------------------------------------------------------------------------
+# MLP sub-layer with stored-hidden VJP (autodiff residuals, fused LN tail)
+# --------------------------------------------------------------------------
+
+
+def _ln_xhat_inv(x, scale, bias, eps):
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean((x32 - mu) ** 2, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xh = (x32 - mu) * inv
+    return xh, xh * scale.astype(jnp.float32) + bias.astype(jnp.float32), inv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def mlp_block_train_h(x, lns, lnb, w1, b1, w2, b2, approx: bool,
+                      eps: float, interpret: bool):
+    """x + fc2(gelu(fc1(LN2(x)))) with the AUTODIFF residual strategy
+    (store the pre-activation hidden ``h``; recompute the GELU gate
+    elementwise like ops/gelu.py::gelu_lean — no GEMM recompute, the
+    measured rejection of :func:`mlp_block_train` as default) but with
+    the LN/residual backward tail folded into the ops/ln_bwd.py Pallas
+    pass instead of XLA's f32 elementwise+reduce chains.  Stores
+    (xh, inv, h) — strictly less than autodiff's residual set (no
+    gelu-output tensor, no f32 xhat).
+
+    Gradient parity vs the autodiff path is pinned by
+    tests/test_fasttrain.py (same f32 math, reduction order differs at
+    tolerance level)."""
+    _, yn, _ = _ln_xhat_inv(x, lns, lnb, eps)
+    h = (jnp.dot(yn.astype(x.dtype), w1,
+                 preferred_element_type=jnp.float32) + b1).astype(x.dtype)
+    a = jax.nn.gelu(h, approximate=approx)
+    out = jnp.dot(a, w2, preferred_element_type=jnp.float32) + b2
+    return (x.astype(jnp.float32) + out).astype(x.dtype)
+
+
+def _mbh_fwd(x, lns, lnb, w1, b1, w2, b2, approx, eps, interpret):
+    xh, yn, inv = _ln_xhat_inv(x, lns, lnb, eps)
+    h = (jnp.dot(yn.astype(x.dtype), w1,
+                 preferred_element_type=jnp.float32) + b1).astype(x.dtype)
+    a = jax.nn.gelu(h, approximate=approx)
+    out = jnp.dot(a, w2, preferred_element_type=jnp.float32) + b2
+    y = (x.astype(jnp.float32) + out).astype(x.dtype)
+    return y, (xh.astype(x.dtype), inv, h, lns, lnb, w1, w2)
+
+
+def _mbh_bwd(approx, eps, interpret, res, g):
+    xh, inv, h, lns, lnb, w1, w2 = res
+    d, hid = w1.shape
+    cdt = h.dtype
+    g32 = g.astype(jnp.float32)
+    gc = g.astype(cdt)
+    # gate recompute: elementwise, fuses into the cotangent chain (the
+    # gelu_lean strategy; exact same formula as the forward)
+    a, gelu_vjp = jax.vjp(
+        lambda hh: jax.nn.gelu(hh, approximate=approx), h)
+    da = jnp.dot(gc, w2.T, preferred_element_type=jnp.float32)
+    dw2 = jax.lax.dot_general(
+        a.reshape(-1, hid), gc.reshape(-1, d), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(w2.dtype)
+    db2 = jnp.sum(g32, axis=(0, 1))
+    dh = gelu_vjp(da.astype(cdt))[0]
+    xn = (xh.astype(jnp.float32) * lns.astype(jnp.float32)
+          + lnb.astype(jnp.float32)).astype(cdt)
+    dw1 = jax.lax.dot_general(
+        xn.reshape(-1, d), dh.reshape(-1, hid), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(w1.dtype)
+    db1 = jnp.sum(dh.astype(jnp.float32), axis=(0, 1))
+    dxn = jnp.dot(dh, w1.T, preferred_element_type=jnp.float32)
+    if DXN_COMPACT:
+        dxn = dxn.astype(cdt)        # GEMM epilogue cast; bf16 buffer
+    from ..ops.ln_bwd import ln_residual_bwd
+    dx, dlns, dlnb = ln_residual_bwd(xh, inv, dxn, g, lns,
+                                     interpret=interpret)
+    return (dx, dlns.astype(lns.dtype), dlnb.astype(lnb.dtype), dw1,
+            db1.astype(jnp.float32), dw2, db2.astype(jnp.float32))
+
+
+mlp_block_train_h.defvjp(_mbh_fwd, _mbh_bwd)
+
+
+# --------------------------------------------------------------------------
 # Functional ViTAntiSpoof forward over the module's param tree
 # --------------------------------------------------------------------------
 
@@ -390,22 +510,43 @@ def _dropout(rng, x, rate, train):
     return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
 
+# default MLP VJP strategy when ``xhat_mlp`` is not requested:
+#   "hidden"   stored-hidden custom VJP + Pallas LN tail (ln_bwd.py) —
+#              measured default: 120.0 ms/step erf vs autodiff's 125.6
+#              with the attn-side kernel + compact dxn (exp_r27/r27b)
+#   "autodiff" plain XLA autodiff with gelu_lean (rounds 3-20 shipped)
+# Module flag read at trace time (BWD_PHASED caveat applies).
+MLP_DEFAULT = "hidden"
+
+
 def train_forward(params, batch, *, rng=None, train: bool = False,
                   num_heads: int = 12, patch_size: int = 16,
                   depth: int = 12, norm_eps: float = 1e-6,
                   dtype=jnp.bfloat16, gelu: str = "erf",
                   dropout: float = 0.1, use_pallas_block: bool = True,
-                  xhat_mlp: bool = False, interpret: bool = False):
+                  xhat_mlp: bool = False, mlp_mode: str | None = None,
+                  interpret: bool = False):
     """ViTAntiSpoof forward as a pure function -> f32 logits [B, 2].
 
     Same math as ``ViTAntiSpoof.__call__`` (models/vit.py) over the same
     param tree; attention sub-layers run through
     :func:`attn_block_train`.  Differentiable end-to-end.
+
+    ``mlp_mode`` picks the MLP VJP: "hidden" (stored-hidden custom VJP
+    with the fused Pallas LN tail), "autodiff" (plain XLA), "xhat"
+    (memory-lean recompute VJP).  Default: "xhat" when ``xhat_mlp`` else
+    :data:`MLP_DEFAULT`.  The "hidden" mode needs the Pallas path
+    (TPU or interpret), so it falls back to autodiff when
+    ``use_pallas_block`` is off.
     """
     from .fastserve import embed_patches
     vit = params["vit"]
     x = embed_patches(vit, batch, dtype=dtype, patch_size=patch_size)
 
+    if mlp_mode is None:
+        mlp_mode = "xhat" if xhat_mlp else MLP_DEFAULT
+    if mlp_mode == "hidden" and not use_pallas_block:
+        mlp_mode = "autodiff"
     approx = gelu == "tanh"
     for i in range(depth):
         blk = vit[f"block{i}"]
@@ -419,12 +560,18 @@ def train_forward(params, batch, *, rng=None, train: bool = False,
         else:
             x = _xla_attn_block(x, *args, num_heads, norm_eps)
         mlp = blk["mlp"]
-        if xhat_mlp:
+        if mlp_mode == "xhat":
             x = mlp_block_train(
                 x, blk["norm2"]["scale"], blk["norm2"]["bias"],
                 mlp["fc1"]["kernel"].astype(dtype), mlp["fc1"]["bias"],
                 mlp["fc2"]["kernel"].astype(dtype), mlp["fc2"]["bias"],
                 approx, norm_eps)
+        elif mlp_mode == "hidden":
+            x = mlp_block_train_h(
+                x, blk["norm2"]["scale"], blk["norm2"]["bias"],
+                mlp["fc1"]["kernel"].astype(dtype), mlp["fc1"]["bias"],
+                mlp["fc2"]["kernel"].astype(dtype), mlp["fc2"]["bias"],
+                approx, norm_eps, interpret)
         else:
             yn = _ln_forward(x, blk["norm2"]["scale"],
                              blk["norm2"]["bias"], norm_eps)
@@ -486,12 +633,14 @@ def fast_apply_available(module, mesh=None) -> bool:
             and jax.device_count() == 1)
 
 
-def make_apply(module, *, xhat_mlp: bool = False):
+def make_apply(module, *, xhat_mlp: bool = False,
+               mlp_mode: str | None = None):
     """``module.apply``-compatible wrapper over :func:`train_forward`
     for a ``ViTAntiSpoof`` instance (drop-in for TrainState.apply_fn).
     ``xhat_mlp=True`` opts into the memory-lean MLP VJP (see
     :func:`mlp_block_train` — slower on v5e, smaller residual
-    footprint)."""
+    footprint); ``mlp_mode`` overrides the VJP strategy explicitly
+    (see :func:`train_forward`)."""
     from ..ops.attention import _context
 
     def apply_fn(variables, batch, *, train: bool = False, rngs=None,
@@ -505,7 +654,7 @@ def make_apply(module, *, xhat_mlp: bool = False):
             depth=module.depth, norm_eps=module.norm_eps,
             dtype=module.dtype, gelu=module.gelu,
             dropout=module.dropout, xhat_mlp=xhat_mlp,
-            interpret=_context["interpret"])
+            mlp_mode=mlp_mode, interpret=_context["interpret"])
         _context["pallas_calls"] += 1
         return out
 
