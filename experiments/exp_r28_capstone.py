@@ -232,9 +232,11 @@ def main():
     cms = json.load(open(mdir / "confusion_matrices.json"))
     assert any(k.startswith("threshold_") for k in cms)
     comp = json.load(open(results / "model_comparison.json"))
-    assert "Custom_ViT_FineTuned" in comp
+    assert "Custom_ViT_FineTuned" in comp["models_evaluated"]
+    row = [r for r in comp["comparison_table"]
+           if r["model_name"] == "Custom_ViT_FineTuned"][0]
     figs = list((results / "figures").glob("*.png"))
-    auc = comp["Custom_ViT_FineTuned"]["roc_auc"]
+    auc = row["roc_auc"]
     log(f"artifact tree ok: {len(figs)} figures; held-out test AUC "
         f"(spoof-score convention) = {auc:.3f}")
 
