@@ -469,7 +469,7 @@ def make_serving_fn(module, variables, *, batch_size: int,
     TPU v5e):
 
     - ``B == 1``  -> ``lowlat`` (whole encoder as ONE Pallas program,
-      ~0.30 ms/img; fold-ends image->logits single kernel available
+      ~0.28 ms/img; fold-ends image->logits single kernel available
       when patch_dim == embed_dim)
     - ``2..16``   -> ``batch_grid`` (same single-program encoder, weights
       stream once per 2-image chunk — the measured VMEM sweet spot:

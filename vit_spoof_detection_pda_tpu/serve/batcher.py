@@ -1,7 +1,7 @@
 """Cross-request micro-batching scheduler for the serving programs.
 
 TPU serving economics (BENCH_NOTES rounds 7-13): one image costs
-~0.30 ms device-side but a 16-image batch-grid batch costs 0.25 ms/img
+~0.28 ms device-side but a 16-image batch-grid batch costs 0.25 ms/img
 and a 128-image fastserve batch 0.216 ms/img — batching is nearly free
 throughput.  The reference never exploits this (its latency benchmark
 loops `model(input)` one image at a time, additional_analysis.py:262).
