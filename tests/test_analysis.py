@@ -234,6 +234,18 @@ def test_benchmark_cli_device_latency(tmp_path):
     assert out["images_per_second"] > 0
 
 
+def test_benchmark_cli_device_latency_loop_iters(tmp_path):
+    """--loop-iters runs the dispatch-free protocol (N executions inside
+    one compiled fori_loop program; BENCH_NOTES round 28): the result
+    must be finite, flagged, and numerically sane on the tiny model."""
+    from vit_spoof_detection_pda_tpu.cli.benchmark import main
+    out = main(["--model", "SigNet_F", "--batch-size", "1",
+                "--device-latency", "--n1", "4", "--loop-iters", "2",
+                "--set", "data.img_size=64"])
+    assert out["dispatch_free"] is True and out["loop_iters"] == 2
+    assert out["ms_per_exec"] > 0 and out["images_per_second"] > 0
+
+
 def test_benchmark_cli_lowlat_validation():
     """--lowlat composes only with --device-latency and fails fast on a
     non-TPU backend without --interpret (same contract as --fastserve,

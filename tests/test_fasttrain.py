@@ -79,11 +79,12 @@ def test_train_forward_matches_module_f32():
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
 
 
-@pytest.mark.parametrize("mlp_mode", ["autodiff", "xhat", "hidden"])
+@pytest.mark.parametrize("mlp_mode", ["autodiff", "xhat", "hidden",
+                                      "fused"])
 def test_train_forward_param_grads_match_module_f32(mlp_mode):
-    """All three MLP VJPs (autodiff default, store-only-xhat, stored-
-    hidden with the Pallas LN tail) must produce module-path
-    gradients."""
+    """All four MLP VJPs (autodiff, store-only-xhat, stored-hidden with
+    the Pallas LN tail, fully-fused Pallas forward) must produce
+    module-path gradients."""
     m, v = small_model()
     x = batch()
     labels = jnp.asarray([0, 1], jnp.int32)

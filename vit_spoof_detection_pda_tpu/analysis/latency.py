@@ -223,7 +223,8 @@ def benchmark_train_step(module=None, *, batch_size: int = 128,
 
 def benchmark_device_latency(infer, variables, *, batch_size: int = 1,
                              img_size: int = 224, n1: int = 200,
-                             repeats: int = 3) -> dict:
+                             repeats: int = 3,
+                             loop_iters: int = 0) -> dict:
     """Steady-state per-execution device latency at a given batch size.
 
     The reference's 5.43 ms / 184 FPS headline (additional_analysis.py:
@@ -234,12 +235,57 @@ def benchmark_device_latency(infer, variables, *, batch_size: int = 1,
     (BENCH_NOTES.md): enqueue N then 3N executions, bound each with one
     scalar fetch, per-exec = (t(3N)-t(N))/(2N).  On a directly-attached
     TPU the same protocol is simply a steady-state measurement.
+
+    ``loop_iters > 0`` switches to the DISPATCH-FREE protocol
+    (BENCH_NOTES round 28 / exp_r30): that many executions run inside
+    one compiled ``lax.fori_loop`` program (loop-invariant hoisting
+    defeated by a data-dependent no-op image perturbation), so one
+    dispatch covers ``loop_iters`` device executions — sub-ms kernels
+    stay measurable even when the relay can only sustain ~1.5k
+    dispatches/s.  Use when per-exec times approach the host's dispatch
+    floor.
     """
+    import jax
     import jax.numpy as jnp
 
     rng = np.random.default_rng(0)
     batch = jnp.asarray(rng.integers(
         0, 256, (batch_size, img_size, img_size, 3), dtype=np.uint8))
+
+    if loop_iters:
+        @jax.jit
+        def looped(variables, img):
+            def body(i, carry):
+                acc, im = carry
+                p = infer(variables, im)["prob1"]
+                s = p.reshape(-1)[0].astype(jnp.float32)
+                bump = (s > 2.0).astype(img.dtype)   # always 0; the
+                # data dependence stops XLA hoisting the invariant body
+                return acc + s, im + bump
+            acc, _ = jax.lax.fori_loop(
+                0, loop_iters, body, (jnp.float32(0.0), img))
+            return acc
+
+        float(looped(variables, batch))          # compile + warm
+
+        def run(n):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                acc = looped(variables, batch)
+            float(acc)
+            return time.perf_counter() - t0
+
+        k1 = max(1, n1 // loop_iters) or 1
+        times = []
+        for _ in range(repeats):
+            t1, t2 = run(k1), run(3 * k1)
+            times.append((t2 - t1) / (2 * k1 * loop_iters))
+        ms = float(np.median(times)) * 1000.0
+        return {"batch_size": batch_size, "ms_per_exec": ms,
+                "ms_per_image": ms / batch_size,
+                "images_per_second": 1000.0 * batch_size / ms,
+                "loop_iters": loop_iters, "dispatch_free": True}
+
     out = infer(variables, batch)
     np.asarray(out["prob1"])                     # compile + warm
 

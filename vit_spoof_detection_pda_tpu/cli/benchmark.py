@@ -63,6 +63,13 @@ def main(argv=None):
     parser.add_argument("--n1", type=int, default=200,
                         help="differencing run length for --device-latency "
                              "(enqueues n1 then 3*n1 executions, 3 repeats)")
+    parser.add_argument("--loop-iters", type=int, default=0,
+                        help="with --device-latency: run this many "
+                             "executions INSIDE one compiled fori_loop "
+                             "program (dispatch-free device latency — "
+                             "sub-ms kernels stay measurable on "
+                             "dispatch-bound hosts/relays; "
+                             "BENCH_NOTES round 28)")
     parser.add_argument("--artifact", default=None,
                         help="with --device-latency: time a FROZEN "
                              "serving artifact directory (export-serving) "
@@ -184,7 +191,8 @@ def _dispatch(args, cfg, parser):
         bs = art.meta.get("batch_size") or args.batch_size
         out = benchmark_device_latency(
             lambda _w, batch: art(batch), None, batch_size=bs,
-            img_size=art.meta.get("img_size", 224), n1=args.n1)
+            img_size=art.meta.get("img_size", 224), n1=args.n1,
+            loop_iters=args.loop_iters)
         out["artifact_mode"] = art.meta["mode"]
         print(json.dumps(out))
         return out
@@ -202,7 +210,8 @@ def _dispatch(args, cfg, parser):
             r = benchmark_device_latency(infer, variables,
                                          batch_size=args.batch_size,
                                          img_size=cfg.data.img_size,
-                                         n1=args.n1)
+                                         n1=args.n1,
+                                         loop_iters=args.loop_iters)
             r["ref_ms_rtx_a4500"] = ref_ms
             r["speedup_vs_ref"] = round(ref_ms / r["ms_per_image"], 2)
             out[name] = r
@@ -291,7 +300,8 @@ def _dispatch(args, cfg, parser):
         out = benchmark_device_latency(infer, variables,
                                        batch_size=args.batch_size,
                                        img_size=cfg.data.img_size,
-                                       n1=args.n1)
+                                       n1=args.n1,
+                                       loop_iters=args.loop_iters)
     else:
         out = benchmark_throughput(module, variables,
                                    batch_size=args.batch_size,

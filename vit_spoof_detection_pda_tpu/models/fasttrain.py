@@ -473,6 +473,200 @@ mlp_block_train_h.defvjp(_mbh_fwd, _mbh_bwd)
 
 
 # --------------------------------------------------------------------------
+# MLP sub-layer with FUSED Pallas forward (training variant of the
+# serving ops/attention.py::_mlp_block_kernel) + stored-hidden VJP
+# --------------------------------------------------------------------------
+
+
+def _erf_approx_f32(x):
+    """Abramowitz & Stegun 7.1.26 rational erf, |error| <= 1.5e-7 —
+    Mosaic has no erf/erfc primitive (only erf_inv), so the exact-GELU
+    kernel emulates it; 1.5e-7 relative is ~4 decades below the bf16
+    resolution of the stored activations, so the forward activation and
+    the backward's XLA exact-erfc gate recompute agree to rounding
+    noise."""
+    p = 0.3275911
+    a1, a2 = 0.254829592, -0.284496736
+    a3, a4, a5 = 1.421413741, -1.453152027, 1.061405429
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    y = 1.0 - (((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+               * jnp.exp(-ax * ax))
+    return jnp.where(x >= 0, y, -y)
+
+
+def _gelu_kernel(hc, approx: bool, out_dtype):
+    """GELU inside a Mosaic kernel: tanh flavor lowers natively; the
+    erf flavor goes through :func:`_erf_approx_f32`."""
+    if approx:
+        return jax.nn.gelu(hc, approximate=True)
+    x32 = hc.astype(jnp.float32)
+    return (0.5 * x32 * (1.0 + _erf_approx_f32(
+        x32 * 0.7071067811865476))).astype(out_dtype)
+
+
+def _mlp_block_train_p_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
+                              w2_ref, b2_ref, o_ref, xh_ref, inv_ref,
+                              h_ref, *, eps: float, n_chunks: int,
+                              approx: bool):
+    """Serving MLP-block kernel extended for TRAINING: erf/tanh GELU and
+    three residual outputs (xhat, inv, the bf16 pre-activation hidden —
+    exactly the stored-hidden VJP's residual set).  The hidden is cast
+    to the compute dtype BEFORE the gelu so the stored value, the
+    forward activation, and the backward's gate recompute all see the
+    identical rounded tensor (the :func:`mlp_block_train_h` numerics).
+    The [M, 4D] activation still never round-trips to HBM between fc1
+    and fc2; only the single h residual (which autodiff stores anyway)
+    is written."""
+    hidden = w1_ref.shape[1]
+    chunk = hidden // n_chunks
+    x = x_ref[...].astype(jnp.float32)                        # [M, D]
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    inv_ref[...] = inv
+    xh = (x - mu) * inv
+    xh_ref[...] = xh.astype(xh_ref.dtype)
+    xn = (xh * lns_ref[0].astype(jnp.float32)
+          + lnb_ref[0].astype(jnp.float32)).astype(x_ref.dtype)
+    acc = x + b2_ref[0].astype(jnp.float32)
+    for c in range(n_chunks):
+        sl = slice(c * chunk, (c + 1) * chunk)
+        hc = (jax.lax.dot_general(
+            xn, w1_ref[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+            + b1_ref[0, sl].astype(jnp.float32)).astype(x_ref.dtype)
+        h_ref[:, sl] = hc
+        a = _gelu_kernel(hc, approx, x_ref.dtype)
+        acc = acc + jax.lax.dot_general(
+            a, w2_ref[sl, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
+def _mlp_fwd_pallas(x, lns, lnb, w1, b1, w2, b2, approx: bool,
+                    eps: float, interpret: bool, m_tile: int = 128,
+                    n_chunks: int = 2):
+    """Flat [B*T, D] row tiling like the serving kernel; m_tile=128
+    divides B*197 exactly at the production batch shapes, so the
+    returned FLAT residuals carry no pad rows there (general shapes
+    zero-pad; pad rows are handled by the backward's padding contract).
+    Returns (y [B,T,D], xh [rp,D], inv [rp,1], h [rp,hidden])."""
+    b, t, d = x.shape
+    hidden = w1.shape[1]
+    rows = b * t
+    rp = (rows + m_tile - 1) // m_tile * m_tile
+    xf = x.reshape(rows, d)
+    if rp != rows:
+        xf = jnp.pad(xf, ((0, rp - rows), (0, 0)))
+    row = lambda a: jnp.asarray(a).reshape(1, -1)            # noqa: E731
+    const = lambda i: (0, 0)                                 # noqa: E731
+    kernel = functools.partial(_mlp_block_train_p_kernel, eps=eps,
+                               n_chunks=n_chunks, approx=approx)
+    blk = lambda w: pl.BlockSpec((m_tile, w), lambda i: (i, 0),  # noqa: E731
+                                 memory_space=pltpu.VMEM)
+    y, xh, inv, h = pl.pallas_call(
+        kernel,
+        grid=(rp // m_tile,),
+        in_specs=[
+            blk(d),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, hidden), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hidden), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(blk(d), blk(d), blk(1), blk(hidden)),
+        out_shape=(jax.ShapeDtypeStruct((rp, d), x.dtype),
+                   jax.ShapeDtypeStruct((rp, d), x.dtype),
+                   jax.ShapeDtypeStruct((rp, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((rp, hidden), x.dtype)),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * rp * d * hidden,
+            bytes_accessed=(3 * rp * d + rp * hidden) * x.dtype.itemsize,
+            transcendentals=rp * hidden),
+        interpret=interpret,
+    )(xf, row(lns), row(lnb), w1, row(b1), w2, row(b2))
+    return y[:rows].reshape(b, t, d), xh, inv, h
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def mlp_block_train_p(x, lns, lnb, w1, b1, w2, b2, approx: bool,
+                      eps: float, interpret: bool):
+    """x + fc2(gelu(fc1(LN2(x)))) with the WHOLE forward as one Pallas
+    program (VMEM-resident weights, hidden chunked through VMEM) and
+    the stored-hidden backward of :func:`mlp_block_train_h`.
+
+    MEASURED REJECTION as the default (exp_r27c, v5e B=128 erf): full
+    step 134.3 vs the hidden mode's 120.4 ms — the round-20 "fc1
+    fusion writes three [B,T,4D] residuals at 40% roofline" attribution
+    was OVERLAPPED work (the round-20/26 lesson again); fusing the
+    forward serializes the h residual write against the GEMMs inside
+    the kernel and pays 197 small-tile programs + the in-kernel erf
+    emulation.  Ships opt-in (``mlp_mode="fused"``) as the measured
+    probe; the hidden mode stores the identical residual set, so this
+    path has no memory niche either."""
+    y, _, _, _ = _mlp_fwd_pallas(x, lns, lnb, w1, b1, w2, b2, approx,
+                                 eps, interpret)
+    return y
+
+
+def _mbp_fwd(x, lns, lnb, w1, b1, w2, b2, approx, eps, interpret):
+    y, xh, inv, h = _mlp_fwd_pallas(x, lns, lnb, w1, b1, w2, b2, approx,
+                                    eps, interpret)
+    return y, (xh, inv, h, lns, lnb, w1, w2, x.shape)
+
+
+def _mbp_bwd(approx, eps, interpret, res, g):
+    """Stored-hidden backward over the kernel's FLAT residuals.  At the
+    production shapes the flat row count equals B*T (no pad), so the
+    tensors reshape back to [B, T, D] views for the LN Pallas pass; on
+    padded shapes the flat [nb, 128, D] view is used instead (pad rows
+    carry dxn = g = 0 -> they contribute nothing, ops/ln_bwd.py
+    contract)."""
+    xh, inv, h, lns, lnb, w1, w2, xshape = res
+    b, t, d = xshape
+    rows, rp = b * t, h.shape[0]
+    hid = w1.shape[1]
+    cdt = h.dtype
+    gf = g.reshape(rows, d)
+    if rp != rows:
+        gf = jnp.pad(gf, ((0, rp - rows), (0, 0)))
+    gc = gf.astype(cdt)
+    db2 = jnp.sum(gf.astype(jnp.float32), axis=0)
+    a, gelu_vjp = jax.vjp(
+        lambda hh: jax.nn.gelu(hh, approximate=approx), h)
+    da = jnp.dot(gc, w2.T, preferred_element_type=jnp.float32)
+    dw2 = jax.lax.dot_general(
+        a, gc, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(w2.dtype)
+    dh = gelu_vjp(da.astype(cdt))[0]
+    xn = (xh.astype(jnp.float32) * lns.astype(jnp.float32)
+          + lnb.astype(jnp.float32)).astype(cdt)
+    dw1 = jax.lax.dot_general(
+        xn, dh, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(w1.dtype)
+    db1 = jnp.sum(dh.astype(jnp.float32), axis=0)
+    dxn = jnp.dot(dh, w1.T, preferred_element_type=jnp.float32)
+    if DXN_COMPACT:
+        dxn = dxn.astype(cdt)
+    from ..ops.ln_bwd import ln_residual_bwd
+    if rp == rows:
+        view = lambda a_: a_.reshape(b, t, -1)               # noqa: E731
+    else:
+        view = lambda a_: a_.reshape(rp // 128, 128, -1)     # noqa: E731
+    dxv, dlns, dlnb = ln_residual_bwd(view(xh), view(inv), view(dxn),
+                                      view(gf), lns, interpret=interpret)
+    dx = dxv.reshape(rp, d)[:rows].reshape(b, t, d)
+    return (dx, dlns.astype(lns.dtype), dlnb.astype(lnb.dtype), dw1,
+            db1.astype(jnp.float32), dw2, db2.astype(jnp.float32))
+
+
+mlp_block_train_p.defvjp(_mbp_fwd, _mbp_bwd)
+
+
+# --------------------------------------------------------------------------
 # Functional ViTAntiSpoof forward over the module's param tree
 # --------------------------------------------------------------------------
 
@@ -545,7 +739,7 @@ def train_forward(params, batch, *, rng=None, train: bool = False,
 
     if mlp_mode is None:
         mlp_mode = "xhat" if xhat_mlp else MLP_DEFAULT
-    if mlp_mode == "hidden" and not use_pallas_block:
+    if mlp_mode in ("hidden", "fused") and not use_pallas_block:
         mlp_mode = "autodiff"
     approx = gelu == "tanh"
     for i in range(depth):
@@ -568,6 +762,12 @@ def train_forward(params, batch, *, rng=None, train: bool = False,
                 approx, norm_eps)
         elif mlp_mode == "hidden":
             x = mlp_block_train_h(
+                x, blk["norm2"]["scale"], blk["norm2"]["bias"],
+                mlp["fc1"]["kernel"].astype(dtype), mlp["fc1"]["bias"],
+                mlp["fc2"]["kernel"].astype(dtype), mlp["fc2"]["bias"],
+                approx, norm_eps, interpret)
+        elif mlp_mode == "fused":
+            x = mlp_block_train_p(
                 x, blk["norm2"]["scale"], blk["norm2"]["bias"],
                 mlp["fc1"]["kernel"].astype(dtype), mlp["fc1"]["bias"],
                 mlp["fc2"]["kernel"].astype(dtype), mlp["fc2"]["bias"],
