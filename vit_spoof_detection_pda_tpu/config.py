@@ -134,6 +134,13 @@ class ModelConfig(_Base):
     # (+4.6%, BENCH_NOTES.md round 3); engages where available
     # (single-device TPU / interpret tests), ignored elsewhere.
     fused_train_forward: bool = True
+    # MLP VJP strategy under the fused forward (BENCH_NOTES rounds
+    # 20/26): "hidden" = stored-hidden custom VJP with the Pallas
+    # LN/residual backward tail (measured default, 120.0 ms/step erf);
+    # "autodiff" = plain XLA with gelu_lean; "xhat" = memory-lean
+    # recompute VJP (~150 MB/layer fewer residuals, slower); "fused" =
+    # whole-MLP Pallas forward (measured rejection, kept as the probe).
+    mlp_vjp: str = "hidden"
 
 
 @dataclass(frozen=True)

@@ -739,6 +739,11 @@ def train_forward(params, batch, *, rng=None, train: bool = False,
 
     if mlp_mode is None:
         mlp_mode = "xhat" if xhat_mlp else MLP_DEFAULT
+    if mlp_mode not in ("autodiff", "xhat", "hidden", "fused"):
+        # fail loudly: an unknown mode would otherwise silently train
+        # through the autodiff branch
+        raise ValueError(f"unknown mlp_mode {mlp_mode!r} (expected "
+                         "autodiff | xhat | hidden | fused)")
     if mlp_mode in ("hidden", "fused") and not use_pallas_block:
         mlp_mode = "autodiff"
     approx = gelu == "tanh"

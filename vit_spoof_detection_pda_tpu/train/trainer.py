@@ -195,8 +195,11 @@ class Trainer:
             if fast_apply_available(module, self.mesh):
                 # train-step forward through the fused attention-block
                 # Pallas kernel (models/fasttrain.py); eval keeps
-                # module.apply
-                self.state = self.state.replace(apply_fn=make_apply(module))
+                # module.apply.  model.mlp_vjp selects the MLP backward
+                # strategy (default "hidden" — the measured optimum)
+                self.state = self.state.replace(apply_fn=make_apply(
+                    module,
+                    mlp_mode=getattr(config.model, "mlp_vjp", None)))
         has_stats = self.state.batch_stats is not None
         self._eval_loss = jax.jit(loss_fn)   # val loss (reference :387-391)
 
