@@ -236,3 +236,33 @@ def test_backward_phased_variant_bit_identical():
             np.testing.assert_array_equal(base, got)
     finally:
         A.BWD_PHASED = False
+
+
+def test_dispatch_symbolic_batch_takes_dense():
+    """jax.export shape-polymorphic tracing (module-mode serving
+    artifacts) must route to the dense parity path on EVERY backend —
+    pallas_call grids/cost estimates need concrete shapes, and module
+    mode is documented as the no-Pallas portable path.  Regression: on
+    a TPU host the dispatch previously picked the Pallas kernel and
+    export-serving --mode module died in CostEstimate."""
+    import jax
+    import jax.numpy as jnp
+
+    from vit_spoof_detection_pda_tpu.ops import attention as A
+
+    calls = []
+
+    def dense(qkv):
+        calls.append("dense")
+        return qkv[..., : qkv.shape[-1] // 3]
+
+    (b,) = jax.export.symbolic_shape("b")
+
+    def f(qkv):
+        with A.attention_sharding(interpret=True):
+            return A.dispatch_attention_qkv(qkv, 4, dense)
+
+    out = jax.eval_shape(f, jax.ShapeDtypeStruct((b, 8, 192),
+                                                 jnp.float32))
+    assert calls == ["dense"]
+    assert out.shape[1:] == (8, 64)

@@ -677,6 +677,14 @@ def dispatch_attention_qkv(qkv, num_heads: int, dense_fallback):
     interpret = _context["interpret"]
     on_tpu = jax.default_backend() == "tpu"
 
+    if not isinstance(qkv.shape[0], int):
+        # symbolic batch dim (jax.export shape polymorphism — the
+        # module-mode serving artifact): pallas_call grids/cost
+        # estimates need concrete shapes, and module mode is documented
+        # as the portable no-Pallas parity path (docs/DEPLOYMENT.md) —
+        # on every backend, not just CPU hosts
+        return dense_fallback(qkv)
+
     if _context["manual"]:
         # already inside a shard_map region (manual_attention).  If the
         # surrounding region left a ``model`` mesh axis in AUTO (GSPMD)
