@@ -99,15 +99,15 @@ def ln_residual_bwd(xh, inv, dxn, g, lns, *, interpret: bool = False):
     b, tq, d = xh.shape
     bb = _block_b(b)
     row = lns.reshape(1, -1)
-    blk = lambda w, dt: pl.BlockSpec((bb, tq, w), lambda i: (i, 0, 0),  # noqa: E731
-                                     memory_space=pltpu.VMEM)
+    blk = lambda w: pl.BlockSpec((bb, tq, w), lambda i: (i, 0, 0),  # noqa: E731
+                                 memory_space=pltpu.VMEM)
     dx, dlns, dlnb = pl.pallas_call(
         functools.partial(_ln_res_bwd_kernel, block_b=bb),
         grid=(b // bb,),
-        in_specs=[blk(d, None), blk(1, None), blk(d, None), blk(d, None),
+        in_specs=[blk(d), blk(1), blk(d), blk(d),
                   pl.BlockSpec((1, d), lambda i: (0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=(blk(d, None),
+        out_specs=(blk(d),
                    pl.BlockSpec((1, d), lambda i: (0, 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((1, d), lambda i: (0, 0),
