@@ -287,3 +287,33 @@ def test_ln_residual_bwd_equals_autodiff_of_ln_residual():
                                atol=1e-4, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(dlnb), np.asarray(gb),
                                atol=1e-4, rtol=1e-5)
+
+
+def test_ln_residual_bwd_bf16_dxn_and_odd_batch():
+    """The shipped training path feeds the LN kernel a COMPUTE-dtype
+    (bf16) dxn (DXN_COMPACT); and odd batch counts take the block_b=1
+    grid.  Both must stay close to the f32 oracle."""
+    from vit_spoof_detection_pda_tpu.ops.ln_bwd import (
+        ln_residual_bwd, ln_residual_bwd_reference)
+
+    rng = np.random.default_rng(5)
+    b, t, d = 3, 16, 64                      # odd b -> block_b = 1
+    x32 = jnp.asarray(rng.standard_normal((b, t, d)), jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean((x32 - mu) ** 2, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + 1e-6)
+    xh = ((x32 - mu) * inv).astype(jnp.bfloat16)
+    dxn16 = jnp.asarray(rng.standard_normal((b, t, d)), jnp.bfloat16)
+    g = jnp.asarray(rng.standard_normal((b, t, d)), jnp.bfloat16)
+    lns = jnp.asarray(rng.standard_normal(d) * 0.1 + 1, jnp.float32)
+
+    dx, dlns, dlnb = ln_residual_bwd(xh, inv, dxn16, g, lns,
+                                     interpret=True)
+    rdx, rdlns, rdlnb = ln_residual_bwd_reference(xh, inv, dxn16, g, lns)
+    np.testing.assert_allclose(np.asarray(dx, np.float32),
+                               np.asarray(rdx, np.float32),
+                               atol=2e-2, rtol=2e-2)     # bf16 output
+    np.testing.assert_allclose(np.asarray(dlns), np.asarray(rdlns),
+                               atol=1e-3, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(dlnb), np.asarray(rdlnb),
+                               atol=1e-3, rtol=1e-4)
