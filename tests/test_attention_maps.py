@@ -109,6 +109,22 @@ def test_capture_attention_probs_layers_and_shapes():
         capture_attention_probs(NoTap(), {}, x)
 
 
+def test_cls_patch_relevance_device_matches_host_path():
+    """The jitted on-device rollout (one program, only the CLS row
+    fetched — the relay-friendly path generate_attention_overlays now
+    uses) must match the eager capture + f64 host rollout."""
+    from vit_spoof_detection_pda_tpu.analysis.attention_maps import (
+        cls_patch_relevance_device)
+
+    m, variables = _tiny(depth=3)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, SIZE, SIZE, 3))
+    probs = capture_attention_probs(m, variables, x)
+    want = cls_patch_relevance(probs)
+    got = cls_patch_relevance_device(m, variables, x)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
 def test_generate_attention_overlays_writes_pngs(tmp_path):
     from PIL import Image
     m, variables = _tiny(depth=2)

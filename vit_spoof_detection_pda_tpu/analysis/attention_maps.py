@@ -105,6 +105,72 @@ def capture_attention_probs(module, variables, images) -> list:
     return [by_layer[i] for i in sorted(by_layer)]
 
 
+def cls_patch_relevance_device(module, variables, images, *,
+                               residual: float = 0.5,
+                               grid_hw=None) -> np.ndarray:
+    """[B, gh, gw] CLS->patch rollout relevance with the capture forward
+    AND the rollout in ONE jitted program.
+
+    The eager path (:func:`capture_attention_probs` +
+    :func:`cls_patch_relevance`) dispatches the forward op-by-op and
+    fetches twelve [B, H, T, T] tensors to host — on a relay-attached
+    TPU that is minutes of RTT + ~360 MB of fetch per 16-image batch
+    (measured hang, round 28).  Here only the [B, N] CLS row crosses
+    the wire; the rollout chain runs in f32 on device (the f64 host
+    oracle agrees to ~1e-6 — row-stochastic matrices keep the product
+    conditioned)."""
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        capture = module.clone(capture_attention=True)
+    except TypeError as e:
+        raise ValueError(
+            f"{type(module).__name__} has no capture_attention flag — "
+            f"attention rollout is only wired for the ViT family") from e
+
+    @jax.jit
+    def run(v, x):
+        _, state = capture.apply(v, x, mutable=["intermediates"])
+        flat = jax.tree_util.tree_flatten_with_path(
+            state["intermediates"])[0]
+        by_layer = {}
+        for path, leaf in flat:
+            keys = [getattr(p, "key", getattr(p, "name", None))
+                    for p in path]
+            block = next((k for k in keys if isinstance(k, str)
+                          and k.startswith("block")), None)
+            if block is None or "attn_probs" not in keys:
+                continue
+            by_layer[int(block[len("block"):])] = leaf
+        if not by_layer:
+            raise ValueError(
+                f"{type(module).__name__} sowed no attention — "
+                f"capture_attention is only wired for the ViT family")
+        rollout = None
+        for i in sorted(by_layer):
+            a = jnp.mean(by_layer[i].astype(jnp.float32), axis=1)
+            t = a.shape[-1]
+            a = ((1.0 - residual) * a
+                 + residual * jnp.eye(t, dtype=jnp.float32))
+            a = a / jnp.sum(a, axis=-1, keepdims=True)
+            rollout = a if rollout is None else jnp.einsum(
+                "bij,bjk->bik", a, rollout)
+        return rollout[:, 0, 1:]                            # [B, N]
+
+    cls = np.asarray(run(variables, images), np.float64)
+    n = cls.shape[-1]
+    if grid_hw is None:
+        g = int(round(n ** 0.5))
+        if g * g != n:
+            raise ValueError(f"{n} patch tokens is not square; pass "
+                             f"grid_hw")
+        grid_hw = (g, g)
+    cls = cls.reshape(cls.shape[0], *grid_hw)
+    peak = cls.max(axis=(1, 2), keepdims=True)
+    return cls / np.where(peak > 0, peak, 1.0)
+
+
 def generate_attention_overlays(module, variables, image_paths,
                                 out_dir: str, *, img_size: int = 224,
                                 batch_size: int = 16,
@@ -131,9 +197,14 @@ def generate_attention_overlays(module, variables, image_paths,
     for start in range(0, len(paths), batch_size):
         chunk = paths[start:start + batch_size]
         frames = np.stack([decode_image(str(p), img_size) for p in chunk])
-        batch = np.asarray(preprocess_eval(frames, size=img_size))
-        probs = capture_attention_probs(module, variables, batch)
-        rel = cls_patch_relevance(probs)                    # [b, gh, gw]
+        # pad the tail chunk to the full batch shape: the jitted capture
+        # program compiles once per shape, and a relay recompile costs
+        # minutes
+        padded = frames if len(chunk) == batch_size else np.concatenate(
+            [frames, np.repeat(frames[-1:], batch_size - len(chunk), 0)])
+        batch = np.asarray(preprocess_eval(padded, size=img_size))
+        rel = cls_patch_relevance_device(
+            module, variables, batch)[:len(chunk)]          # [b, gh, gw]
         for j, p in enumerate(chunk):
             heat = _upsample_bilinear(rel[j], img_size, img_size)
             fig, axes = plt.subplots(1, 2, figsize=(6.4, 3.4))
