@@ -74,11 +74,16 @@ def _ln_res_bwd_kernel(xh_ref, inv_ref, dxn_ref, g_ref, lns_ref,
         dlnb_ref[...] += acc_b
 
 
-def _block_b(b: int) -> int:
-    # [bb, 200, 768] x 4 operands + dx out, double-buffered: bb=4 is
-    # ~13 MB scoped VMEM (under the 16 MB cap); bb=8 would not fit
-    for cand in (4, 2):
-        if b % cand == 0:
+def _block_b(b: int, tq: int, d: int, itemsizes) -> int:
+    """Largest block_b whose double-buffered operand set fits scoped
+    VMEM.  At the bf16 production shapes ([*, 200, 768], compact dxn)
+    bb=4 is ~11 MB; with ALL-f32 operands the same bb measured 18.75M >
+    the 16M cap on hardware (Mosaic stack OOM), so the choice must
+    follow the dtypes, not a constant."""
+    per_sample = tq * d * sum(itemsizes) + tq * 128 * 4   # + lane-padded inv
+    budget = 14 * 2**20                                   # margin under 16M
+    for cand in (8, 4, 2):
+        if b % cand == 0 and 2 * cand * per_sample <= budget:
             return cand
     return 1
 
@@ -97,7 +102,8 @@ def ln_residual_bwd(xh, inv, dxn, g, lns, *, interpret: bool = False):
     dtype via xh.dtype), dscale [D] f32, dbias [D] f32.
     """
     b, tq, d = xh.shape
-    bb = _block_b(b)
+    bb = _block_b(b, tq, d, (xh.dtype.itemsize, dxn.dtype.itemsize,
+                             g.dtype.itemsize, xh.dtype.itemsize))
     row = lns.reshape(1, -1)
     blk = lambda w: pl.BlockSpec((bb, tq, w), lambda i: (i, 0, 0),  # noqa: E731
                                  memory_space=pltpu.VMEM)
